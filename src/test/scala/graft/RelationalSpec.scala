@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.queries.Relational
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query has an oracle and runs non-empty") {
+    assert(Relational.oracle.keySet == Relational.defs.keySet)
+    Relational.defs.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+      assert(df.count() >= 0, name)
+    }
+  }
+
+  test("s1 full-scan count equals direct parquet count") {
+    val expect = Tables.load(spark, sf, "lineitem").count()
+    val got = Relational.defs("s1_full_scan_count")(spark, sf)
+      .collect()(0).getLong(0)
+    assert(got == expect)
+  }
+
+  test("filters are consistent subsets") {
+    val total = Tables.load(spark, sf, "lineitem").count()
+    val f5 = Relational.defs("f5_between")(spark, sf).collect()(0).getLong(0)
+    assert(f5 > 0 && f5 < total)
+  }
+
+  test("2-way join count equals manual join") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.load(spark, sf, "orders")
+    val c = Tables.load(spark, sf, "customer")
+    val expect = o.join(c, o("o_custkey") === c("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING" &&
+        col("o_orderdate") <= to_timestamp(lit("1998-01-01 00:00:00")))
+      .count()
+    val got = Relational.defs("j1_join_2way")(spark, sf).collect()(0).getLong(0)
+    assert(got == expect)
+  }
+
+  test("q1 group agg is deterministic and grouped correctly") {
+    val rows = Relational.defs("q1_group_agg")(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 6)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("events table loads with microsecond timestamps") {
+    val e = Tables.load(spark, sf, "events")
+    assert(e.schema("ts").dataType.typeName == "timestamp")
+    assert(e.count() > 0)
+  }
+}
