@@ -1,5 +1,20 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line to stdout.
+  *
+  * Measurement notes (r01 verdict fixes):
+  *  - results are written to the `noop` sink, which executes the full
+  *    physical plan — `.count()` let Catalyst drop sorts/projections,
+  *    under-measuring exactly the queries with interesting plans;
+  *  - table registration + a warmup query run BEFORE the timing loop,
+  *    so per-query times are not polluted by catalog/ANALYZE cost or
+  *    first-query JVM warmup;
+  *  - failures are recorded in an "errors" field instead of being
+  *    silently swallowed as fast timings.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +22,44 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Registration (catalog tables + ANALYZE) and JVM/codegen warmup,
+    // outside the timed region.
+    graft.engine.Tables.registerAll(spark, sfDir)
+    try spark.sql("SELECT count(*) FROM lineitem").collect()
+    catch { case _: Throwable => () }
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json =
+      "{" +
+        "\"metric\":\"total\",\"value\":" + f"$total%.3f" + "," +
+        "\"unit\":\"sec\",\"queries\":" + qs + "," +
+        "\"errors\":" + errJson + "," +
+        "\"sf\":\"" + sfDir + "\"}"
+    println(json)
+    // Also drop the JSON next to the cwd so the driver (or a human) can
+    // pick it up without scraping sbt log noise.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -7,13 +7,20 @@ import org.apache.spark.sql.functions._
   * (TESTDATA.md). Mirrors the reference's catalog bootstrap — the
   * PG-side `information_schema` introspection in
   * `/root/reference/pg.py:72-101` — except the "catalog" here is
-  * parquet files registered as temp views, which is the Spark-native
-  * analog.
+  * parquet-backed catalog tables with computed CBO statistics, which
+  * is the Spark-native analog of PG's `ANALYZE`d catalog.
+  *
+  * Relational tables are registered as unmanaged catalog tables and
+  * `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`d so that
+  * `spark.sql.cbo.enabled` + `joinReorder` get real row counts / NDVs
+  * — without stats, multi-way comma-FROM join order is a FROM-clause
+  * heuristic that does not survive a 100× scale-up (r01 verdict on
+  * `j1_join_7way`). `events` needs a read-time nanos→micros rewrite,
+  * so it stays a temp view over the converted frame.
   *
   * Scale note: at 100 TB these would be partitioned/bucketed external
-  * tables; reading via `spark.read.parquet` keeps partition pruning
-  * and filter pushdown available to Catalyst, and nothing below ever
-  * collects table data to the driver.
+  * tables; the catalog-table + ANALYZE path here is exactly that shape,
+  * and nothing below ever collects table data to the driver.
   */
 object Tables {
   /** All tables present in every sf dir (TESTDATA.md). */
@@ -22,14 +29,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Dimension tables small enough to broadcast at ANY scale factor —
-    * region/nation are bounded by geography (25/5 rows at every sf),
+    * region/nation are bounded by geography (5/25 rows at every sf),
     * so `broadcast()` on them is safe even at 100 TB.
     */
   val alwaysBroadcast: Set[String] = Set("region", "nation")
 
+  /** Tables that need a read-time rewrite and so cannot be plain
+    * parquet-location catalog tables. */
+  private val viewOnly: Set[String] = Set("events")
+
   def path(sfDir: String, table: String): String = s"$sfDir/$table.parquet"
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // Parquet timestamp[ms] without tz infers as TIMESTAMP_NTZ by
+    // default; CBO's FilterEstimation MatchErrors on TimestampNTZType
+    // (Spark bug), and the session tz is pinned to UTC so LTZ is
+    // value-identical. Read everything as LTZ.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (table == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
       // default. Read nanos as long, then convert losslessly to a
@@ -41,25 +57,58 @@ object Tables {
     } else {
       spark.read.parquet(path(sfDir, table))
     }
+  }
 
-  /** Register every table as a temp view named after the table, so
-    * `spark.sql` text (the reference's native query surface) resolves.
-    * Idempotent per (session, sfDir).
+  /** `load` + broadcast hint when the table is a bounded dim (uses
+    * [[alwaysBroadcast]]). */
+  def loadDim(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = load(spark, sfDir, table)
+    if (alwaysBroadcast(table)) broadcast(df) else df
+  }
+
+  // Guard keyed on the actual (session, sfDir) pair — a session-conf
+  // key (r01) re-registered all ten tables whenever sfDirs alternated.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Register every table so `spark.sql` text (the reference's native
+    * query surface) resolves: catalog tables + ANALYZE for the stats-
+    * bearing relational tables, temp views for the rewrite-needing
+    * ones. Enables CBO + join reorder on the session. Idempotent per
+    * (session, sfDir).
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
-    val key = "graft.views.dir"
-    if (!spark.conf.getOption(key).contains(sfDir)) {
-      names.foreach { t =>
+    if (registered.get(spark) == sfDir) return
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    names.foreach { t =>
+      if (viewOnly(t)) {
         load(spark, sfDir, t).createOrReplaceTempView(t)
+      } else {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // Unmanaged (LOCATION) table: DROP never touches the read-only
+        // testdata; schema is inferred from the parquet footer.
+        spark.sql(
+          s"CREATE TABLE $t USING parquet LOCATION '${path(sfDir, t)}'")
+        // Column NDV/min/max feed CBO joinReorder; fall back to
+        // table-level stats for tables with non-analyzable columns
+        // (e.g. embeddings.embedding ARRAY<FLOAT>).
+        try spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+        catch { case _: Exception =>
+          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+        }
       }
-      spark.conf.set(key, sfDir)
     }
+    registered.put(spark, sfDir)
   }
 
   /** Run reference-shaped SQL (comma-FROM implicit joins included —
     * Spark's parser handles them natively; Catalyst's ReorderJoin /
     * PushPredicateThroughJoin recover the inner equi-joins, cf.
-    * SURVEY.md §2.1 J1).
+    * SURVEY.md §2.1 J1; with ANALYZE stats, CBO joinReorder picks a
+    * cardinality-driven order instead of FROM-clause order).
     */
   def sql(spark: SparkSession, sfDir: String, text: String): DataFrame = {
     registerAll(spark, sfDir)

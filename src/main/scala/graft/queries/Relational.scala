@@ -132,12 +132,14 @@ object Relational {
       Tables.load(spark, sfDir, "lineitem")
         .filter(col("l_quantity") < 5 && col("l_discount") >= 0.05)
         .agg(count(lit(1)).as("cnt"))),
-    // P1: projection, no aggregate (ref stats_test_sql.txt:1)
+    // P1: projection, no aggregate (ref stats_test_sql.txt:1). No ORDER
+    // BY: the reference's P1 has none, the compare harness sorts rows
+    // before hashing, and an unbounded global sort is exactly the shape
+    // that breaks at 100 TB (full range-shuffle of every matching row).
     "p1_projection" -> ((spark, sfDir) =>
       Tables.load(spark, sfDir, "orders")
         .filter(col("o_orderstatus") === "P")
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_orderkey"))),
+        .select(col("o_orderkey"), col("o_totalprice"))),
     "f1_numeric_cmp" -> sql(f1),
     "f2_string_eq" -> sql(f2),
     "f3_like" -> sql(f3),
@@ -164,27 +166,36 @@ object Relational {
         .orderBy(col("c_custkey"))
         .limit(50)),
     // A1/A3 + GROUP BY (beyond reference parity; the flagship agg).
-    // DECIMAL sums for exact cross-engine equality.
+    // DECIMAL sums for exact cross-engine equality; the FINAL cast to
+    // DECIMAL(38,x) pins the result type — Spark's sum(decimal(18,2))
+    // widens to (28,2) while DuckDB widens to (38,2), and the driver's
+    // hash is representation-sensitive (r01 hash-fail root cause).
     "q1_group_agg" -> ((spark, sfDir) =>
       Tables.load(spark, sfDir, "lineitem")
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
     // join + groupBy + decimal sum + sort: the canonical distributed
-    // shape (revenue per nation)
+    // shape (revenue per nation). The price*(1-discount) product is
+    // computed in the DECIMAL domain on both sides — a double-domain
+    // product rounds differently across engines.
     "q2_join_group_topn" -> ((spark, sfDir) => {
       val l = Tables.load(spark, sfDir, "lineitem")
       val s = Tables.load(spark, sfDir, "supplier")
-      val n = Tables.load(spark, sfDir, "nation")
+      val n = Tables.loadDim(spark, sfDir, "nation") // broadcast hint
+      val revTerm = (col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .cast("decimal(18,4)")
       l.join(s, l("l_suppkey") === s("s_suppkey"))
-        .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .join(n, s("s_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).as("revenue"),
+        .agg(sum(revTerm).cast("decimal(38,4)").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     })
@@ -196,7 +207,7 @@ object Relational {
       "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity < 5 AND l_discount >= 0.05",
     "p1_projection" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_orderstatus = 'P' ORDER BY o_orderkey""".stripMargin,
+        |WHERE o_orderstatus = 'P'""".stripMargin,
     "f1_numeric_cmp" -> f1,
     "f2_string_eq" -> f2,
     "f3_like" -> f3,
@@ -217,15 +228,17 @@ object Relational {
         |ORDER BY c_custkey LIMIT 50""".stripMargin,
     "q1_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join_group_topn" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem, supplier, nation
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey

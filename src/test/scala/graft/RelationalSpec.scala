@@ -24,7 +24,7 @@ class RelationalSpec extends AnyFunSuite {
     Relational.defs.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, name)
-      assert(df.count() >= 0, name)
+      assert(df.count() > 0, name) // every query returns >=1 row at sf0.001
     }
   }
 

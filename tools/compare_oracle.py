@@ -17,7 +17,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def norm(v):
     if isinstance(v, Decimal):
-        return str(v.normalize()) if v != 0 else "0"
+        # Preserve scale: the driver's hash is representation-sensitive
+        # (DECIMAL(28,2) vs DECIMAL(38,2) mismatch in r01), so normalize()
+        # here would mask real gate failures.
+        return str(v)
     if isinstance(v, float):
         return repr(round(v, 9))
     if isinstance(v, bytes):
