@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.queries.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,12 +18,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.defs("q1_group_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * LLM-data-pipeline operator families (dedup / similarity / text /
+    * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs
+    Relational.defs ++ Dedup.defs ++ Similarity.defs ++
+      TextAnalysis.defs ++ Multimodal.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      TextAnalysis.oracle ++ Multimodal.oracle
 }

@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Text-analysis operators over `documents`: token stats, heuristic
+  * language ID, quality scoring, and content fingerprinting — the
+  * per-document featurization layer of an LLM data pipeline.
+  *
+  * Everything is a codegen'd column expression (split / filter /
+  * regexp_replace / md5) feeding a hash-aggregate — no UDF, no
+  * collect; per-doc work is bounded by document length, so the whole
+  * module is embarrassingly parallel at 100 TB.
+  *
+  * Cross-engine determinism rules used throughout (the driver's hash
+  * is type- and representation-sensitive):
+  *  - integer aggregates are CAST to BIGINT in the oracle (DuckDB
+  *    sum(INT) widens to HUGEINT, Spark to BIGINT);
+  *  - ratios are computed as ONE double division of exact integer
+  *    sums (never avg() of per-row doubles — partial-aggregation
+  *    order would change the float result);
+  *  - language ID is a deterministic marker-word argmax written
+  *    identically on both sides (the `lang` column is synthetic and
+  *    uncorrelated with the text, so the heuristic IS the spec).
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+
+  private val wordsCol: Column = split(trim(col("text")), "\\s+")
+
+  // marker-word lists for the n-gram-style language heuristic
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "et", "les"))
+
+  private def markerScore(words: Seq[String]): Column =
+    size(filter(wordsCol, x => x.isin(words.map(lit): _*)))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting (whitespace tokenizer) per language
+    "txt1_token_stats" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .groupBy(col("lang"))
+        .agg(sum(size(wordsCol)).cast("long").as("n_tokens"),
+          sum(length(col("text"))).cast("long").as("n_chars_sum"),
+          count(lit(1)).as("n_docs"))),
+    // heuristic language ID: marker-word argmax (en > de > es > fr
+    // precedence on ties), 'und' when no markers hit
+    "txt2_lang_id" -> ((spark, sfDir) => {
+      val s = Markers.map { case (l, ws) => l -> markerScore(ws) }.toMap
+      val predicted =
+        when(s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr") &&
+          s("en") > 0, "en")
+          .when(s("de") >= s("es") && s("de") >= s("fr") && s("de") > 0, "de")
+          .when(s("es") >= s("fr") && s("es") > 0, "es")
+          .when(s("fr") > 0, "fr")
+          .otherwise("und")
+      docs(spark, sfDir)
+        .select(predicted.as("predicted_lang"))
+        .groupBy(col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+    // quality scoring: per-source token/char/punct sums + pass-count
+    // for a length/word-shape filter, ratio as one final division
+    "txt3_quality" -> ((spark, sfDir) => {
+      val nWords = size(wordsCol)
+      val nChars = length(col("text"))
+      val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+      val avgWordLen =
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          nWords.cast("double")
+      val pass = nWords >= 50 && nWords <= 1000 &&
+        avgWordLen >= 3.0 && avgWordLen <= 8.0
+      docs(spark, sfDir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(pass, 1L).otherwise(0L)).cast("long").as("n_quality"),
+          sum(nWords).cast("long").as("n_tokens"),
+          round(sum(nPunct).cast("double") / sum(nChars).cast("double"), 6)
+            .as("punct_ratio"))
+    }),
+    // content fingerprint: md5 over whitespace-normalized lowercase
+    // text (the exact-dedup key for "same modulo whitespace/case")
+    "txt4_fingerprint" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .groupBy(col("lang"))
+        .agg(countDistinct(
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+          .as("n_fingerprints"),
+          count(lit(1)).as("n_docs")))
+  )
+
+  private def markerListSql(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val scoreSql: String = Markers.map { case (l, ws) =>
+    s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+      s"x -> x IN ${markerListSql(ws)})) AS s_$l"
+  }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "txt1_token_stats" ->
+      """SELECT lang,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars_sum,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+    "txt2_lang_id" ->
+      s"""SELECT CASE
+         |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |  WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+         |  WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |  WHEN s_fr > 0 THEN 'fr'
+         |  ELSE 'und' END AS predicted_lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM (SELECT $scoreSql FROM documents)
+         |GROUP BY 1""".stripMargin,
+    "txt3_quality" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN
+        |      len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 50 AND 1000
+        |      AND length(replace(text, ' ', '')) * 1.0 /
+        |          len(regexp_split_to_array(trim(text), '\s+')) >= 3.0
+        |      AND length(replace(text, ' ', '')) * 1.0 /
+        |          len(regexp_split_to_array(trim(text), '\s+')) <= 8.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  round(sum(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))) * 1.0 /
+        |        sum(length(text)), 6) AS punct_ratio
+        |FROM documents GROUP BY source""".stripMargin,
+    "txt4_fingerprint" ->
+      """SELECT lang,
+        |  CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_fingerprints,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin
+  )
+}

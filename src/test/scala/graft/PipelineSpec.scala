@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operator tests at sf0.001. The driver's DuckDB
+  * oracle is the cross-engine gate; these specs pin the *internal*
+  * invariants: approximate paths equal exact paths, sketches have the
+  * declared shapes, and the stubbed multimodal plumbing conserves
+  * bytes.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH near-dup equals exact n-gram jaccard") {
+    val exact = pairs("dd2_ngram_jaccard")
+    val lsh = pairs("dd3_minhash_lsh")
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // recall AND precision 1 after verification
+  }
+
+  test("minhash signatures have 96 components") {
+    val sig = Dedup.minhashSignatures(
+      Dedup.shingles(spark, sf)).select("sig").head()
+      .getSeq[Long](0)
+    assert(sig.length == 96)
+  }
+
+  test("simhash finds planted near-dups with high precision") {
+    val exact = pairs("dd2_ngram_jaccard")
+    val sim = pairs("dd4_simhash")
+    assert(sim.nonEmpty)
+    // simhash measures weighted-bit similarity, not Jaccard — pairs
+    // slightly below J=0.8 can land inside hamming<=3, so precision
+    // against the J>=0.8 set is high-but-not-1; recall of the planted
+    // ~J=0.95+ dups should be solid
+    assert((sim -- exact).size <= sim.size / 3, s"low precision: $sim vs $exact")
+    assert((exact & sim).size >= exact.size / 2, "low recall")
+  }
+
+  test("LSH ANN equals exact brute-force cosine top-k") {
+    val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val ann = SparkEntry.queries("sim2_ann_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(exact.size == 10)
+    assert(ann == exact)
+  }
+
+  test("cosine scores are in [-1, 1] and probe excluded") {
+    val rows = SparkEntry.queries("sim1_cosine_topk")(spark, sf).collect()
+    assert(rows.forall(r => math.abs(r.getDouble(1)) <= 1.0))
+    assert(!rows.exists(_.getLong(0) == 0L))
+  }
+
+  test("lang-id partitions all docs") {
+    val total = Tables.load(spark, sf, "documents").count()
+    val byLang = SparkEntry.queries("txt2_lang_id")(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(byLang == total)
+  }
+
+  test("multimodal stub conserves byte counts through mapPartitions") {
+    val expected = Tables.load(spark, sf, "documents")
+      .agg(sum(octet_length(col("text")))).head().getLong(0)
+    val got = Multimodal.mediaFeatures(spark, sf)
+      .toDF().agg(sum(col("n_bytes"))).head().getLong(0)
+    assert(got == expected)
+    // decode stub is deterministic: same input -> same features
+    val a = Multimodal.mediaFeatures(spark, sf).collect().sortBy(_.media_id)
+    val b = Multimodal.mediaFeatures(spark, sf).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(f => f.width >= 1 && f.height >= 1))
+  }
+
+  test("exact dedup counts unique within source") {
+    val rows = SparkEntry.queries("dd1_exact_dedup")(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
+}
