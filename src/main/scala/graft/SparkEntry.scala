@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.Tables
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.queries.Relational
+import graft.queries.{JoinVariants, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,12 @@ object SparkEntry {
     * LLM-data-pipeline operator families (dedup / similarity / text /
     * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ Dedup.defs ++ Similarity.defs ++
-      TextAnalysis.defs ++ Multimodal.defs
+    Relational.defs ++ JoinVariants.defs ++ Dedup.defs ++
+      Similarity.defs ++ TextAnalysis.defs ++ Multimodal.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      TextAnalysis.oracle ++ Multimodal.oracle
+    Relational.oracle ++ JoinVariants.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ TextAnalysis.oracle ++ Multimodal.oracle
 }

@@ -1,0 +1,135 @@
+package graft.planopt
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.planopt.PlanFeatures.PlanNode
+
+/** Candidate physical-plan generator + learned chooser (SURVEY.md
+  * §7.4) — the Spark-native replacement for the Lero PostgreSQL patch
+  * that produced plan variants by scaling cardinality estimates (that
+  * component is absent from the reference repo; plans arrive
+  * pre-computed in its data files, `lero_test.py:15-23`).
+  *
+  * Catalyst doesn't expose "give me k plans", but it re-plans under
+  * session knobs. The sweep varies exactly the decisions the learned
+  * comparator is supposed to rank (SURVEY §2.1 J2 — physical join
+  * variant choice, and join order):
+  *  - `autoBroadcastJoinThreshold`: −1 (never broadcast) / default /
+  *    huge (broadcast everything that fits);
+  *  - `join.preferSortMergeJoin`: SMJ vs shuffled-hash;
+  *  - `cbo.joinReorder.enabled`: stats-driven vs FROM-order joins.
+  *
+  * AQE is disabled during BOTH enumeration and candidate execution
+  * (SURVEY §7 risk note): the featurized static plan must be the plan
+  * that runs, otherwise labels describe a different plan than the one
+  * the model scored. Dedupe is by the canonicalized plan string
+  * (exprIds normalized), so knob combinations that collapse to the
+  * same physical plan count once.
+  *
+  * Scale note: enumeration is driver-side planning only (no data
+  * touched); labeling executes candidates — at 100 TB you label on a
+  * sampled fraction or a smaller SF, exactly like the reference
+  * labels on its training DB, not production.
+  */
+object Candidates {
+
+  /** One knob assignment of the sweep grid. */
+  final case class Knobs(broadcastThreshold: String, preferSortMergeJoin: Boolean,
+                         joinReorder: Boolean) {
+    def confs: Seq[(String, String)] = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> broadcastThreshold,
+      "spark.sql.join.preferSortMergeJoin" -> preferSortMergeJoin.toString,
+      "spark.sql.cbo.joinReorder.enabled" -> joinReorder.toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    def label: String =
+      s"bcast=$broadcastThreshold,smj=$preferSortMergeJoin,reorder=$joinReorder"
+  }
+
+  /** The sweep grid: 3 × 2 × 2 = 12 assignments (typically 2–6
+    * distinct plans after dedupe — the reference corpus runs 2–3
+    * candidates per query, SURVEY §6). */
+  val knobGrid: Seq[Knobs] = for {
+    bcast <- Seq("-1", "10485760", "536870912")
+    smj <- Seq(true, false)
+    reorder <- Seq(true, false)
+  } yield Knobs(bcast, smj, reorder)
+
+  /** A deduped candidate: the knobs that produce it, its canonical
+    * plan string, and the featurizable plan IR snapshot. */
+  final case class Candidate(knobs: Knobs, canonical: String, plan: PlanNode)
+
+  /** Run `body` with `confs` set, restoring previous values after. */
+  def withConfs[T](spark: SparkSession, confs: Seq[(String, String)])(body: => T): T = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Enumerate distinct physical plans for a query by re-planning
+    * under the knob grid. Planning only — no execution. */
+  def enumerate(spark: SparkSession, build: SparkSession => DataFrame): Seq[Candidate] = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, Candidate]()
+    knobGrid.foreach { knobs =>
+      withConfs(spark, knobs.confs) {
+        val df = build(spark)
+        val plan = df.queryExecution.executedPlan
+        // canonicalized normalizes exprIds but keeps per-planning
+        // plan_id counters — strip them or identical plans from
+        // different plannings never dedupe
+        val canonical = plan.canonicalized.toString
+          .replaceAll("plan_id=\\d+", "plan_id=*")
+        if (!seen.contains(canonical)) {
+          seen(canonical) = Candidate(knobs, canonical, PlanFeatures.fromSparkPlan(plan))
+        }
+      }
+    }
+    seen.values.toSeq
+  }
+
+  /** Execute the query under a candidate's knobs, returning (rowCount,
+    * wallClockMs) — the labeling step (Spark-native stand-in for the
+    * reference's `Execution Time` from EXPLAIN ANALYZE). */
+  def execute(spark: SparkSession, build: SparkSession => DataFrame,
+              knobs: Knobs): (Long, Double) =
+    withConfs(spark, knobs.confs) {
+      val df = build(spark)
+      val t0 = System.nanoTime()
+      val n = df.count()
+      (n, (System.nanoTime() - t0) / 1e6)
+    }
+
+  /** Label every candidate by execution (optionally with warmup runs
+    * for timing stability). */
+  def labelCandidates(spark: SparkSession, build: SparkSession => DataFrame,
+                      candidates: Seq[Candidate], warmup: Boolean = false): Seq[(Candidate, Double)] =
+    candidates.map { c =>
+      if (warmup) execute(spark, build, c.knobs)
+      val (_, ms) = execute(spark, build, c.knobs)
+      (c, ms)
+    }
+
+  /** The learned chooser (M12 applied to live candidates): featurize
+    * every candidate with `gen`, score with `model`, execute the
+    * argmin (`lero_test.py:40,97` semantics: lower score = predicted
+    * faster). Returns the chosen candidate and its result. */
+  def chooseAndExecute(spark: SparkSession, build: SparkSession => DataFrame,
+                       model: LeroModelPairWise,
+                       gen: PlanFeatures.FeatureGenerator): (Candidate, DataFrame) = {
+    val cands = enumerate(spark, build)
+    val scores = model.predict(cands.map(c => gen.transform(c.plan)))
+    val best = cands(scores.indices.minBy(scores))
+    val df = withConfs(spark, best.knobs.confs) {
+      val d = build(spark)
+      d.queryExecution.executedPlan // force physical planning under the knobs
+      d
+    }
+    // NOTE: consume via collect()/write on THIS frame (its
+    // QueryExecution is pinned); derived actions like .count() build a
+    // new plan under whatever confs are then current.
+    (best, df)
+  }
+}
