@@ -1,0 +1,164 @@
+package graft.planopt
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.planopt.PlanFeatures.{FeatureGenerator, PlanNode}
+
+/** End-to-end pipelines (SURVEY.md §2.2 M19/M30/M31): the Spark-
+  * native counterparts of the reference's `stable.py:13-30` (train
+  * once + test), `Lero/deployment.py:16-46` / `Lero/dynamic.py:23-53`
+  * (batched retrain-from-scratch loops), `create_training_file`
+  * (M19) and `setup_logger` (M31).
+  *
+  * Where the reference consumes pre-computed PostgreSQL plan files,
+  * this pipeline GENERATES its own candidates (knob sweep,
+  * `Candidates`) and labels them by timed execution — the step that
+  * fans out to the cluster; everything else is driver-side model
+  * work. Evaluation mirrors `lero_test.py:82-155`: Spearman ranking
+  * loss over per-query candidate scores, argmin selection, and
+  * lero_dict-shaped {qid → selected-plan latency s, "sum" → total}.
+  */
+object Pipelines {
+
+  /** M31 `setup_logger` (`logger.py:5-33`): console + file. */
+  final class Logger(path: Option[String]) {
+    private val writer = path.map { p =>
+      val f = new java.io.File(p)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      new java.io.PrintWriter(new java.io.FileWriter(f, true))
+    }
+    def info(msg: String): Unit = {
+      val line = s"[${java.time.Instant.now()}] $msg"
+      println(line)
+      writer.foreach { w => w.println(line); w.flush() }
+    }
+    def close(): Unit = writer.foreach(_.close())
+  }
+
+  /** M19 `create_training_file` (`create_training_file.py:4-15`):
+    * strip the leading qid field from `#####`-separated plan lines. */
+  def createTrainingFile(inPath: String, outPath: String): Unit = {
+    val lines = scala.io.Source.fromFile(inPath).getLines().toSeq
+    val out = lines.map { line =>
+      val arr = line.split("#####")
+      arr.drop(1).mkString("#####")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), out.mkString("\n") + "\n")
+  }
+
+  /** One query with its labeled candidate plans. */
+  final case class LabeledQuery(qid: String, plans: Seq[PlanNode], latenciesMs: Seq[Double])
+
+  /** Enumerate + label candidates for each query (the cluster-side
+    * step; at 100 TB you run this at a sampled SF, like the reference
+    * labels on a training DB). */
+  def labelWorkload(spark: SparkSession,
+                    queries: Seq[(String, SparkSession => DataFrame)],
+                    log: Logger): Seq[LabeledQuery] =
+    queries.map { case (qid, build) =>
+      val cands = Candidates.enumerate(spark, build)
+      val labeled = Candidates.labelCandidates(spark, build, cands)
+      log.info(s"$qid: ${cands.length} candidates, " +
+        s"latencies=${labeled.map(l => f"${l._2}%.1f").mkString(",")}ms")
+      LabeledQuery(qid, labeled.map(_._1.plan), labeled.map(_._2))
+    }
+
+  /** Train a pairwise comparator on labeled queries
+    * (`lero_train.py:76-106` flow: fit featurizer on all plans +
+    * exec times, all-ordered-pairs per query, pairwise BCE). */
+  def train(labeled: Seq[LabeledQuery], epochs: Int = 100,
+            seed: Long = 17L): (FeatureGenerator, LeroModelPairWise) = {
+    val trainable = labeled.filter(_.plans.length >= 2)
+    require(trainable.nonEmpty, "no query has >=2 candidates")
+    val allPlans = trainable.flatMap(_.plans)
+    val allTimes = trainable.flatMap(_.latenciesMs)
+    val fg = FeatureGenerator.fit(allPlans, allTimes)
+    val x1 = scala.collection.mutable.ArrayBuffer[PlanFeatures.FeatTree]()
+    val x2 = scala.collection.mutable.ArrayBuffer[PlanFeatures.FeatTree]()
+    val y1 = scala.collection.mutable.ArrayBuffer[Double]()
+    val y2 = scala.collection.mutable.ArrayBuffer[Double]()
+    trainable.foreach { q =>
+      val trees = q.plans.map(fg.transform)
+      val labels = q.latenciesMs.map(fg.normLabel)
+      Ranking.trainingPairs(trees.indices).foreach { case (i, j) =>
+        x1 += trees(i); x2 += trees(j)
+        y1 += labels(i); y2 += labels(j)
+      }
+    }
+    val model = new LeroModelPairWise(fg.featureDim, seed)
+    model.fit(x1.toIndexedSeq, x2.toIndexedSeq, y1.toIndexedSeq, y2.toIndexedSeq,
+      epochs = epochs)
+    (fg, model)
+  }
+
+  /** Evaluation result (`lero_test.py:82-155`). */
+  final case class EvalResult(rankingLoss: Option[Double],
+                              leroDict: Map[String, Double],
+                              selectedTotalSec: Double,
+                              defaultTotalSec: Double)
+
+  /** Evaluate on labeled queries: score candidates, Spearman ranking
+    * loss, argmin selection vs candidate-0 default (the reference's
+    * PG baseline, `lero_test.py:56-78`). */
+  def evaluate(fg: FeatureGenerator, model: LeroModelPairWise,
+               testSet: Seq[LabeledQuery]): EvalResult = {
+    val scored = testSet.filter(_.plans.length >= 2).map { q =>
+      val scores = model.predict(q.plans.map(fg.transform)).toSeq
+      (q, scores)
+    }
+    val loss = Ranking.rankingLoss(scored.map(_._2), scored.map(_._1.latenciesMs))
+    val dict = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var sum = 0.0
+    var defSum = 0.0
+    scored.foreach { case (q, scores) =>
+      val pick = scores.indices.minBy(scores)
+      val sec = q.latenciesMs(pick) / 1000.0
+      dict(q.qid) = sec
+      sum += sec
+      defSum += q.latenciesMs.head / 1000.0
+    }
+    EvalResult(loss, dict.toMap, sum, defSum)
+  }
+
+  /** lero_dict.json writer (`lero_test.py:99-112` layout). */
+  def writeLeroDict(result: EvalResult, path: String): Unit = {
+    val entries = result.leroDict.map { case (k, v) => s"""  "$k": $v""" } ++
+      Seq(s"""  "sum": ${result.selectedTotalSec}""")
+    val f = new java.io.File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.writeString(f.toPath,
+      entries.mkString("{\n", ",\n", "\n}\n"))
+  }
+
+  /** M30 stable pipeline (`stable.py:13-30`): label, train on the
+    * train split, evaluate on the test split. */
+  def stable(spark: SparkSession,
+             trainQueries: Seq[(String, SparkSession => DataFrame)],
+             testQueries: Seq[(String, SparkSession => DataFrame)],
+             epochs: Int = 100, seed: Long = 17L,
+             log: Logger = new Logger(None)): EvalResult = {
+    val trainLabeled = labelWorkload(spark, trainQueries, log)
+    val testLabeled = labelWorkload(spark, testQueries, log)
+    val (fg, model) = train(trainLabeled, epochs, seed)
+    val res = evaluate(fg, model, testLabeled)
+    log.info(s"ranking loss: ${res.rankingLoss}")
+    log.info(f"total latency: selected=${res.selectedTotalSec}%.3fs " +
+      f"default=${res.defaultTotalSec}%.3fs")
+    res
+  }
+
+  /** M30 deployment/dynamic loop (`deployment.py:20-43`,
+    * `dynamic.py:27-50`): per batch i, retrain FROM SCRATCH on batch
+    * i and evaluate on batch i+1; returns per-batch selected-plan
+    * totals (the reference's lero_latency_list). */
+  def deploymentLoop(batches: Seq[Seq[LabeledQuery]], epochs: Int = 100,
+                     seed: Long = 17L,
+                     log: Logger = new Logger(None)): Seq[Double] =
+    batches.sliding(2).collect { case Seq(trainBatch, validBatch) =>
+      val (fg, model) = train(trainBatch, epochs, seed)
+      val res = evaluate(fg, model, validBatch)
+      log.info(f"batch eval: loss=${res.rankingLoss} sum=${res.selectedTotalSec}%.3fs")
+      res.selectedTotalSec
+    }.toSeq
+}
