@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native cosine-similarity over two double arrays — a codegen'd
+  * Catalyst `Expression` (the brief's preference order: native
+  * Expression > higher-order functions > UDF).
+  *
+  * Why it exists: the composable formulation
+  * `aggregate(zip_with(a, b, ...), ...) / (sqrt(...) * sqrt(...))`
+  * is three interpreted higher-order functions per row — HOF lambdas
+  * don't participate in whole-stage codegen, which measured 8–17×
+  * slowdowns on the sketch operators in this repo. This expression
+  * is one fused, generated loop: at 100 TB the all-pairs / top-k
+  * kernels below it are exactly the hot path.
+  *
+  * Math note: dot and the two norms accumulate left-to-right exactly
+  * like the HOF formulation, so results are bit-identical to the
+  * composable version (the DuckDB oracles stay valid).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression with Serializable {
+
+  // (ImplicitCastInputTypes needs the private[sql] AbstractDataType;
+  // the registered builder inserts explicit array<double> Casts
+  // instead, and this check guards direct construction.)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> arguments, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xv = $a.getDouble($i);
+         |  double yv = $b.getDouble($i);
+         |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  val name = "graft_cosine"
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, null, name,
+    "_FUNC_(a, b) - cosine similarity of two numeric arrays.",
+    "", "", "", "", "", "", "built-in")
+
+  val builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, s"$name expects 2 arguments")
+    // children may be unresolved here (no dataType yet) — always cast;
+    // a same-type Cast folds away in optimization
+    CosineSimilarity(Cast(children(0), ArrayType(DoubleType)),
+      Cast(children(1), ArrayType(DoubleType)))
+  }
+
+  /** Idempotent per-session registration (fallback path for sessions
+    * built without `spark.sql.extensions`). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name), info, builder)
+}

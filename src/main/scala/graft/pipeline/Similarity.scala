@@ -1,74 +1,86 @@
 package graft.pipeline
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.functions.CosineSimilarity
 
-/** Similarity search over the `embeddings` table (64-dim FLOAT
-  * vectors). Two paths with the SAME output contract:
+/** Similarity search + embedding near-dup over the `embeddings`
+  * table (64-dim FLOAT vectors). Exact paths are the oracle-checked
+  * ground truth; bucketed paths are the 100 TB scale story and must
+  * reproduce the exact results at test scale (they share the exact
+  * oracles — approximate-equals-exact IS the gate):
   *
   *  - `sim1_cosine_topk`: exact brute-force cosine top-k for a fixed
-  *    probe — the correctness baseline. All math in double precision
-  *    via codegen'd higher-order functions (`zip_with`/`aggregate`),
-  *    no UDF, probe broadcast; one full scan, map-side top-k via
-  *    sort+limit (Spark plans TakeOrderedAndProject — partial top-k
-  *    per partition, k rows to the driver, never a global sort).
-  *  - `sim2_ann_lsh`: the scale path — random-hyperplane bucketing
-  *    (spark.ml BucketedRandomProjectionLSH on L2-normalized vectors,
-  *    where Euclidean order ≡ cosine order) prunes candidates, then
-  *    exact cosine re-scoring of the candidate set only. Shares sim1's
-  *    DuckDB oracle: at test scale LSH recall must be (and is) 1, so
-  *    approximate-equals-exact IS the gate.
+  *    probe. One scan, broadcast probe, TakeOrderedAndProject (per-
+  *    partition top-k, k rows to the driver, no global sort).
+  *  - `sim2_ann_lsh`: random-hyperplane LSH
+  *    (BucketedRandomProjectionLSH on L2-normalized vectors, where
+  *    Euclidean order ≡ cosine order) prunes candidates → exact
+  *    re-score.
+  *  - `sim3_ann_ivf`: IVF — a k-means coarse quantizer partitions the
+  *    corpus; the probe searches only the `nprobe` nearest cells →
+  *    exact re-score. The classic disk-friendly ANN layout: at scale
+  *    the cell id is the partition/bucket key and a probe touches
+  *    nprobe/k of the data.
+  *  - `dd5_embed_neardup`: embedding-cosine near-duplicate pairs
+  *    (exact all-pairs at test scale — the oracle-able ground truth;
+  *    the production path blocks by LSH/IVF cell exactly like
+  *    dd3/sim2 to avoid the N² product).
   *
-  * The cosine kernel mirrors what the reference does driver-side with
-  * torch matmuls in `/root/reference/coreset.py:48-89` (U·Lᵀ cosine
-  * sim matrix), re-expressed as a distributed scan.
-  *
-  * Scale (100 TB): brute force is O(N) per probe with a broadcast
-  * probe — fine for one probe, wrong for probe-batches; the LSH path
-  * buckets both sides so probe batches become an equi-join on
-  * (table, bucket). Neither path ever materializes the N×N product.
+  * The cosine kernel is the native codegen'd
+  * [[graft.functions.CosineSimilarity]] expression — one fused loop
+  * per row instead of three interpreted higher-order functions; it
+  * accumulates in the same order, so results are bit-identical to the
+  * composable form and the DuckDB oracles are unchanged.
   */
 object Similarity {
 
   private val ProbeId = 0L
   private val TopK = 10
+  private val NearDupThreshold = 0.4
+  private val IvfCells = 16
+  private val IvfProbes = 12 // random 64-d data clusters weakly; recall@top-10 needs wide probing
 
-  /** embeddings with double-cast array + precomputed L2 norm. */
-  private def withNorm(spark: SparkSession, sfDir: String): DataFrame =
+  /** embeddings as double arrays: (vec_id, v). */
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+    CosineSimilarity.register(spark)
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+  }
 
-  /** Exact cosine of every row vs the probe row; (vec_id, cos_sim
-    * DOUBLE un-rounded). */
+  /** Exact cosine of every row vs the probe row (native expression;
+    * probe broadcast). */
   private def cosineToProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = withNorm(spark, sfDir)
-    val probe = e.filter(col("vec_id") === ProbeId)
-      .select(col("v").as("pv"), col("nrm").as("pn"))
+    val e = vecs(spark, sfDir)
+    val probe = e.filter(col("vec_id") === ProbeId).select(col("v").as("pv"))
     e.filter(col("vec_id") =!= ProbeId)
       .crossJoin(broadcast(probe))
-      .select(col("vec_id"),
-        (expr("aggregate(zip_with(v, pv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-          / (col("nrm") * col("pn"))).as("cos_sim"))
+      .select(col("vec_id"), expr("graft_cosine(v, pv)").as("cos_sim"))
   }
+
+  private def topK(scored: DataFrame): DataFrame =
+    scored.orderBy(col("cos_sim").desc)
+      .limit(TopK)
+      .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+
+  /** L2-normalized ml vectors for the bucketing models. */
+  private def normalized(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir)
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      .select(col("vec_id"),
+        array_to_vector(expr("transform(v, x -> x / nrm)")).as("features"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_cosine_topk" -> ((spark, sfDir) =>
-      cosineToProbe(spark, sfDir)
-        .orderBy(col("cos_sim").desc)
-        .limit(TopK)
-        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))),
+      topK(cosineToProbe(spark, sfDir))),
     "sim2_ann_lsh" -> ((spark, sfDir) => {
-      val e = withNorm(spark, sfDir)
-        .select(col("vec_id"),
-          array_to_vector(expr("transform(v, x -> x / nrm)")).as("features"))
+      val e = normalized(spark, sfDir)
       val lsh = new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(15).setBucketLength(1.0).setSeed(42)
@@ -78,31 +90,70 @@ object Similarity {
       val candidateIds = model
         .approxNearestNeighbors(e.filter(col("vec_id") =!= ProbeId), probeVec, TopK)
         .select(col("vec_id"))
-      // exact re-score of the candidate set only (same kernel as sim1)
-      cosineToProbe(spark, sfDir)
-        .join(broadcast(candidateIds), "vec_id")
-        .orderBy(col("cos_sim").desc)
-        .limit(TopK)
-        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+      topK(cosineToProbe(spark, sfDir).join(broadcast(candidateIds), "vec_id"))
+    }),
+    "sim3_ann_ivf" -> ((spark, sfDir) => {
+      val e = normalized(spark, sfDir)
+      val km = new KMeans().setK(IvfCells).setSeed(7)
+        .setFeaturesCol("features").setPredictionCol("cell")
+      val model = km.fit(e)
+      val assigned = model.transform(e).select(col("vec_id"), col("cell"))
+      val probeVec = e.filter(col("vec_id") === ProbeId)
+        .select(col("features")).head().getAs[org.apache.spark.ml.linalg.Vector](0)
+      // nprobe nearest cells to the probe (centroids are tiny —
+      // driver-side math, exactly like a real IVF index header)
+      val probeCells = model.clusterCenters.zipWithIndex
+        .map { case (c, i) =>
+          (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, probeVec))
+        }
+        .sortBy(_._2).take(IvfProbes).map(_._1).toSeq
+      val candidateIds = assigned
+        .filter(col("cell").isin(probeCells: _*) && col("vec_id") =!= ProbeId)
+        .select(col("vec_id"))
+      topK(cosineToProbe(spark, sfDir).join(broadcast(candidateIds), "vec_id"))
+    }),
+    // embedding-cosine near-dup: exact all-pairs ground truth (the
+    // scale path blocks by LSH band / IVF cell first — see dd3)
+    "dd5_embed_neardup" -> ((spark, sfDir) => {
+      val e = vecs(spark, sfDir)
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      a.crossJoin(broadcast(b))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("graft_cosine(va, vb)").as("cos_sim"))
+        .filter(col("cos_sim") >= NearDupThreshold)
+        .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
     })
   )
 
+  private val cosSql =
+    """list_dot_product(e.embedding, p.embedding) /
+      |    (sqrt(list_dot_product(e.embedding, e.embedding)) *
+      |     sqrt(list_dot_product(p.embedding, p.embedding)))""".stripMargin
+
   private val topkOracleSql =
-    s"""SELECT e.vec_id,
-       |  round(list_dot_product(e.embedding, p.embedding) /
-       |    (sqrt(list_dot_product(e.embedding, e.embedding)) *
-       |     sqrt(list_dot_product(p.embedding, p.embedding))), 4) AS cos_sim
+    s"""SELECT e.vec_id, round($cosSql, 4) AS cos_sim
        |FROM embeddings e,
        |  (SELECT embedding FROM embeddings WHERE vec_id = $ProbeId) p
        |WHERE e.vec_id <> $ProbeId
-       |ORDER BY list_dot_product(e.embedding, p.embedding) /
-       |    (sqrt(list_dot_product(e.embedding, e.embedding)) *
-       |     sqrt(list_dot_product(p.embedding, p.embedding))) DESC
+       |ORDER BY $cosSql DESC
        |LIMIT $TopK""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim1_cosine_topk" -> topkOracleSql,
-    // approximate path must equal the exact path at test scale
-    "sim2_ann_lsh" -> topkOracleSql
+    // both approximate paths must equal the exact path at test scale
+    "sim2_ann_lsh" -> topkOracleSql,
+    "sim3_ann_ivf" -> topkOracleSql,
+    "dd5_embed_neardup" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(list_dot_product(a.embedding, b.embedding) /
+         |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+         |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id
+         |  AND list_dot_product(a.embedding, b.embedding) /
+         |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+         |     sqrt(list_dot_product(b.embedding, b.embedding))) >= $NearDupThreshold""".stripMargin
   )
 }

@@ -61,6 +61,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(!rows.exists(_.getLong(0) == 0L))
   }
 
+  test("IVF ANN equals exact brute-force cosine top-k") {
+    val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val ivf = SparkEntry.queries("sim3_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(ivf == exact)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = SparkEntry.queries("dd5_embed_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, b, c) => a < b && c >= 0.4 && c <= 1.0 })
+  }
+
+  test("native graft_cosine matches the composable HOF formulation") {
+    graft.functions.CosineSimilarity.register(spark)
+    val both = Tables.load(spark, sf, "embeddings").limit(50)
+      .select(
+        expr("graft_cosine(embedding, embedding)").as("self"),
+        (expr("aggregate(zip_with(transform(embedding, x -> cast(x as double)), " +
+          "transform(embedding, x -> cast(x as double)), (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (sqrt(expr("aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, x) -> a + x * x)")) *
+            sqrt(expr("aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, x) -> a + x * x)"))))
+          .as("hof"))
+      .collect()
+    both.foreach { r => assert(r.getDouble(0) == r.getDouble(1)) } // bit-identical
+    both.foreach { r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12) }
+  }
+
+  test("graft_cosine resolves in SQL and rejects bad arity/types") {
+    graft.functions.CosineSimilarity.register(spark)
+    val v = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c")
+      .head().getDouble(0)
+    assert(v == 0.0)
+    val v2 = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(v2 - 1.0) < 1e-12)
+    // extensions entry point constructs the same injection without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.engine.GraftExtensions().apply(ext)
+  }
+
   test("lang-id partitions all docs") {
     val total = Tables.load(spark, sf, "documents").count()
     val byLang = SparkEntry.queries("txt2_lang_id")(spark, sf).collect()
