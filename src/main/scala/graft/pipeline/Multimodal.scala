@@ -68,6 +68,52 @@ object Multimodal {
     mediaRecords(spark, sfDir).mapPartitions(decodeStub)
   }
 
+  /** One sampled frame of a media blob (the video-style schema). */
+  case class MediaFrame(media_id: Long, source: String, frame_idx: Int,
+                        frame: Array[Byte])
+
+  /** STUB frame sampler: splits the blob into `n` contiguous chunks
+    * (a real implementation decodes and samples actual frames). The
+    * chunks partition the payload exactly, so byte totals are
+    * conserved — which is what the oracle checks. */
+  private def frameSampleStub(n: Int)(it: Iterator[MediaRecord]): Iterator[MediaFrame] =
+    it.flatMap { r =>
+      val len = r.content.length
+      (0 until n).iterator.map { i =>
+        val from = (len.toLong * i / n).toInt
+        val until = (len.toLong * (i + 1) / n).toInt
+        MediaFrame(r.media_id, r.source, i, java.util.Arrays.copyOfRange(r.content, from, until))
+      }
+    }
+
+  /** STUB resize: deterministic stride subsampling of the payload to
+    * at most `target` bytes (a real implementation rescales pixels).
+    */
+  private def resizeStub(target: Int)(it: Iterator[MediaRecord]): Iterator[MediaRecord] =
+    it.map { r =>
+      if (r.content.length <= target) r
+      else {
+        val stride = r.content.length.toDouble / target
+        val out = new Array[Byte](target)
+        var i = 0
+        while (i < target) { out(i) = r.content((i * stride).toInt); i += 1 }
+        r.copy(content = out)
+      }
+    }
+
+  private val FramesPerMedia = 4
+  private val ResizeTarget = 64
+
+  private[graft] def mediaFrames(spark: SparkSession, sfDir: String): Dataset[MediaFrame] = {
+    import spark.implicits._
+    mediaRecords(spark, sfDir).mapPartitions(frameSampleStub(FramesPerMedia))
+  }
+
+  private[graft] def resizedMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaRecords(spark, sfDir).mapPartitions(resizeStub(ResizeTarget))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // byte accounting through the BINARY + mapPartitions path; the
     // aggregate is what the oracle can check (dims/checksum are
@@ -76,13 +122,25 @@ object Multimodal {
       mediaFeatures(spark, sfDir).toDF()
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_media"),
-          sum(col("n_bytes")).cast("long").as("total_bytes")))
+          sum(col("n_bytes")).cast("long").as("total_bytes"))),
+    // frame sampling conserves bytes: n frames per media, chunk sizes
+    // summing to the original payload — the oracle-checkable property
+    // of the (stubbed) video path
+    "mm2_frame_stats" -> ((spark, sfDir) =>
+      mediaFrames(spark, sfDir).toDF()
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(octet_length(col("frame"))).cast("long").as("frame_bytes")))
   )
 
   val oracle: Map[String, String] = Map(
     "mm1_media_bytes" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_media,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY source""".stripMargin
+        |FROM documents GROUP BY source""".stripMargin,
+    "mm2_frame_stats" ->
+      s"""SELECT source, CAST(count(*) * $FramesPerMedia AS BIGINT) AS n_frames,
+         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS frame_bytes
+         |FROM documents GROUP BY source""".stripMargin
   )
 }

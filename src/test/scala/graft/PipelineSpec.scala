@@ -126,6 +126,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.forall(f => f.width >= 1 && f.height >= 1))
   }
 
+  test("frame sampling partitions payloads; resize bounds them") {
+    val frames = Multimodal.mediaFrames(spark, sf).collect()
+    val perMedia = frames.groupBy(_.media_id)
+    assert(perMedia.values.forall(_.length == 4))
+    // frames partition the payload byte-exactly
+    val totalFrameBytes = frames.map(_.frame.length.toLong).sum
+    val totalBytes = Multimodal.mediaRecords(spark, sf).collect()
+      .map(_.content.length.toLong).sum
+    assert(totalFrameBytes == totalBytes)
+    val resized = Multimodal.resizedMedia(spark, sf).collect()
+    assert(resized.forall(_.content.length <= 64))
+  }
+
   test("exact dedup counts unique within source") {
     val rows = SparkEntry.queries("dd1_exact_dedup")(spark, sf).collect()
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
