@@ -122,6 +122,48 @@ final class Adam(paramGrads: Seq[(Array[Double], Array[Double])],
   }
 }
 
+/** Pointwise regression model (M10, `model.py:128-197`): MSE on the
+  * normalized latency (or a rank-score target, M13), Adam, batch 64.
+  * The pairwise model below is the shipped mode; pointwise backs the
+  * rank-score training variants (`lero_train.py:108-135`). */
+final class LeroModelPointWise(val featureDim: Int, seed: Long = 17L) {
+  val net = new LeroNet(featureDim, seed)
+  private val shuffleRng = new scala.util.Random(seed ^ 0x9019)
+
+  def fit(x: IndexedSeq[FeatTree], y: IndexedSeq[Double],
+          epochs: Int = 100, batchSize: Int = 64): Seq[Double] = {
+    require(x.length == y.length && x.nonEmpty)
+    val prepared = x.map(t => TreeConv.prepareTrees(Seq(t)))
+    val opt = new Adam(net.paramGrads)
+    val losses = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 0 until epochs) {
+      val order = shuffleRng.shuffle(x.indices.toVector)
+      var lossAccum = 0.0; var nBatches = 0
+      order.grouped(batchSize).foreach { batch =>
+        net.zeroGrad()
+        var batchLoss = 0.0
+        batch.foreach { i =>
+          val (s, _, cache) = net.forward(prepared(i).nodes(0), prepared(i).idxes(0))
+          val diff = s - y(i)
+          batchLoss += diff * diff
+          net.backward(2.0 * diff / batch.length, cache) // d MSE / d s
+        }
+        opt.step()
+        lossAccum += batchLoss / batch.length
+        nBatches += 1
+      }
+      losses += lossAccum / math.max(1, nBatches)
+    }
+    losses.toSeq
+  }
+
+  def predict(trees: Seq[FeatTree]): Array[Double] =
+    trees.map { t =>
+      val p = TreeConv.prepareTrees(Seq(t))
+      net.forward(p.nodes(0), p.idxes(0))._1
+    }.toArray
+}
+
 /** Pairwise comparator model (M11/M12): fit on (plan1, plan2, y1, y2)
   * tuples, predict scores, select argmin. */
 final class LeroModelPairWise(val featureDim: Int, seed: Long = 17L) {

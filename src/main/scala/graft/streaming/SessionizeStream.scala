@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.engine.Tables
+
+/** Stateful streaming sessionization via `flatMapGroupsWithState` —
+  * the custom-state Structured Streaming shape (per-user session
+  * windows with a 30-minute inactivity gap, emitted when the
+  * event-time watermark closes them).
+  *
+  * This is the streaming twin of the batch `evt3_sessions` query
+  * (window lag() over user_id): same gap rule, incremental state
+  * instead of a sort — the form that runs on an unbounded stream at
+  * scale, with state bounded per active user.
+  */
+object SessionizeStream {
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+  case class SessionOut(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Per-user state update: extend the open session or close+emit
+    * finished ones. Event-time timeout closes idle sessions once the
+    * watermark passes lastSeen + gap. */
+  def updateSessions(userId: Long, events: Iterator[Event],
+                     state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(SessionOut(userId, s.start, s.lastSeen, s.nEvents))
+    }
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var out = List.empty[SessionOut]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastSeen <= GapMs =>
+          cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t), nEvents = s.nEvents + 1))
+        case Some(s) =>
+          out ::= SessionOut(userId, s.start, s.lastSeen, s.nEvents)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.lastSeen + GapMs)
+    }
+    out.reverseIterator
+  }
+
+  /** Streaming sessionizer over an events directory (parquet file
+    * source, nanos ts like `Tables.load`). Emits CLOSED sessions. */
+  def sessions(spark: SparkSession, sfDir: String, eventsDir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val rawSchema = org.apache.spark.sql.types.StructType(schema.map { f =>
+      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f
+    })
+    spark.readStream.schema(rawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(updateSessions)
+  }
+}

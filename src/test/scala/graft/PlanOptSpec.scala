@@ -111,6 +111,23 @@ class PlanOptSpec extends AnyFunSuite {
     assert(model.selectBest(Seq(slow(), fast(), slow())) == 1)
   }
 
+  test("pointwise MSE training regresses toward targets (M10)") {
+    val rng = new scala.util.Random(5)
+    def fast() = node(Seq(0.1 + rng.nextDouble() * 0.05, 0.1),
+      leaf(0.1, 0.05), leaf(0.05, 0.1))
+    def slow() = node(Seq(0.9 + rng.nextDouble() * 0.05, 0.9),
+      node(Seq(0.8, 0.9), leaf(0.9, 0.8), leaf(0.8, 0.85)),
+      leaf(0.9, 0.95))
+    val n = 30
+    val x = IndexedSeq.fill(n)(slow()) ++ IndexedSeq.fill(n)(fast())
+    val y = IndexedSeq.fill(n)(0.9) ++ IndexedSeq.fill(n)(0.1)
+    val model = new LeroModelPointWise(2, seed = 37)
+    val losses = model.fit(x, y, epochs = 40, batchSize = 16)
+    assert(losses.last < losses.head)
+    val ps = model.predict(Seq(slow(), fast()))
+    assert(ps(0) > ps(1)) // higher predicted latency for the slow plan
+  }
+
   test("bayesian pairwise head trains and orders probabilities") {
     val rng = new scala.util.Random(5)
     def fast() = node(Seq(0.1 + rng.nextDouble() * 0.05, 0.1),

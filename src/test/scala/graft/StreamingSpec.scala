@@ -35,6 +35,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stateful streaming sessionization matches batch session counts") {
+    import graft.streaming.SessionizeStream
+    graft.engine.Tables.registerAll(spark, sf)
+    // batch truth: total sessions per user via the evt3 window-lag rule
+    // (no LIMIT — compare totals)
+    val batchTotal = spark.sql(
+      """SELECT CAST(count(*) AS BIGINT) FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            > INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS ns
+        |  FROM events) WHERE ns = 1""".stripMargin)
+      .head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("evt_sess_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = SessionizeStream.sessions(spark, sf, dir.toString)
+      .writeStream.format("memory").queryName("sess_stream_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT count(*), sum(n_events) FROM sess_stream_test").head()
+    val closedSessions = streamed.getLong(0)
+    // a single available-now pass closes all sessions whose gap has
+    // passed within the data's time range; the final open session per
+    // user stays in state. So: closed + (#users with an open session)
+    // == batch total. Open sessions per user <= 1.
+    val nUsers = spark.sql(
+      "SELECT count(DISTINCT user_id) FROM events").head().getLong(0)
+    assert(closedSessions >= batchTotal - nUsers && closedSessions <= batchTotal,
+      s"closed=$closedSessions batch=$batchTotal users=$nUsers")
+    assert(closedSessions > 0)
+  }
+
   test("sessionization counts are sane") {
     val rows = SparkEntry.queries("evt3_sessions")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
