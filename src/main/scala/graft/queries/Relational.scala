@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 
-/** Relational operator surface — SURVEY.md §2.1 (S1,S2,P1,F1–F8,J1–J3,
-  * A1–A3,O1,O2) mapped from the reference's STATS/JOB workload shapes
+/** Relational operator surface — SURVEY.md §2.1 (S1,S2,P1,F1–F8,J1,
+  * A1–A3,O1,O2) mapped from the reference's STATS/JOB workload shapes.
+  * J2 (physical join-variant steering) lives in [[JoinVariants]] and
+  * `planopt.Candidates`; J3 (Hash/Materialize) is implicit in Spark's
+  * HashedRelation build sides.
   * (ref: `/root/reference/data/test/stats_test_sql.txt`,
   * `imdb_test_sql.txt`, generators `create_sql.py`,
   * `generate_stats_sql.py`, `generate_imdb_sql.py`) onto the testdata
