@@ -34,24 +34,35 @@ object Bench {
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+    def timeAll(recordErrors: Boolean): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (recordErrors)
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    // primary (cold) pass — the round-over-round comparable number;
+    // second (warm) pass reports steady-state with codegen/JIT caches
+    // hot, which is what amortized cluster throughput looks like
+    val results = timeAll(recordErrors = true)
+    val warm = timeAll(recordErrors = false)
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val warmTotal = warm.map(_._2).sum
     val json =
       "{" +
         "\"metric\":\"total\",\"value\":" + f"$total%.3f" + "," +
-        "\"unit\":\"sec\",\"queries\":" + qs + "," +
+        "\"unit\":\"sec\",\"queries\":" + toJson(results) + "," +
+        "\"warm_total\":" + f"$warmTotal%.3f" + "," +
+        "\"queries_warm\":" + toJson(warm) + "," +
         "\"errors\":" + errJson + "," +
         "\"sf\":\"" + sfDir + "\"}"
     println(json)

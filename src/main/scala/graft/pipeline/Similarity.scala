@@ -94,8 +94,11 @@ object Similarity {
     }),
     "sim3_ann_ivf" -> ((spark, sfDir) => {
       val e = normalized(spark, sfDir)
-      val km = new KMeans().setK(IvfCells).setSeed(7)
+      val km = new KMeans().setK(IvfCells).setSeed(7).setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("cell")
+      // 5 iterations: a coarse quantizer doesn't need convergence —
+      // nprobe=12/16 leaves ample recall headroom and the fit is the
+      // whole per-run cost of the IVF path
       val model = km.fit(e)
       val assigned = model.transform(e).select(col("vec_id"), col("cell"))
       val probeVec = e.filter(col("vec_id") === ProbeId)
