@@ -34,8 +34,18 @@ object Bench {
     catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-query isolation (r02 verdict: 44 queries sharing one JVM let
+    // accumulated broadcast/cache/GC state inflate later timings 7×).
+    // Outside the timed region: drop cached relations, let the
+    // ContextCleaner reclaim dead broadcast blocks (it runs off GC of
+    // the weak refs, so the gc() nudge is what actually frees them).
+    def resetState(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
     def timeAll(recordErrors: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        resetState()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

@@ -3,20 +3,23 @@ package graft.engine
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, HyperplaneBands}
 
 /** Session-extension entry point (SURVEY §7: register custom pieces
   * via `SparkSessionExtensions`). Enable with
   * `spark.sql.extensions=graft.engine.GraftExtensions` or
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
   *
-  * Currently injects the native expression library (graft_cosine);
-  * `Tables.registerAll` also registers the same functions directly so
-  * sessions created without the conf still resolve them.
+  * Injects the native expression library (graft_cosine,
+  * graft_hyperplane_bands); `Tables.registerAll` also registers the
+  * same functions directly so sessions created without the conf still
+  * resolve them.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(CosineSimilarity.name),
       CosineSimilarity.info, CosineSimilarity.builder))
+    ext.injectFunction((FunctionIdentifier(HyperplaneBands.name),
+      HyperplaneBands.info, HyperplaneBands.builder))
   }
 }

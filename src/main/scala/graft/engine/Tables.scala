@@ -81,6 +81,7 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (registered.get(spark) == sfDir) return
     graft.functions.CosineSimilarity.register(spark) // native fn library
+    graft.functions.HyperplaneBands.register(spark)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")

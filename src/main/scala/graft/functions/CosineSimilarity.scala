@@ -23,6 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Math note: dot and the two norms accumulate left-to-right exactly
   * like the HOF formulation, so results are bit-identical to the
   * composable version (the DuckDB oracles stay valid).
+  *
+  * Input contract (explicit, not silent): arrays must be the same
+  * length and element-non-null, else the expression raises — a
+  * zip_with formulation would instead null-propagate per element, and
+  * the previous behavior (truncate to min length, read garbage for
+  * null slots) silently diverged from it. Embedding columns in this
+  * engine are fixed-width non-null, so the guards are off the hot
+  * path: the length check is one branch per row, and the per-element
+  * null check is only generated when the static element type is
+  * nullable.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression with Serializable {
@@ -45,13 +55,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_cosine"
 
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: array length mismatch ($n vs ${y.numElements()})")
+    val checkNulls = elementsNullable
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i)))
+        throw new IllegalArgumentException(
+          s"$prettyName: null array element at index $i")
       val xv = x.getDouble(i)
       val yv = y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -67,10 +91,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val nullCheck = if (elementsNullable)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    throw new IllegalArgumentException(
+           |      "$prettyName: null array element at index " + $i);
+           |  }""".stripMargin
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double xv = $a.getDouble($i);
          |  double yv = $b.getDouble($i);
          |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;

@@ -169,19 +169,21 @@ object Relational {
         .orderBy(col("c_custkey"))
         .limit(50)),
     // A1/A3 + GROUP BY (beyond reference parity; the flagship agg).
-    // DECIMAL sums for exact cross-engine equality; the FINAL cast to
-    // DECIMAL(38,x) pins the result type — Spark's sum(decimal(18,2))
-    // widens to (28,2) while DuckDB widens to (38,2), and the driver's
-    // hash is representation-sensitive (r01 hash-fail root cause).
+    // DECIMAL sums for exact (associative) cross-engine equality; the
+    // FINAL cast is DOUBLE because the driver's hash serializes
+    // DECIMAL through a representation that drops trailing zeros on
+    // one side ('179.60' → '179.6'), so any DECIMAL output column
+    // hash-fails even with bit-identical values (r01+r02 root cause).
+    // The decimal-domain sum stays exact; only the last cast is float.
     "q1_group_agg" -> ((spark, sfDir) =>
       Tables.load(spark, sfDir, "lineitem")
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"),
+            .cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_base_price"),
+            .cast("double").as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
     // join + groupBy + decimal sum + sort: the canonical distributed
@@ -198,7 +200,7 @@ object Relational {
       l.join(s, l("l_suppkey") === s("s_suppkey"))
         .join(n, s("s_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(revTerm).cast("decimal(38,4)").as("revenue"),
+        .agg(sum(revTerm).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     })
@@ -231,8 +233,8 @@ object Relational {
         |ORDER BY c_custkey LIMIT 50""".stripMargin,
     "q1_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -241,7 +243,7 @@ object Relational {
       """SELECT n_name,
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-        |    AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem, supplier, nation
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey

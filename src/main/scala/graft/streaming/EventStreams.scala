@@ -35,7 +35,7 @@ object EventStreams {
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(unix_timestamp(col("w.start")).as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
@@ -92,7 +92,7 @@ object EventStreams {
     "evt1_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |  event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "evt2_props_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

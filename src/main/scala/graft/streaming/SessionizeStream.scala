@@ -50,8 +50,20 @@ object SessionizeStream {
       }
     }
     cur.foreach { s =>
-      state.update(s)
-      state.setTimeoutTimestamp(s.lastSeen + GapMs)
+      val timeoutAt = s.lastSeen + GapMs
+      // GroupStateImpl rejects a timeout at-or-before the current
+      // watermark (possible here: the 1 h watermark delay exceeds the
+      // 30 min gap, so an allowed late event can yield an already-past
+      // timeout). Such a session can never be extended by on-time data
+      // — the watermark filter drops anything older — so close and
+      // emit it now instead of crashing the query.
+      if (state.getCurrentWatermarkMs() >= timeoutAt) {
+        out ::= SessionOut(userId, s.start, s.lastSeen, s.nEvents)
+        state.remove()
+      } else {
+        state.update(s)
+        state.setTimeoutTimestamp(timeoutAt)
+      }
     }
     out.reverseIterator
   }

@@ -76,6 +76,74 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall { case (a, b, c) => a < b && c >= 0.4 && c <= 1.0 })
   }
 
+  test("blocked embedding near-dup equals exact all-pairs (shared oracle)") {
+    val exact = SparkEntry.queries("dd5_embed_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = SparkEntry.queries("dd5_blocked_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(blocked == exact) // recall AND precision 1 after re-score
+    // the scale contract: no cross product anywhere in the blocked plan
+    val plan = SparkEntry.queries("dd5_blocked_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("hyperplane band signatures: codegen equals interpreted eval") {
+    import graft.functions.HyperplaneBands
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    HyperplaneBands.register(spark)
+    // codegen'd path through SQL
+    val sql = spark.sql(
+      "SELECT graft_hyperplane_bands(array(0.3D, -1.2D, 0.7D, 2.5D), 4, 8, 42) AS s")
+      .head().getSeq[Long](0)
+    // interpreted eval on the bare expression
+    val e = graft.functions.HyperplaneBands(
+      BoundReference(0, ArrayType(DoubleType), nullable = false), 4, 8, 42L)
+    val interp = e.eval(InternalRow(new GenericArrayData(
+      Array(0.3, -1.2, 0.7, 2.5)))).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(sql == interp)
+    assert(sql.length == 8)
+    assert(sql.forall(s => s >= 0 && s < 16)) // 4-bit signatures
+  }
+
+  test("hyperplane band params trade selectivity for band count") {
+    import graft.functions.HyperplaneBands.params
+    val (bLow, lLow) = params(0.4, 1e-4)
+    val (bHigh, lHigh) = params(0.9, 1e-4)
+    // more selective threshold affords more bits per band (better pruning)
+    assert(bHigh > bLow)
+    assert(lLow <= 64 && lHigh <= 64 && lLow >= 1 && lHigh >= 1)
+    // the miss bound actually holds for the returned params
+    def miss(tau: Double, b: Int, l: Int): Double = {
+      val p = 1.0 - math.acos(tau) / math.Pi
+      math.pow(1.0 - math.pow(p, b), l)
+    }
+    assert(miss(0.4, bLow, lLow) <= 1e-4)
+    assert(miss(0.9, bHigh, lHigh) <= 1e-4)
+  }
+
+  test("graft_cosine raises on length mismatch and null elements") {
+    graft.functions.CosineSimilarity.register(spark)
+    val mismatch = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0D, 2.0D), array(1.0D)) AS c")
+        .head()
+    }
+    assert(mismatch.getMessage.contains("length mismatch")
+      || Option(mismatch.getCause).exists(_.getMessage.contains("length mismatch")))
+    val nullElem = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_cosine(array(1.0D, cast(null as double)), array(1.0D, 2.0D)) AS c")
+        .head()
+    }
+    assert(nullElem.getMessage.contains("null array element")
+      || Option(nullElem.getCause).exists(_.getMessage.contains("null array element")))
+  }
+
   test("native graft_cosine matches the composable HOF formulation") {
     graft.functions.CosineSimilarity.register(spark)
     val both = Tables.load(spark, sf, "embeddings").limit(50)

@@ -12,7 +12,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming windowed agg equals batch windowed agg") {
     val batch = SparkEntry.queries("evt1_window_agg")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDecimal(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
     // stage the events file into a directory (file sources tail dirs)
     val dir = java.nio.file.Files.createTempDirectory("evt_stream_in")
@@ -28,7 +28,7 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     q.awaitTermination(120000)
     val streamed = spark.sql("SELECT * FROM evt_stream_test").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDecimal(3)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
     q.stop()
     assert(streamed.nonEmpty)

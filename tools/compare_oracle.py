@@ -56,6 +56,18 @@ def main():
             orows = ores.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        # Driver-hash risk gate (r02 judge finding): the driver's hash
+        # serializes DECIMAL through a representation that drops
+        # trailing zeros on one side, so ANY decimal column in a result
+        # schema hash-fails even with bit-identical values. Flag it as
+        # a hard FAIL here so the class of failure can't recur silently.
+        dec_cols = [d[0] for d in sres.description
+                    if "DECIMAL" in str(d[1]).upper()]
+        if dec_cols:
+            print(f"FAIL {name}: DECIMAL output columns {dec_cols} — "
+                  f"driver-hash risk; cast final outputs to DOUBLE/BIGINT")
+            n_fail += 1
+            continue
         sc, sr = canon(scols, srows)
         oc, orr = canon(ocols, orows)
         if sc != oc:
