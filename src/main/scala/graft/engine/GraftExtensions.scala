@@ -11,9 +11,11 @@ import graft.functions.{CosineSimilarity, HyperplaneBands}
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
   *
   * Injects the native expression library (graft_cosine,
-  * graft_hyperplane_bands); `Tables.registerAll` also registers the
-  * same functions directly so sessions created without the conf still
-  * resolve them.
+  * graft_hyperplane_bands) and the learned-plan-choice planner
+  * strategy ([[graft.plans.LearnedPlanStrategy]] — dormant until a
+  * model is installed via [[graft.plans.PlanChoice.install]]);
+  * `Tables.registerAll` also registers the same functions directly so
+  * sessions created without the conf still resolve them.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -21,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.info, CosineSimilarity.builder))
     ext.injectFunction((FunctionIdentifier(HyperplaneBands.name),
       HyperplaneBands.info, HyperplaneBands.builder))
+    ext.injectPlannerStrategy(session => graft.plans.LearnedPlanStrategy(session))
   }
 }

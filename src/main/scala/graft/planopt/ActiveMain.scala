@@ -9,13 +9,18 @@ import graft.workload.{Harvester, WorkloadGen}
 
 /** Active-learning driver — the "active" in active_query_optimizer,
   * end-to-end: from a pool of unlabeled queries, select WHICH to
-  * execute/label with the MinHash-LSH + greedy-k-center coreset
-  * (M16–M18) over model-derived query features, then compare against
-  * labeling a random subset of the same size.
+  * execute/label, comparing THREE acquisition arms at the same budget:
   *
-  * Mirrors the reference's intended flow (`coreset.py` consuming the
-  * 64-d intermediate features of `model.get_inter_fea`): query
-  * features here are the pooled 64-d tree-conv features of each
+  *  1. coreset — MinHash-LSH + greedy-k-center (M16–M18) over
+  *     model-derived query features (`coreset.py` consuming
+  *     `model.get_inter_fea`'s 64-d pooled features);
+  *  2. random — the control;
+  *  3. uncertainty — the Bayesian pairwise head (M15,
+  *     `Lero/model.py:361-520`): label the queries whose
+  *     candidate-pair outcome the seed model is LEAST certain about
+  *     (highest predictive variance σ² = exp(logvar)).
+  *
+  * Query features are the pooled 64-d tree-conv features of each
   * query's default candidate plan under a seed-trained model.
   *
   * Usage: runMain graft.planopt.ActiveMain [sfDir] [poolSize] [budget] [epochs]
@@ -34,7 +39,7 @@ object ActiveMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val log = new Pipelines.Logger(Some("results/r2_active/log.txt"))
+    val log = new Pipelines.Logger(Some("results/r3_active/log.txt"))
     Tables.registerAll(spark, sfDir)
 
     // pool + test workload (same generator/seed family as StableMain)
@@ -67,13 +72,14 @@ object ActiveMain {
     val seedLabeled = Pipelines.labelWorkload(spark, seedQ, log)
     val (fg0, m0) = Pipelines.train(seedLabeled, epochs = epochs / 2, seed = 53L)
 
+    // enumerate candidates once per unlabeled query (planning only)
+    val uCands = unlabeled.map { case (_, b) => Candidates.enumerate(spark, b) }
+
     // 64-d query features: pooled tree-conv feature of the DEFAULT
     // candidate plan under the seed model (get_inter_fea analog)
-    def queryFeature(build: SparkSession => DataFrame): Array[Double] = {
-      val plan = Candidates.enumerate(spark, build).head.plan
-      m0.interFeatures(Seq(fg0.transform(plan)))(0).toArray
+    val uFeats = uCands.map { cands =>
+      m0.interFeatures(Seq(fg0.transform(cands.head.plan)))(0).toArray
     }
-    val uFeats = unlabeled.map { case (_, b) => queryFeature(b) }
     val lFeats = seedLabeled.map(lq => {
       m0.interFeatures(Seq(fg0.transform(lq.plans.head)))(0).toArray
     })
@@ -102,16 +108,54 @@ object ActiveMain {
       spark, randomIdx.map(unlabeled), log)
     val (fgR, mR) = Pipelines.train(seedLabeled ++ randomLabeled, epochs, seed = 53L)
 
-    // evaluate both on the same held-out test set
+    // arm 3: uncertainty sampling via the Bayesian pairwise head
+    // (M15): train the heteroscedastic comparator on the seed labels,
+    // then label the queries whose first-vs-second candidate pair has
+    // the highest predictive variance (model.py:361-520 acquisition)
+    val bay = new BayesianModelPairWise(fg0.featureDim, seed = 53L)
+    locally {
+      val bx1 = scala.collection.mutable.ArrayBuffer[PlanFeatures.FeatTree]()
+      val bx2 = scala.collection.mutable.ArrayBuffer[PlanFeatures.FeatTree]()
+      val by1 = scala.collection.mutable.ArrayBuffer[Double]()
+      val by2 = scala.collection.mutable.ArrayBuffer[Double]()
+      seedLabeled.filter(_.plans.length >= 2).foreach { lq =>
+        val trees = lq.plans.map(fg0.transform)
+        val labels = lq.latenciesMs.map(fg0.normLabel)
+        Ranking.trainingPairs(trees.indices).foreach { case (i, j) =>
+          bx1 += trees(i); bx2 += trees(j); by1 += labels(i); by2 += labels(j)
+        }
+      }
+      bay.fit(bx1.toIndexedSeq, bx2.toIndexedSeq, by1.toIndexedSeq,
+        by2.toIndexedSeq, epochs = epochs / 2)
+    }
+    val variance = uCands.map { cands =>
+      if (cands.size >= 2)
+        bay.predictPair(fg0.transform(cands(0).plan), fg0.transform(cands(1).plan))._2
+      else 0.0 // single-plan query: nothing to disambiguate
+    }
+    val uncertainIdx = variance.zipWithIndex.sortBy(-_._1)
+      .map(_._2).take(picked.length)
+    log.info(s"uncertainty picked ${uncertainIdx.length}: " +
+      s"${uncertainIdx.sorted.mkString(",")} " +
+      f"(var range ${variance.min}%.4f..${variance.max}%.4f)")
+    val uncertainLabeled = Pipelines.labelWorkload(
+      spark, uncertainIdx.map(unlabeled), log)
+    val (fgU, mU) = Pipelines.train(seedLabeled ++ uncertainLabeled, epochs, seed = 53L)
+
+    // evaluate all arms on the same held-out test set
     val testLabeled = Pipelines.labelWorkload(spark, testQ, log)
     val resC = Pipelines.evaluate(fgC, mC, testLabeled)
     val resR = Pipelines.evaluate(fgR, mR, testLabeled)
-    Pipelines.writeLeroDict(resC, "results/r2_active/lero_dict_coreset.json")
-    Pipelines.writeLeroDict(resR, "results/r2_active/lero_dict_random.json")
-    log.info(s"CORESET: loss=${resC.rankingLoss} " +
+    val resU = Pipelines.evaluate(fgU, mU, testLabeled)
+    Pipelines.writeLeroDict(resC, "results/r3_active/lero_dict_coreset.json")
+    Pipelines.writeLeroDict(resR, "results/r3_active/lero_dict_random.json")
+    Pipelines.writeLeroDict(resU, "results/r3_active/lero_dict_uncertainty.json")
+    log.info(s"CORESET:     loss=${resC.rankingLoss} " +
       f"selected=${resC.selectedTotalSec}%.3fs default=${resC.defaultTotalSec}%.3fs")
-    log.info(s"RANDOM:  loss=${resR.rankingLoss} " +
+    log.info(s"RANDOM:      loss=${resR.rankingLoss} " +
       f"selected=${resR.selectedTotalSec}%.3fs default=${resR.defaultTotalSec}%.3fs")
+    log.info(s"UNCERTAINTY: loss=${resU.rankingLoss} " +
+      f"selected=${resU.selectedTotalSec}%.3fs default=${resU.defaultTotalSec}%.3fs")
     log.close()
     spark.stop()
   }

@@ -68,12 +68,13 @@ object Pipelines {
     * (`lero_train.py:76-106` flow: fit featurizer on all plans +
     * exec times, all-ordered-pairs per query, pairwise BCE). */
   def train(labeled: Seq[LabeledQuery], epochs: Int = 100,
-            seed: Long = 17L): (FeatureGenerator, LeroModelPairWise) = {
+            seed: Long = 17L,
+            opTypes: Vector[String] = PlanFeatures.OpTypes): (FeatureGenerator, LeroModelPairWise) = {
     val trainable = labeled.filter(_.plans.length >= 2)
     require(trainable.nonEmpty, "no query has >=2 candidates")
     val allPlans = trainable.flatMap(_.plans)
     val allTimes = trainable.flatMap(_.latenciesMs)
-    val fg = FeatureGenerator.fit(allPlans, allTimes)
+    val fg = FeatureGenerator.fit(allPlans, allTimes, opTypes)
     val x1 = scala.collection.mutable.ArrayBuffer[PlanFeatures.FeatTree]()
     val x2 = scala.collection.mutable.ArrayBuffer[PlanFeatures.FeatTree]()
     val y1 = scala.collection.mutable.ArrayBuffer[Double]()

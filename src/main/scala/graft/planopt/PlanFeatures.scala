@@ -43,6 +43,17 @@ object PlanFeatures {
     "ShuffleExchange", "BroadcastExchange", "AQEShuffleRead",
     "Window", "Expand", "Generate", "Union", "Coalesce")
 
+  /** The reference's PostgreSQL op vocabulary, verbatim
+    * (`feature.py:11-15` OP_TYPES) — used when featurizing the
+    * reference's committed EXPLAIN-JSON corpus so the comparator is
+    * evaluated under the exact featurization the golden numbers used. */
+  val PgOpTypes: Vector[String] = Vector(
+    UnknownOp,
+    "Hash", "Materialize", "Sort", "Aggregate", "Incremental Sort", "Limit",
+    "Seq Scan", "Index Scan", "Index Only Scan", "Bitmap Heap Scan",
+    "Nested Loop", "Hash Join", "Merge Join",
+    "Bitmap Index Scan")
+
   /** Engine-agnostic plan-tree IR (what `fit`/`transform` consume —
     * built from a live SparkPlan by [[fromSparkPlan]] or synthesized
     * in tests). `rowsEst` is the optimizer's row estimate (PG "Plan
@@ -78,16 +89,20 @@ object PlanFeatures {
   }
 
   /** Fitted featurizer: normalizer + table vocabulary (M1/M2).
-    * Feature dim = |OpTypes| + (|tables|+1) + 2. */
-  final class FeatureGenerator private (val normalizer: Normalizer,
-                                        val inputRelations: Vector[String]) {
+    * Feature dim = |opTypes| + (|tables|+1) + 2. The op vocabulary is
+    * Spark's by default; the PG-corpus importer fits with
+    * [[PgOpTypes]] instead. */
+  final class FeatureGenerator private[PlanFeatures] (
+      val normalizer: Normalizer,
+      val inputRelations: Vector[String],
+      val opTypes: Vector[String]) {
 
-    val featureDim: Int = OpTypes.length + inputRelations.length + 1 + 2
+    val featureDim: Int = opTypes.length + inputRelations.length + 1 + 2
 
     private def opOneHot(op: String): Array[Double] = {
-      val arr = new Array[Double](OpTypes.length)
-      val i = OpTypes.indexOf(op)
-      arr(if (i >= 0) i else OpTypes.indexOf(UnknownOp)) = 1.0
+      val arr = new Array[Double](opTypes.length)
+      val i = opTypes.indexOf(op)
+      arr(if (i >= 0) i else opTypes.indexOf(UnknownOp)) = 1.0
       arr
     }
 
@@ -146,7 +161,8 @@ object PlanFeatures {
   object FeatureGenerator {
     /** M1: fit over a plan corpus (+ optional per-tree execution
       * times in ms). Mirrors `feature.py:33-93`. */
-    def fit(trees: Seq[PlanNode], execTimesMs: Seq[Double] = Nil): FeatureGenerator = {
+    def fit(trees: Seq[PlanNode], execTimesMs: Seq[Double] = Nil,
+            opTypes: Vector[String] = OpTypes): FeatureGenerator = {
       val allNodes = trees.flatMap(_.allNodes)
       require(allNodes.nonEmpty, "cannot fit FeatureGenerator on empty corpus")
       val logRows = allNodes.map(n => math.log(n.rowsEst + 1))
@@ -160,7 +176,7 @@ object PlanFeatures {
       }
       // guard degenerate min==max (single-plan corpora in tests)
       maxs = maxs.map { case (k, v) => k -> (if (v == mins(k)) v + 1.0 else v) }
-      new FeatureGenerator(Normalizer(mins, maxs), rels)
+      new FeatureGenerator(Normalizer(mins, maxs), rels, opTypes)
     }
   }
 

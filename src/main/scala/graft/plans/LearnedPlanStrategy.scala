@@ -1,0 +1,123 @@
+package graft.plans
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ReturnAnswer}
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan, SparkStrategy}
+
+import graft.planopt.{Candidates, LeroModelPairWise, PlanFeatures}
+
+/** In-engine learned plan choice (SURVEY §7.4; selection semantics of
+  * the reference's test-time argmin, `Lero/lero_test.py:97`): a
+  * planner `SparkStrategy` injected via
+  * `spark.sql.extensions=graft.engine.GraftExtensions` that makes a
+  * session *transparently* execute the model-chosen physical variant —
+  * the user writes ordinary DataFrame/SQL code and the learned
+  * comparator picks the plan.
+  *
+  * How it works: extra planning strategies run BEFORE Catalyst's
+  * built-ins, so for a matching root plan (contains a join, model
+  * installed) this strategy re-plans the query under the
+  * [[Candidates.knobGrid]] knob sweep (nested `QueryExecution`s with a
+  * re-entrancy guard — planning only, no data touched), dedupes by
+  * canonical plan string, featurizes each candidate, scores them with
+  * the pairwise comparator, and returns the argmin candidate's
+  * physical plan. Returning a fully-planned tree from a strategy is
+  * the supported way to take over whole-query planning (no
+  * `planLater` placeholders remain, so built-in strategies never
+  * fire). The outer `QueryExecution` still applies its normal
+  * preparations (EnsureRequirements, codegen collapse) exactly once,
+  * on the nested UNPREPARED plan.
+  *
+  * Scale note: the sweep costs `|grid|` driver-side plannings per
+  * query — milliseconds against catalog stats, independent of data
+  * size; nothing here touches executors until the chosen plan runs.
+  * AQE can still refine the chosen plan's shuffles at runtime (its
+  * runtime re-plan composes with — and can override — the static
+  * choice; disable AQE for a strictly pinned plan, as the labeling
+  * pipeline does).
+  */
+object PlanChoice {
+
+  /** Session conf kill-switch; the strategy is active iff a model is
+    * installed AND this is not "false". */
+  val EnabledKey = "spark.graft.planChoice.enabled"
+
+  /** What the strategy decided for the last matching query —
+    * observability for specs and the E2E logs. */
+  final case class Choice(knobLabel: String, nCandidates: Int,
+                          canonical: String, scores: Seq[Double])
+
+  @volatile private var installed: Option[(LeroModelPairWise, PlanFeatures.FeatureGenerator)] = None
+  val lastChoice = new AtomicReference[Option[Choice]](None)
+
+  // guards against self-recursion while the strategy replans the same
+  // query under swept knobs (nested planning uses the same session
+  // planner, hence the same strategy instance)
+  private[plans] val replanning: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Install the trained comparator + featurizer (JVM-global, like a
+    * deployed model artifact). Sessions with GraftExtensions start
+    * routing matching queries through it immediately. */
+  def install(model: LeroModelPairWise, gen: PlanFeatures.FeatureGenerator): Unit = {
+    installed = Some((model, gen))
+    lastChoice.set(None)
+  }
+
+  def uninstall(): Unit = { installed = None }
+
+  def current: Option[(LeroModelPairWise, PlanFeatures.FeatureGenerator)] = installed
+}
+
+case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = {
+    val modelOpt = PlanChoice.current
+    val enabled = modelOpt.isDefined &&
+      session.conf.get(PlanChoice.EnabledKey, "true") != "false" &&
+      !PlanChoice.replanning.get()
+    // fire only for plans the knob sweep can actually vary (joins);
+    // the root is always offered to strategies first, so a hit here
+    // plans the whole query and fragments never reach us
+    if (!enabled || !plan.exists(_.isInstanceOf[Join])) return Nil
+
+    val (model, gen) = modelOpt.get
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val query = plan match { // ReturnAnswer is a planning-only marker
+      case ReturnAnswer(child) => child
+      case p => p
+    }
+    PlanChoice.replanning.set(true)
+    try {
+      // enumerate: nested planning under each knob assignment (same
+      // sweep as Candidates.enumerate, but from a LogicalPlan instead
+      // of a DataFrame). Keep the UNPREPARED sparkPlan to hand back to
+      // the outer planner; featurize the prepared executedPlan so
+      // features match what the model was trained on.
+      val seen = scala.collection.mutable.LinkedHashMap[String, (SparkPlan, PlanFeatures.PlanNode, String)]()
+      Candidates.knobGrid.foreach { knobs =>
+        Candidates.withConfs(session, knobs.confs) {
+          val qe = new QueryExecution(classic, query)
+          val canonical = qe.executedPlan.canonicalized.toString
+            .replaceAll("plan_id=\\d+", "plan_id=*")
+          if (!seen.contains(canonical)) {
+            seen(canonical) = (qe.sparkPlan,
+              PlanFeatures.fromSparkPlan(qe.executedPlan), knobs.label)
+          }
+        }
+      }
+      val cands = seen.values.toSeq
+      if (cands.isEmpty) Nil
+      else {
+        val scores = model.predict(cands.map(c => gen.transform(c._2)))
+        val bestIdx = scores.indices.minBy(scores)
+        val (bestPlan, _, label) = cands(bestIdx)
+        PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
+          label, cands.size, seen.keys.toSeq(bestIdx), scores.toSeq)))
+        Seq(bestPlan)
+      }
+    } finally PlanChoice.replanning.set(false)
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.planopt.{Candidates, LeroModelPairWise, PlanFeatures}
+import graft.plans.PlanChoice
+import graft.queries.Relational
+
+/** In-engine learned plan choice (SURVEY §7.4): a session built with
+  * GraftExtensions must TRANSPARENTLY execute the physical variant the
+  * pairwise comparator scores best — same user code, model-chosen
+  * plan — and the results must equal the base session's. */
+class PlannerInjectionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** A fresh session wired through GraftExtensions on the shared
+    * SparkContext (builder path a user would configure with
+    * `spark.sql.extensions=graft.engine.GraftExtensions`). */
+  private def withExtensionSession[T](body: SparkSession => T): T = {
+    spark // force base session (and its SparkContext) first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // pin plans for deterministic assertions (AQE may re-plan)
+        .config("spark.sql.adaptive.enabled", "false")
+        .withExtensions(new graft.engine.GraftExtensions)
+        .getOrCreate()
+      try body(s2)
+      finally {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("extension session executes the model-chosen physical variant") {
+    // train-side artifacts from the BASE session (no extensions — the
+    // strategy must not fire during enumeration)
+    val build = (s: SparkSession) => Relational.defs("j1_join_2way")(s, sf)
+    val cands = Candidates.enumerate(spark, build)
+    assert(cands.size >= 2, "need plan diversity for a meaningful choice")
+    val gen = PlanFeatures.FeatureGenerator.fit(cands.map(_.plan))
+    val model = new LeroModelPairWise(gen.featureDim, seed = 29)
+    val baseResult = build(spark).collect()(0).getLong(0)
+
+    PlanChoice.install(model, gen)
+    try withExtensionSession { s2 =>
+      graft.engine.Tables.registerAll(s2, sf)
+      PlanChoice.lastChoice.set(None)
+      val df = Relational.defs("j1_join_2way")(s2, sf)
+      val got = df.collect()(0).getLong(0)
+      // 1) transparent correctness: same result as the base session
+      assert(got == baseResult)
+      // 2) the strategy actually fired and scored multiple candidates
+      val choice = PlanChoice.lastChoice.get()
+      assert(choice.isDefined, "LearnedPlanStrategy never fired")
+      assert(choice.get.nCandidates >= 2)
+      assert(choice.get.scores.size == choice.get.nCandidates)
+      // 3) the EXECUTED plan is the argmin candidate, provably: its
+      // canonical form equals the recorded chosen canonical
+      val executedCanonical = df.queryExecution.executedPlan
+        .canonicalized.toString.replaceAll("plan_id=\\d+", "plan_id=*")
+      assert(executedCanonical == choice.get.canonical,
+        s"executed plan is not the chosen candidate:\n$executedCanonical\nvs\n${choice.get.canonical}")
+      // 4) argmin semantics (lero_test.py:97): chosen index minimizes score
+      val scores = choice.get.scores
+      assert(scores.indices.minBy(scores) ==
+        scores.indexOf(scores.min))
+    } finally PlanChoice.uninstall()
+  }
+
+  test("strategy is dormant without an installed model") {
+    PlanChoice.uninstall()
+    withExtensionSession { s2 =>
+      graft.engine.Tables.registerAll(s2, sf)
+      PlanChoice.lastChoice.set(None)
+      val n = Relational.defs("j1_join_2way")(s2, sf).collect()(0).getLong(0)
+      assert(n > 0)
+      assert(PlanChoice.lastChoice.get().isEmpty, "strategy fired with no model")
+    }
+  }
+
+  test("kill-switch conf disables routing even with a model installed") {
+    val build = (s: SparkSession) => Relational.defs("j1_join_2way")(s, sf)
+    val cands = Candidates.enumerate(spark, build)
+    val gen = PlanFeatures.FeatureGenerator.fit(cands.map(_.plan))
+    PlanChoice.install(new LeroModelPairWise(gen.featureDim, seed = 3), gen)
+    try withExtensionSession { s2 =>
+      graft.engine.Tables.registerAll(s2, sf)
+      s2.conf.set(PlanChoice.EnabledKey, "false")
+      PlanChoice.lastChoice.set(None)
+      val n = Relational.defs("j1_join_2way")(s2, sf).collect()(0).getLong(0)
+      assert(n > 0)
+      assert(PlanChoice.lastChoice.get().isEmpty, "kill-switch ignored")
+    } finally PlanChoice.uninstall()
+  }
+
+  test("AQE cost evaluator: heuristic without model, learned with") {
+    import org.apache.spark.sql.execution.adaptive.SimpleCost
+    PlanChoice.uninstall()
+    val ev = new graft.plans.GraftCostEvaluator
+    // force a shuffling plan (SMJ) so the heuristic cost is nonzero
+    val plan = Candidates.withConfs(spark, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")) {
+      Relational.defs("j1_join_2way")(spark, sf).queryExecution.executedPlan
+    }
+    val heuristic = ev.evaluateCost(plan)
+    assert(heuristic.isInstanceOf[SimpleCost])
+    assert(heuristic.asInstanceOf[SimpleCost].value > 0, "SMJ plan must count shuffles")
+    // install a model: cost becomes the (deterministic) model score
+    val cands = Candidates.enumerate(spark,
+      s => Relational.defs("j1_join_2way")(s, sf))
+    val gen = PlanFeatures.FeatureGenerator.fit(cands.map(_.plan))
+    val model = new LeroModelPairWise(gen.featureDim, seed = 11)
+    PlanChoice.install(model, gen)
+    try {
+      val learned = ev.evaluateCost(plan).asInstanceOf[SimpleCost].value
+      val expected = (model.predict(Seq(gen.transform(
+        PlanFeatures.fromSparkPlan(plan)))).head * 1e6).toLong
+      assert(learned == expected)
+      assert(ev.evaluateCost(plan).asInstanceOf[SimpleCost].value == learned,
+        "deterministic")
+    } finally PlanChoice.uninstall()
+  }
+
+  test("AQE session with the custom cost evaluator returns correct results") {
+    PlanChoice.uninstall()
+    val base = Relational.defs("j1_join_2way")(spark, sf).collect()(0).getLong(0)
+    val got = Candidates.withConfs(spark, Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceApply" -> "true",
+      "spark.sql.adaptive.customCostEvaluatorClass" ->
+        "graft.plans.GraftCostEvaluator")) {
+      Relational.defs("j1_join_2way")(spark, sf).collect()(0).getLong(0)
+    }
+    assert(got == base)
+  }
+
+  test("non-join queries bypass the strategy") {
+    val build = (s: SparkSession) => Relational.defs("j1_join_2way")(s, sf)
+    val cands = Candidates.enumerate(spark, build)
+    val gen = PlanFeatures.FeatureGenerator.fit(cands.map(_.plan))
+    PlanChoice.install(new LeroModelPairWise(gen.featureDim, seed = 5), gen)
+    try withExtensionSession { s2 =>
+      graft.engine.Tables.registerAll(s2, sf)
+      PlanChoice.lastChoice.set(None)
+      val n = Relational.defs("s1_full_scan_count")(s2, sf).collect()(0).getLong(0)
+      assert(n > 0)
+      assert(PlanChoice.lastChoice.get().isEmpty, "fired on a scan-only query")
+    } finally PlanChoice.uninstall()
+  }
+}
