@@ -72,6 +72,91 @@ final class LeroNet(val inputFeatureDim: Int, seed: Long = 17L) {
     conv1.backward(dC1, cache.cc1) // dNodes discarded (inputs are constants)
   }
 
+  /** Batched forward (training hot path): the three conv layers run
+    * as ONE gemm per layer over the whole batch's stacked gather rows
+    * (`ConvLayer.forwardBatch`); the per-tree pieces (layer norm,
+    * pooling, FCs — all O(K·C) with no matmul) stay per-tree, so
+    * results equal the per-tree `forward` to BLAS rounding. */
+  def forwardBatch(nodesArr: Array[DenseMatrix[Double]], idxesArr: Array[Array[Int]])
+  : (Array[Double], Array[DenseVector[Double]], LeroNet.BatchCache) = {
+    val nT = nodesArr.length
+    val (c1s, bc1) = conv1.forwardBatch(nodesArr, idxesArr)
+    val n1s = new Array[DenseMatrix[Double]](nT)
+    val ln1s = new Array[LNCache](nT)
+    val a1s = new Array[DenseMatrix[Double]](nT)
+    var i = 0
+    while (i < nT) {
+      val (n1, ln1) = LayerNorm.forward(c1s(i))
+      n1s(i) = n1; ln1s(i) = ln1; a1s(i) = LeakyReLU.forward(n1)
+      i += 1
+    }
+    val (c2s, bc2) = conv2.forwardBatch(a1s, idxesArr)
+    val n2s = new Array[DenseMatrix[Double]](nT)
+    val ln2s = new Array[LNCache](nT)
+    val a2s = new Array[DenseMatrix[Double]](nT)
+    i = 0
+    while (i < nT) {
+      val (n2, ln2) = LayerNorm.forward(c2s(i))
+      n2s(i) = n2; ln2s(i) = ln2; a2s(i) = LeakyReLU.forward(n2)
+      i += 1
+    }
+    val (c3s, bc3) = conv3.forwardBatch(a2s, idxesArr)
+    val ln3s = new Array[LNCache](nT)
+    val argmaxs = new Array[Array[Int]](nT)
+    val n3rows = new Array[Int](nT)
+    val pooleds = new Array[DenseVector[Double]](nT)
+    val h1s = new Array[DenseVector[Double]](nT)
+    val a3s = new Array[DenseVector[Double]](nT)
+    val scores = new Array[Double](nT)
+    i = 0
+    while (i < nT) {
+      val (n3, ln3) = LayerNorm.forward(c3s(i))
+      val (pooled, argmax) = DynamicPooling.forward(n3)
+      val h1 = fc1.forward(pooled)
+      val a3 = h1.map(v => if (v > 0) v else LeakyReLU.Slope * v)
+      scores(i) = fc2.forward(a3)(0)
+      ln3s(i) = ln3; argmaxs(i) = argmax; n3rows(i) = n3.rows
+      pooleds(i) = pooled; h1s(i) = h1; a3s(i) = a3
+      i += 1
+    }
+    (scores, pooleds,
+      LeroNet.BatchCache(bc1, bc2, bc3, n1s, ln1s, n2s, ln2s, ln3s,
+        argmaxs, n3rows, pooleds, h1s, a3s))
+  }
+
+  /** Batched backward from per-tree dScores; accumulates grads. */
+  def backwardBatch(dScores: Array[Double], cache: LeroNet.BatchCache): Unit = {
+    val nT = dScores.length
+    val dC3s = new Array[DenseMatrix[Double]](nT)
+    var i = 0
+    while (i < nT) {
+      val dA3 = fc2.backward(cache.a3s(i), DenseVector(dScores(i)))
+      val dH1 = DenseVector.tabulate(dA3.length)(j =>
+        if (cache.h1s(i)(j) > 0) dA3(j) else LeakyReLU.Slope * dA3(j))
+      val dPooled = fc1.backward(cache.pooleds(i), dH1)
+      val dN3 = DynamicPooling.backward(dPooled, cache.argmaxs(i), cache.n3rows(i))
+      dC3s(i) = LayerNorm.backward(dN3, cache.ln3s(i))
+      i += 1
+    }
+    val dA2s = conv3.backwardBatch(dC3s, cache.bc3)
+    val dC2s = new Array[DenseMatrix[Double]](nT)
+    i = 0
+    while (i < nT) {
+      val dN2 = LeakyReLU.backward(dA2s(i), cache.n2s(i))
+      dC2s(i) = LayerNorm.backward(dN2, cache.ln2s(i))
+      i += 1
+    }
+    val dA1s = conv2.backwardBatch(dC2s, cache.bc2)
+    val dC1s = new Array[DenseMatrix[Double]](nT)
+    i = 0
+    while (i < nT) {
+      val dN1 = LeakyReLU.backward(dA1s(i), cache.n1s(i))
+      dC1s(i) = LayerNorm.backward(dN1, cache.ln1s(i))
+      i += 1
+    }
+    conv1.backwardBatch(dC1s, cache.bc1) // dNodes discarded
+  }
+
   def zeroGrad(): Unit = {
     conv1.zeroGrad(); conv2.zeroGrad(); conv3.zeroGrad()
     fc1.zeroGrad(); fc2.zeroGrad()
@@ -94,6 +179,16 @@ object LeroNet {
                          ln3: LNCache, argmax: Array[Int], n3rows: Int,
                          pooled: DenseVector[Double],
                          h1: DenseVector[Double], a3: DenseVector[Double])
+
+  final case class BatchCache(bc1: BatchConvCache, bc2: BatchConvCache,
+                              bc3: BatchConvCache,
+                              n1s: Array[DenseMatrix[Double]], ln1s: Array[LNCache],
+                              n2s: Array[DenseMatrix[Double]], ln2s: Array[LNCache],
+                              ln3s: Array[LNCache], argmaxs: Array[Array[Int]],
+                              n3rows: Array[Int],
+                              pooleds: Array[DenseVector[Double]],
+                              h1s: Array[DenseVector[Double]],
+                              a3s: Array[DenseVector[Double]])
 }
 
 /** Adam (torch defaults: lr 1e-3, β 0.9/0.999, eps 1e-8) over flat
@@ -171,7 +266,9 @@ final class LeroModelPairWise(val featureDim: Int, seed: Long = 17L) {
   private val shuffleRng = new scala.util.Random(seed ^ 0x5eed)
 
   /** BCE(sigmoid(s1-s2), label) pairwise fit (`model.py:220-305`).
-    * Returns per-epoch mean losses. */
+    * Both sides of every pair in a batch go through ONE batched
+    * forward/backward (one gemm per conv layer — the per-tree matmuls
+    * were overhead-bound). Returns per-epoch mean losses. */
   def fit(x1: IndexedSeq[FeatTree], x2: IndexedSeq[FeatTree],
           y1: IndexedSeq[Double], y2: IndexedSeq[Double],
           epochs: Int = 100, batchSize: Int = 64): Seq[Double] = {
@@ -188,20 +285,28 @@ final class LeroModelPairWise(val featureDim: Int, seed: Long = 17L) {
       var nBatches = 0
       order.grouped(batchSize).foreach { batch =>
         net.zeroGrad()
+        val bSize = batch.length
+        // interleave (x1_i, x2_i) so one batched call covers both sides
+        val nodesArr = new Array[breeze.linalg.DenseMatrix[Double]](2 * bSize)
+        val idxesArr = new Array[Array[Int]](2 * bSize)
+        batch.zipWithIndex.foreach { case (i, j) =>
+          nodesArr(2 * j) = p1(i).nodes(0); idxesArr(2 * j) = p1(i).idxes(0)
+          nodesArr(2 * j + 1) = p2(i).nodes(0); idxesArr(2 * j + 1) = p2(i).idxes(0)
+        }
+        val (scores, _, bcache) = net.forwardBatch(nodesArr, idxesArr)
         var batchLoss = 0.0
-        batch.foreach { i =>
-          val (s1, _, cache1) = net.forward(p1(i).nodes(0), p1(i).idxes(0))
-          val (s2, _, cache2) = net.forward(p2(i).nodes(0), p2(i).idxes(0))
-          val prob = 1.0 / (1.0 + math.exp(-(s1 - s2)))
+        val dScores = new Array[Double](2 * bSize)
+        batch.zipWithIndex.foreach { case (i, j) =>
+          val prob = 1.0 / (1.0 + math.exp(-(scores(2 * j) - scores(2 * j + 1))))
           val y = labels(i)
           val pc = math.min(1 - 1e-12, math.max(1e-12, prob))
           batchLoss += -(y * math.log(pc) + (1 - y) * math.log(1 - pc))
-          val dS = (prob - y) / batch.length // d BCE/d s1; d/d s2 = -dS
-          net.backward(dS, cache1)
-          net.backward(-dS, cache2)
+          val dS = (prob - y) / bSize // d BCE/d s1; d/d s2 = -dS
+          dScores(2 * j) = dS; dScores(2 * j + 1) = -dS
         }
+        net.backwardBatch(dScores, bcache)
         opt.step()
-        lossAccum += batchLoss / batch.length
+        lossAccum += batchLoss / bSize
         nBatches += 1
       }
       losses += lossAccum / math.max(1, nBatches)
@@ -210,18 +315,18 @@ final class LeroModelPairWise(val featureDim: Int, seed: Long = 17L) {
   }
 
   /** Batch score (M12, `model.py:199-213`): lower = predicted faster. */
-  def predict(trees: Seq[FeatTree]): Array[Double] =
-    trees.map { t =>
-      val p = TreeConv.prepareTrees(Seq(t))
-      net.forward(p.nodes(0), p.idxes(0))._1
-    }.toArray
+  def predict(trees: Seq[FeatTree]): Array[Double] = {
+    if (trees.isEmpty) return Array.empty
+    val ps = trees.map(t => TreeConv.prepareTrees(Seq(t)))
+    net.forwardBatch(ps.map(_.nodes(0)).toArray, ps.map(_.idxes(0)).toArray)._1
+  }
 
   /** Pooled 64-d intermediate features (for the Bayesian head). */
-  def interFeatures(trees: Seq[FeatTree]): Array[DenseVector[Double]] =
-    trees.map { t =>
-      val p = TreeConv.prepareTrees(Seq(t))
-      net.forward(p.nodes(0), p.idxes(0))._2
-    }.toArray
+  def interFeatures(trees: Seq[FeatTree]): Array[DenseVector[Double]] = {
+    if (trees.isEmpty) return Array.empty
+    val ps = trees.map(t => TreeConv.prepareTrees(Seq(t)))
+    net.forwardBatch(ps.map(_.nodes(0)).toArray, ps.map(_.idxes(0)).toArray)._2
+  }
 
   /** Plan selection: argmin of predicted score (`lero_test.py:97`). */
   def selectBest(candidates: Seq[FeatTree]): Int = {

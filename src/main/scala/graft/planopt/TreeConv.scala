@@ -178,7 +178,111 @@ object TreeConv {
 
     def params: Seq[(DenseMatrix[Double], DenseMatrix[Double])] = Seq((w, dW))
     def zeroGrad(): Unit = { dW := 0.0; dB := 0.0 }
+
+    // --- batched variants: stack every tree's gather rows into ONE
+    // matrix so each layer costs one gemm per batch instead of one
+    // tiny matmul per tree (the per-tree calls were overhead-bound:
+    // K≈15 rows each). Per-element math is identical to forward/
+    // backward — same gathers, same dot products — so results match
+    // the per-tree path to BLAS rounding.
+
+    /** Per-tree gather offsets into the stacked matrices. */
+    def forwardBatch(nodesArr: Array[DenseMatrix[Double]],
+                     idxesArr: Array[Array[Int]]): (Array[DenseMatrix[Double]], BatchConvCache) = {
+      val nT = nodesArr.length
+      val ks = idxesArr.map(_.length / 3)
+      val offsets = ks.scanLeft(0)(_ + _) // length nT+1
+      val g = DenseMatrix.zeros[Double](offsets(nT), 3 * inC)
+      var bi = 0
+      while (bi < nT) {
+        val nodes = nodesArr(bi); val idx = idxesArr(bi)
+        val off = offsets(bi); val k = ks(bi)
+        var t = 0
+        while (t < k) {
+          var s = 0
+          while (s < 3) {
+            val src = idx(3 * t + s)
+            var c = 0
+            while (c < inC) { g(off + t, s * inC + c) = nodes(src, c); c += 1 }
+            s += 1
+          }
+          t += 1
+        }
+        bi += 1
+      }
+      val conv = g * w // ONE gemm for the whole batch
+      val outs = new Array[DenseMatrix[Double]](nT)
+      bi = 0
+      while (bi < nT) {
+        val off = offsets(bi); val k = ks(bi)
+        val out = DenseMatrix.zeros[Double](k + 1, outC)
+        var r = 0
+        while (r < k) {
+          var c = 0
+          while (c < outC) { out(r + 1, c) = conv(off + r, c) + b(c); c += 1 }
+          r += 1
+        }
+        outs(bi) = out
+        bi += 1
+      }
+      (outs, BatchConvCache(g, idxesArr, offsets, nodesArr.map(_.rows)))
+    }
+
+    /** Batched backward; accumulates dW/dB, returns per-tree dNodes. */
+    def backwardBatch(dOuts: Array[DenseMatrix[Double]],
+                      cache: BatchConvCache): Array[DenseMatrix[Double]] = {
+      val nT = dOuts.length
+      val offsets = cache.offsets
+      val dConv = DenseMatrix.zeros[Double](offsets(nT), outC)
+      var bi = 0
+      while (bi < nT) {
+        val off = offsets(bi)
+        val k = cache.idxes(bi).length / 3
+        val dOut = dOuts(bi)
+        var r = 0
+        while (r < k) {
+          var c = 0
+          while (c < outC) {
+            val v = dOut(r + 1, c) // drop sentinel row grad
+            dConv(off + r, c) = v
+            dB(c) += v
+            c += 1
+          }
+          r += 1
+        }
+        bi += 1
+      }
+      dW += cache.gather.t * dConv // ONE gemm
+      val dG = dConv * w.t // ONE gemm
+      val dNodesArr = new Array[DenseMatrix[Double]](nT)
+      bi = 0
+      while (bi < nT) {
+        val off = offsets(bi)
+        val idx = cache.idxes(bi)
+        val k = idx.length / 3
+        val dNodes = DenseMatrix.zeros[Double](cache.inRows(bi), inC)
+        var t = 0
+        while (t < k) {
+          var s = 0
+          while (s < 3) {
+            val src = idx(3 * t + s)
+            var c = 0
+            while (c < inC) { dNodes(src, c) += dG(off + t, s * inC + c); c += 1 }
+            s += 1
+          }
+          t += 1
+        }
+        dNodesArr(bi) = dNodes
+        bi += 1
+      }
+      dNodesArr
+    }
   }
+
+  /** Batched conv cache: stacked gather matrix + per-tree layout. */
+  final case class BatchConvCache(gather: DenseMatrix[Double],
+                                  idxes: Array[Array[Int]],
+                                  offsets: Array[Int], inRows: Array[Int])
 
   /** TreeLayerNorm (`tcnn.py:36-42`): per-tree mean/std over ALL
     * entries (channels × positions, padding included), torch `std`

@@ -66,6 +66,33 @@ class PlanOptSpec extends AnyFunSuite {
     assert(s1 == s1b)
   }
 
+  test("batched forward/backward equal the per-tree path") {
+    val net = new LeroNet(2, seed = 13)
+    val p = prepareTrees(Seq(tree1, tree2))
+    // forward parity
+    val (sA, fA, _) = net.forward(p.nodes(0), p.idxes(0))
+    val (sB, fB, _) = net.forward(p.nodes(1), p.idxes(1))
+    val (scores, feats, bcache) = net.forwardBatch(p.nodes, p.idxes)
+    assert(math.abs(scores(0) - sA) < 1e-9 && math.abs(scores(1) - sB) < 1e-9)
+    assert(breeze.linalg.norm(feats(0) - fA) < 1e-9)
+    assert(breeze.linalg.norm(feats(1) - fB) < 1e-9)
+    // backward parity: batched grads == sum of per-tree grads
+    net.zeroGrad()
+    net.backwardBatch(Array(0.7, -0.3), bcache)
+    val batchedGrads = net.paramGrads.map(_._2.clone())
+    net.zeroGrad()
+    val (_, _, c1) = net.forward(p.nodes(0), p.idxes(0))
+    val (_, _, c2) = net.forward(p.nodes(1), p.idxes(1))
+    net.backward(0.7, c1)
+    net.backward(-0.3, c2)
+    val perTreeGrads = net.paramGrads.map(_._2)
+    batchedGrads.zip(perTreeGrads).foreach { case (bg, pg) =>
+      bg.indices.foreach { i =>
+        assert(math.abs(bg(i) - pg(i)) < 1e-9, s"grad mismatch at $i")
+      }
+    }
+  }
+
   test("backprop matches finite differences") {
     val net = new LeroNet(2, seed = 11)
     val p = prepareTrees(Seq(tree1))
