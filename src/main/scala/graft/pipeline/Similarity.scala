@@ -159,18 +159,24 @@ object Similarity {
       val sig = e.select(col("vec_id"),
         posexplode(expr(s"graft_hyperplane_bands(v, $bits, $bands, 42)"))
           .as(Seq("band", "sig")))
+      // NOTE deliberately no distinct() on raw candidates: a pair
+      // colliding in k bands is scored k times (the kernel is one
+      // fused 64-dim loop — cheap), and dedupe happens AFTER the
+      // threshold filter when only the few true pairs survive. A
+      // pre-score distinct would shuffle the full candidate stream,
+      // which at a permissive threshold is the bulk of all pairs.
       val cand = sig.as("x").join(sig.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-        .distinct()
       val va = e.select(col("vec_id").as("a_id"), col("v").as("va"))
       val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
-      cand.join(va, "a_id").join(vb, "b_id")
+      cand.join(va, "a_id").join(vb, "b_id") // small side auto-broadcasts at test SF; shuffles at corpus scale
         .select(col("a_id"), col("b_id"),
           expr("graft_cosine(va, vb)").as("cos_sim"))
         .filter(col("cos_sim") >= NearDupThreshold)
         .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .distinct()
     })
   )
 

@@ -132,13 +132,28 @@ object Pipelines {
       entries.mkString("{\n", ",\n", "\n}\n"))
   }
 
+  /** Everything the stable pipeline produced — the result plus the
+    * trained artifacts, so callers can deploy the model in-engine
+    * (`plans.PlanChoice.install`). */
+  final case class StableArtifacts(result: EvalResult, fg: FeatureGenerator,
+                                   model: LeroModelPairWise,
+                                   testLabeled: Seq[LabeledQuery])
+
   /** M30 stable pipeline (`stable.py:13-30`): label, train on the
     * train split, evaluate on the test split. */
   def stable(spark: SparkSession,
              trainQueries: Seq[(String, SparkSession => DataFrame)],
              testQueries: Seq[(String, SparkSession => DataFrame)],
              epochs: Int = 100, seed: Long = 17L,
-             log: Logger = new Logger(None)): EvalResult = {
+             log: Logger = new Logger(None)): EvalResult =
+    stableWithModel(spark, trainQueries, testQueries, epochs, seed, log).result
+
+  /** `stable` variant returning the trained model for deployment. */
+  def stableWithModel(spark: SparkSession,
+                      trainQueries: Seq[(String, SparkSession => DataFrame)],
+                      testQueries: Seq[(String, SparkSession => DataFrame)],
+                      epochs: Int = 100, seed: Long = 17L,
+                      log: Logger = new Logger(None)): StableArtifacts = {
     val trainLabeled = labelWorkload(spark, trainQueries, log)
     val testLabeled = labelWorkload(spark, testQueries, log)
     val (fg, model) = train(trainLabeled, epochs, seed)
@@ -146,7 +161,7 @@ object Pipelines {
     log.info(s"ranking loss: ${res.rankingLoss}")
     log.info(f"total latency: selected=${res.selectedTotalSec}%.3fs " +
       f"default=${res.defaultTotalSec}%.3fs")
-    res
+    StableArtifacts(res, fg, model, testLabeled)
   }
 
   /** M30 deployment/dynamic loop (`deployment.py:20-43`,

@@ -30,7 +30,7 @@ object StableMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val log = new Pipelines.Logger(Some("results/r2_stable/log.txt"))
+    val log = new Pipelines.Logger(Some("results/r3_stable/log.txt"))
     Tables.registerAll(spark, sfDir)
 
     // seed workload: the join-bearing relational shapes
@@ -54,7 +54,7 @@ object StableMain {
     log.info(s"harvesting metadata from $sfDir")
     val h = WorkloadGen.harvest(spark, seedSql)
     val rd = Harvester.rangeDict(spark, sfDir)
-    Harvester.writeInfos(spark, sfDir, "results/r2_stable/infos", seedSql)
+    Harvester.writeInfos(spark, sfDir, "results/r3_stable/infos", seedSql)
     val generated = WorkloadGen.generateRandomSql(
       h, rd, Harvester.revAliasMap, numSql = numGen, seed = 42L)
     log.info(s"generated $numGen workload queries")
@@ -70,12 +70,59 @@ object StableMain {
     val (trainQ, testQ) = all.splitAt((all.length * 0.7).toInt)
     log.info(s"train=${trainQ.length} test=${testQ.length} queries; epochs=$epochs")
 
-    val res = Pipelines.stable(spark, trainQ, testQ, epochs = epochs,
+    val art = Pipelines.stableWithModel(spark, trainQ, testQ, epochs = epochs,
       seed = 17L, log = log)
-    Pipelines.writeLeroDict(res, "results/r2_stable/lero_dict.json")
+    val res = art.result
+    Pipelines.writeLeroDict(res, "results/r3_stable/lero_dict.json")
     log.info(s"ranking_loss=${res.rankingLoss.getOrElse(Double.NaN)} " +
       f"selected=${res.selectedTotalSec}%.3fs default=${res.defaultTotalSec}%.3fs " +
       "(reference STATS golden: 0.6132 ranking loss, different corpus)")
+
+    // ---- in-engine deployment (SURVEY §7.4): install the trained
+    // model and run the SAME held-out queries through a session wired
+    // with GraftExtensions — the planner's LearnedPlanStrategy picks
+    // the argmin physical variant transparently; no per-query
+    // orchestration code. Compare wall time against the plain session.
+    graft.plans.PlanChoice.install(art.model, art.fg)
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false") // pin chosen plans
+      .withExtensions(new graft.engine.GraftExtensions)
+      .getOrCreate()
+    s2.sparkContext.setLogLevel("ERROR")
+    Tables.registerAll(s2, sfDir)
+    def timeAll(sess: SparkSession, label: String): Double = {
+      var total = 0.0
+      testQ.foreach { case (name, build) =>
+        graft.plans.PlanChoice.lastChoice.set(None)
+        val t0 = System.nanoTime()
+        build(sess).write.format("noop").mode("overwrite").save()
+        val ms = (System.nanoTime() - t0) / 1e6
+        total += ms
+        val chosen = graft.plans.PlanChoice.lastChoice.get()
+          .map(c => s"chose [${c.knobLabel}] of ${c.nCandidates}").getOrElse("no routing")
+        log.info(f"$label $name: $ms%.1fms ($chosen)")
+      }
+      total
+    }
+    // plain session = the training session with routing disabled.
+    // Two passes each: the first pass on s2 pays one-time JIT/codegen
+    // warmup (the training session is already warm), so the warm pass
+    // is the comparable number; re-planning overhead (6 nested
+    // plannings/query) is inside both injected passes.
+    spark.conf.set(graft.plans.PlanChoice.EnabledKey, "false")
+    timeAll(spark, "default-cold")
+    val defMs = timeAll(spark, "default-warm")
+    timeAll(s2, "injected-cold")
+    val injMs = timeAll(s2, "injected-warm")
+    log.info(f"E2E warm: injected session ${injMs}%.1fms vs default ${defMs}%.1fms " +
+      s"over ${testQ.size} held-out queries (injected includes per-query re-planning)")
+    graft.plans.PlanChoice.uninstall()
     log.close()
     spark.stop()
   }

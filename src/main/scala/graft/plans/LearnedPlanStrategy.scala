@@ -3,8 +3,9 @@ package graft.plans
 import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ReturnAnswer}
-import org.apache.spark.sql.execution.{QueryExecution, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.catalyst.QueryPlanningTracker
+import org.apache.spark.sql.catalyst.plans.logical.{Command, Join, LogicalPlan, ReturnAnswer}
+import org.apache.spark.sql.execution.{CommandExecutionMode, QueryExecution, SparkPlan, SparkStrategy}
 
 import graft.planopt.{Candidates, LeroModelPairWise, PlanFeatures}
 
@@ -80,8 +81,17 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       !PlanChoice.replanning.get()
     // fire only for plans the knob sweep can actually vary (joins);
     // the root is always offered to strategies first, so a hit here
-    // plans the whole query and fragments never reach us
-    if (!enabled || !plan.exists(_.isInstanceOf[Join])) return Nil
+    // plans the whole query and fragments never reach us.
+    //
+    // NEVER fire on a Command (e.g. a v2 write): a nested
+    // QueryExecution would EAGERLY EXECUTE the command once per knob
+    // during "planning" — the write would run k times and the
+    // featurized plan would be the constant CommandResult. Declining
+    // here is safe: the built-in write strategy plans the command
+    // node with planLater(query), so the planner re-enters with the
+    // bare query subtree and the sweep runs on that.
+    if (!enabled || plan.isInstanceOf[Command] ||
+      !plan.exists(_.isInstanceOf[Join])) return Nil
 
     val (model, gen) = modelOpt.get
     val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -96,10 +106,22 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       // of a DataFrame). Keep the UNPREPARED sparkPlan to hand back to
       // the outer planner; featurize the prepared executedPlan so
       // features match what the model was trained on.
+      //
+      // The plan handed to a planner strategy is already OPTIMIZED, so
+      // optimizer-time knobs (cbo.joinReorder) are inert here — join
+      // ORDER is fixed by the time we see the plan, and sweeping that
+      // dimension would only re-plan duplicates. Restrict the sweep to
+      // the physical-planning knobs (broadcast threshold, SMJ
+      // preference): 6 nested plannings, dedupe usually to 2-3. Join
+      // order remains covered by the pre-execution library path
+      // (Candidates.chooseAndExecute), which plans from the raw
+      // DataFrame.
       val seen = scala.collection.mutable.LinkedHashMap[String, (SparkPlan, PlanFeatures.PlanNode, String)]()
-      Candidates.knobGrid.foreach { knobs =>
+      Candidates.knobGrid.filter(_.joinReorder).foreach { knobs =>
         Candidates.withConfs(session, knobs.confs) {
-          val qe = new QueryExecution(classic, query)
+          // SKIP mode: belt-and-braces against eager command execution
+          val qe = new QueryExecution(classic, query,
+            new QueryPlanningTracker, CommandExecutionMode.SKIP)
           val canonical = qe.executedPlan.canonicalized.toString
             .replaceAll("plan_id=\\d+", "plan_id=*")
           if (!seen.contains(canonical)) {

@@ -78,6 +78,26 @@ class PlannerInjectionSpec extends AnyFunSuite {
     } finally PlanChoice.uninstall()
   }
 
+  test("write commands route the query subtree, never the command") {
+    // regression: firing on a v2 write root made the nested planning
+    // EXECUTE the write per knob and featurize the constant
+    // CommandResult (identical scores for every candidate)
+    val build = (s: SparkSession) => Relational.defs("j1_join_2way")(s, sf)
+    val cands = Candidates.enumerate(spark, build)
+    val gen = PlanFeatures.FeatureGenerator.fit(cands.map(_.plan))
+    PlanChoice.install(new LeroModelPairWise(gen.featureDim, seed = 41), gen)
+    try withExtensionSession { s2 =>
+      graft.engine.Tables.registerAll(s2, sf)
+      PlanChoice.lastChoice.set(None)
+      Relational.defs("j1_join_2way")(s2, sf)
+        .write.format("noop").mode("overwrite").save()
+      val choice = PlanChoice.lastChoice.get()
+      assert(choice.isDefined, "strategy did not fire for the write's query subtree")
+      // the chosen plan is the QUERY (has a join), not a command shell
+      assert(choice.get.canonical.contains("Join"), choice.get.canonical)
+    } finally PlanChoice.uninstall()
+  }
+
   test("strategy is dormant without an installed model") {
     PlanChoice.uninstall()
     withExtensionSession { s2 =>
