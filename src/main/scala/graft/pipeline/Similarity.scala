@@ -3,7 +3,7 @@ package graft.pipeline
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -75,6 +75,17 @@ object Similarity {
         .setFeaturesCol("features").setPredictionCol("cell")
         .fit(e))
 
+  /** Fitted LSH models, same amortization contract as [[ivfModel]]:
+    * the random hyperplanes are the index; fit once per corpus. */
+  private val lshCache = new ConcurrentHashMap[(SparkSession, String), BucketedRandomProjectionLSHModel]()
+
+  private def lshModel(spark: SparkSession, sfDir: String, e: DataFrame): BucketedRandomProjectionLSHModel =
+    lshCache.computeIfAbsent((spark, sfDir), _ =>
+      new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(15).setBucketLength(1.0).setSeed(42)
+        .fit(e))
+
   /** Exact cosine of every row vs the probe row (native expression;
     * probe broadcast). */
   private def cosineToProbe(spark: SparkSession, sfDir: String): DataFrame = {
@@ -102,10 +113,7 @@ object Similarity {
       topK(cosineToProbe(spark, sfDir))),
     "sim2_ann_lsh" -> ((spark, sfDir) => {
       val e = normalized(spark, sfDir)
-      val lsh = new BucketedRandomProjectionLSH()
-        .setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(15).setBucketLength(1.0).setSeed(42)
-      val model = lsh.fit(e)
+      val model = lshModel(spark, sfDir, e)
       val probeVec = e.filter(col("vec_id") === ProbeId)
         .select(col("features")).head().getAs[org.apache.spark.ml.linalg.Vector](0)
       val candidateIds = model

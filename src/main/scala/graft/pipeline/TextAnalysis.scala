@@ -93,7 +93,35 @@ object TextAnalysis {
         .agg(countDistinct(
           md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
           .as("n_fingerprints"),
-          count(lit(1)).as("n_docs")))
+          count(lit(1)).as("n_docs"))),
+    // the composed training-data pipeline, end to end in ONE plan:
+    // quality gate → exact dedup by fingerprint (deterministic
+    // representative = lowest doc_id) → per-source corpus stats.
+    // Shape at 100 TB: filter is a pushed scan predicate, dedup is a
+    // window over the fingerprint hash (one shuffle on fp), stats a
+    // partial/final hash-agg — no join, no collect.
+    "pipe1_clean_corpus" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nWords = size(wordsCol)
+      val nChars = length(col("text"))
+      val avgWordLen =
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          nWords.cast("double")
+      val pass = nWords >= 50 && nWords <= 1000 &&
+        avgWordLen >= 3.0 && avgWordLen <= 8.0
+      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      docs(spark, sfDir)
+        .filter(pass)
+        .select(col("doc_id"), col("source"), fp.as("fp"),
+          nWords.cast("long").as("n_tok"), nChars.cast("long").as("n_char"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).cast("long").as("tokens_kept"),
+          sum(col("n_char")).cast("long").as("chars_kept"))
+    })
   )
 
   private def markerListSql(ws: Seq[String]): String =
@@ -139,6 +167,28 @@ object TextAnalysis {
       """SELECT lang,
         |  CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_fingerprints,
         |  CAST(count(*) AS BIGINT) AS n_docs
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+    "pipe1_clean_corpus" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(n_char) AS BIGINT) AS chars_kept
+        |FROM (
+        |  SELECT doc_id, source, n_tok, n_char,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |      len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |      length(text) AS n_char
+        |    FROM documents
+        |    WHERE len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 50 AND 1000
+        |      AND length(replace(text, ' ', '')) * 1.0 /
+        |          len(regexp_split_to_array(trim(text), '\s+')) >= 3.0
+        |      AND length(replace(text, ' ', '')) * 1.0 /
+        |          len(regexp_split_to_array(trim(text), '\s+')) <= 8.0
+        |  )
+        |) WHERE rn = 1
+        |GROUP BY source""".stripMargin
   )
 }

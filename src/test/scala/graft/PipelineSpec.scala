@@ -211,4 +211,19 @@ class PipelineSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("dd1_exact_dedup")(spark, sf).collect()
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
   }
+
+  test("composed clean-corpus pipeline: dedup never inflates quality counts") {
+    val quality = SparkEntry.queries("txt3_quality")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap // source -> n_quality
+    val piped = SparkEntry.queries("pipe1_clean_corpus")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(piped.nonEmpty)
+    piped.foreach { case (source, nKept, tok, chars) =>
+      // kept docs = quality docs minus duplicates, never more
+      assert(nKept <= quality.getOrElse(source, 0L), source)
+      assert(nKept > 0 && tok > 0 && chars > 0, source)
+      // quality gate bounds tokens per doc to [50, 1000]
+      assert(tok >= 50L * nKept && tok <= 1000L * nKept, source)
+    }
+  }
 }
