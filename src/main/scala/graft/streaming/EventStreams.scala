@@ -58,6 +58,27 @@ object EventStreams {
     windowedAgg(stream)
   }
 
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` on the
+    * event stream — the streaming twin of dd1's hash-dedup, with
+    * state BOUNDED BY THE WATERMARK HORIZON instead of corpus size
+    * (at 100 TB/day ingest, an unbounded dedup state is the classic
+    * streaming OOM; within-watermark is the shape that holds: a
+    * duplicate arriving later than the lateness bound is by contract
+    * allowed through, and everything inside it is exact). */
+  def streamingDedup(spark: SparkSession, sfDir: String,
+                     eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val rawSchema = org.apache.spark.sql.types.StructType(schema.map { f =>
+      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f
+    })
+    spark.readStream.schema(rawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling-window aggregate (batch flavor of the streaming shape)
     "evt1_window_agg" -> ((spark, sfDir) =>

@@ -73,6 +73,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(closedSessions > 0)
   }
 
+  test("streaming dedup removes exact duplicates within the watermark") {
+    // stage TWO copies of the events file: every event is duplicated
+    val dir = java.nio.file.Files.createTempDirectory("evt_dedup_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val q = EventStreams.streamingDedup(spark, sf, dir.toString)
+      .writeStream.format("memory").queryName("evt_dedup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    val deduped = spark.sql(
+      "SELECT count(*), count(DISTINCT event_id) FROM evt_dedup_test").head()
+    val original = graft.engine.Tables.load(spark, sf, "events").count()
+    assert(deduped.getLong(0) == original, // 2N in, N out
+      s"streamed ${deduped.getLong(0)} vs original $original")
+    assert(deduped.getLong(1) == original)
+  }
+
   test("sessionization counts are sane") {
     val rows = SparkEntry.queries("evt3_sessions")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
