@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 
@@ -51,17 +52,47 @@ object Extended {
       |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
       |FROM orders WHERE o_orderstatus != 'P'""".stripMargin
 
+  private val NumSalts = 8
+
+  // x6: the plain-SQL semantics the salted implementation must equal
+  private val x6Sql =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers
+      |FROM supplier s, nation n
+      |WHERE s.s_nationkey = n.n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_left_outer_join" -> sql(x1),
     "x2_semi_join" -> sql(x2),
     "x3_anti_join" -> sql(x3),
     "x4_union_all" -> sql(x4),
-    "x5_distinct_agg" -> sql(x5))
+    "x5_distinct_agg" -> sql(x5),
+    // x6: SKEW SALTING — the fact side joins the dim on a 25-value key
+    // (nationkey), the canonical hot-key shuffle: unsalted, at most 25
+    // reducers ever do work regardless of cluster size. Salt the fact
+    // side with hash(uniform key) mod S and replicate each dim row S
+    // times, join on (key, salt) → S× the reduce parallelism, same
+    // result. This is the technique for when the dim is TOO BIG to
+    // broadcast (here it's hinted to shuffle so the salted path is
+    // what actually executes — the spec asserts no broadcast join).
+    "x6_salted_skew_join" -> ((spark, sfDir) => {
+      val s = Tables.load(spark, sfDir, "supplier")
+        .withColumn("salt", pmod(xxhash64(col("s_suppkey")), lit(NumSalts.toLong)))
+      val n = Tables.load(spark, sfDir, "nation")
+        .withColumn("salt", explode(array((0 until NumSalts).map(i => lit(i.toLong)): _*)))
+        .hint("shuffle_hash")
+      s.join(n, s("s_nationkey") === n("n_nationkey") &&
+          s("salt") === n("salt"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"))
+        .orderBy(col("n_name"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "x1_left_outer_join" -> x1,
     "x2_semi_join" -> x2,
     "x3_anti_join" -> x3,
     "x4_union_all" -> x4,
-    "x5_distinct_agg" -> x5)
+    "x5_distinct_agg" -> x5,
+    "x6_salted_skew_join" -> x6Sql)
 }

@@ -60,6 +60,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("salted skew join equals plain join and avoids broadcast") {
+    import graft.queries.Extended
+    val plain = Tables.sql(spark, sf,
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers
+        |FROM supplier s, nation n WHERE s.s_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = Extended.defs("x6_salted_skew_join")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(salted == plain)
+    // the salted path must actually run as a shuffle join on the
+    // composite (key, salt) — broadcast would defeat the demonstration
+    val plan = Extended.defs("x6_salted_skew_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("events table loads with microsecond timestamps") {
     val e = Tables.load(spark, sf, "events")
     assert(e.schema("ts").dataType.typeName == "timestamp")
