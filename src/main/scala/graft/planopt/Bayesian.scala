@@ -102,20 +102,29 @@ final class BayesianModelPairWise(val featureDim: Int, seed: Long = 23L,
       var lossAccum = 0.0; var nBatches = 0
       order.grouped(batchSize).foreach { batch =>
         net.zeroGrad(); head.zeroGrad()
+        val bSize = batch.length
+        // both pair sides through ONE batched trunk pass (same scheme
+        // as LeroModelPairWise.fit)
+        val nodesArr = new Array[breeze.linalg.DenseMatrix[Double]](2 * bSize)
+        val idxesArr = new Array[Array[Int]](2 * bSize)
+        batch.zipWithIndex.foreach { case (i, j) =>
+          nodesArr(2 * j) = p1(i).nodes(0); idxesArr(2 * j) = p1(i).idxes(0)
+          nodesArr(2 * j + 1) = p2(i).nodes(0); idxesArr(2 * j + 1) = p2(i).idxes(0)
+        }
+        val (_, feats, bcache) = net.forwardBatch(nodesArr, idxesArr)
         var batchLoss = 0.0
-        batch.foreach { i =>
-          val (_, fea1, cache1) = net.forward(p1(i).nodes(0), p1(i).idxes(0))
-          val (_, fea2, cache2) = net.forward(p2(i).nodes(0), p2(i).idxes(0))
-          val (prob, logVar, hc) = head.forward(fea1, fea2)
+        val dPooled = new Array[DenseVector[Double]](2 * bSize)
+        batch.zipWithIndex.foreach { case (i, j) =>
+          val (prob, logVar, hc) = head.forward(feats(2 * j), feats(2 * j + 1))
           val (loss, dProb, dLogVar) = Bayesian.nllLoss(prob, logVar, labels(i), alphas(i))
           batchLoss += loss
-          val scale = 1.0 / batch.length
+          val scale = 1.0 / bSize
           val (dFea1, dFea2) = head.backward(dProb * scale, dLogVar * scale, hc)
-          net.backward(0.0, cache1, Some(dFea1))
-          net.backward(0.0, cache2, Some(dFea2))
+          dPooled(2 * j) = dFea1; dPooled(2 * j + 1) = dFea2
         }
+        net.backwardBatch(new Array[Double](2 * bSize), bcache, Some(dPooled))
         opt.step()
-        lossAccum += batchLoss / batch.length
+        lossAccum += batchLoss / bSize
         nBatches += 1
       }
       losses += lossAccum / math.max(1, nBatches)

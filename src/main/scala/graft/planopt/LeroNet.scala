@@ -124,8 +124,11 @@ final class LeroNet(val inputFeatureDim: Int, seed: Long = 17L) {
         argmaxs, n3rows, pooleds, h1s, a3s))
   }
 
-  /** Batched backward from per-tree dScores; accumulates grads. */
-  def backwardBatch(dScores: Array[Double], cache: LeroNet.BatchCache): Unit = {
+  /** Batched backward from per-tree dScores (+ optional per-tree
+    * gradients on the pooled features, for the Bayesian head);
+    * accumulates grads. */
+  def backwardBatch(dScores: Array[Double], cache: LeroNet.BatchCache,
+                    dPooledExtra: Option[Array[DenseVector[Double]]] = None): Unit = {
     val nT = dScores.length
     val dC3s = new Array[DenseMatrix[Double]](nT)
     var i = 0
@@ -133,7 +136,8 @@ final class LeroNet(val inputFeatureDim: Int, seed: Long = 17L) {
       val dA3 = fc2.backward(cache.a3s(i), DenseVector(dScores(i)))
       val dH1 = DenseVector.tabulate(dA3.length)(j =>
         if (cache.h1s(i)(j) > 0) dA3(j) else LeakyReLU.Slope * dA3(j))
-      val dPooled = fc1.backward(cache.pooleds(i), dH1)
+      var dPooled = fc1.backward(cache.pooleds(i), dH1)
+      dPooledExtra.foreach(extra => dPooled = dPooled + extra(i))
       val dN3 = DynamicPooling.backward(dPooled, cache.argmaxs(i), cache.n3rows(i))
       dC3s(i) = LayerNorm.backward(dN3, cache.ln3s(i))
       i += 1

@@ -91,6 +91,22 @@ class PlanOptSpec extends AnyFunSuite {
         assert(math.abs(bg(i) - pg(i)) < 1e-9, s"grad mismatch at $i")
       }
     }
+    // pooled-feature gradient path (Bayesian head) parity
+    val extra = Array(DenseVector.fill(64)(0.3), DenseVector.fill(64)(-0.2))
+    net.zeroGrad()
+    val (_, _, bc2) = net.forwardBatch(p.nodes, p.idxes)
+    net.backwardBatch(Array(0.0, 0.0), bc2, Some(extra))
+    val batchedExtra = net.paramGrads.map(_._2.clone())
+    net.zeroGrad()
+    val (_, _, e1) = net.forward(p.nodes(0), p.idxes(0))
+    val (_, _, e2) = net.forward(p.nodes(1), p.idxes(1))
+    net.backward(0.0, e1, Some(extra(0)))
+    net.backward(0.0, e2, Some(extra(1)))
+    batchedExtra.zip(net.paramGrads.map(_._2)).foreach { case (bg, pg) =>
+      bg.indices.foreach { i =>
+        assert(math.abs(bg(i) - pg(i)) < 1e-9, s"pooled-grad mismatch at $i")
+      }
+    }
   }
 
   test("backprop matches finite differences") {
