@@ -53,6 +53,20 @@ object PlanChoice {
   @volatile private var installed: Option[(LeroModelPairWise, PlanFeatures.FeatureGenerator)] = None
   val lastChoice = new AtomicReference[Option[Choice]](None)
 
+  /** Remembered knob choice per canonical logical plan: a repeat query
+    * re-plans ONCE under the remembered knobs instead of sweeping the
+    * grid — routing overhead drops from |grid| plannings to one for
+    * the steady-state (repeated-template) workload. Bounded LRU;
+    * cleared on (un)install since choices are model-specific. */
+  private val MaxChoiceCache = 1024
+  private[plans] val choiceCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Candidates.Knobs](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Candidates.Knobs]): Boolean =
+          size() > MaxChoiceCache
+      })
+
   // guards against self-recursion while the strategy replans the same
   // query under swept knobs (nested planning uses the same session
   // planner, hence the same strategy instance)
@@ -65,9 +79,10 @@ object PlanChoice {
   def install(model: LeroModelPairWise, gen: PlanFeatures.FeatureGenerator): Unit = {
     installed = Some((model, gen))
     lastChoice.set(None)
+    choiceCache.clear()
   }
 
-  def uninstall(): Unit = { installed = None }
+  def uninstall(): Unit = { installed = None; choiceCache.clear() }
 
   def current: Option[(LeroModelPairWise, PlanFeatures.FeatureGenerator)] = installed
 }
@@ -101,6 +116,22 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
     }
     PlanChoice.replanning.set(true)
     try {
+      val canonicalKey = query.canonicalized.toString
+        .replaceAll("plan_id=\\d+", "plan_id=*")
+      // steady-state fast path: a repeat query re-plans once under the
+      // remembered knobs instead of sweeping the grid
+      val remembered = PlanChoice.choiceCache.get(canonicalKey)
+      if (remembered != null) {
+        return Candidates.withConfs(session, remembered.confs) {
+          val qe = new QueryExecution(classic, query,
+            new QueryPlanningTracker, CommandExecutionMode.SKIP)
+          PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
+            remembered.label, 1,
+            qe.executedPlan.canonicalized.toString
+              .replaceAll("plan_id=\\d+", "plan_id=*"), Nil)))
+          Seq(qe.sparkPlan)
+        }
+      }
       // enumerate: nested planning under each knob assignment (same
       // sweep as Candidates.enumerate, but from a LogicalPlan instead
       // of a DataFrame). Keep the UNPREPARED sparkPlan to hand back to
@@ -116,7 +147,7 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       // order remains covered by the pre-execution library path
       // (Candidates.chooseAndExecute), which plans from the raw
       // DataFrame.
-      val seen = scala.collection.mutable.LinkedHashMap[String, (SparkPlan, PlanFeatures.PlanNode, String)]()
+      val seen = scala.collection.mutable.LinkedHashMap[String, (SparkPlan, PlanFeatures.PlanNode, Candidates.Knobs)]()
       Candidates.knobGrid.filter(_.joinReorder).foreach { knobs =>
         Candidates.withConfs(session, knobs.confs) {
           // SKIP mode: belt-and-braces against eager command execution
@@ -126,7 +157,7 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
             .replaceAll("plan_id=\\d+", "plan_id=*")
           if (!seen.contains(canonical)) {
             seen(canonical) = (qe.sparkPlan,
-              PlanFeatures.fromSparkPlan(qe.executedPlan), knobs.label)
+              PlanFeatures.fromSparkPlan(qe.executedPlan), knobs)
           }
         }
       }
@@ -135,9 +166,10 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       else {
         val scores = model.predict(cands.map(c => gen.transform(c._2)))
         val bestIdx = scores.indices.minBy(scores)
-        val (bestPlan, _, label) = cands(bestIdx)
+        val (bestPlan, _, knobs) = cands(bestIdx)
+        PlanChoice.choiceCache.put(canonicalKey, knobs)
         PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
-          label, cands.size, seen.keys.toSeq(bestIdx), scores.toSeq)))
+          knobs.label, cands.size, seen.keys.toSeq(bestIdx), scores.toSeq)))
         Seq(bestPlan)
       }
     } finally PlanChoice.replanning.set(false)

@@ -75,6 +75,18 @@ class PlannerInjectionSpec extends AnyFunSuite {
       val scores = choice.get.scores
       assert(scores.indices.minBy(scores) ==
         scores.indexOf(scores.min))
+      // 5) steady state: the repeat query hits the choice cache —
+      // same knob choice, single planning (nCandidates == 1), same
+      // executed plan
+      PlanChoice.lastChoice.set(None)
+      val df2 = Relational.defs("j1_join_2way")(s2, sf)
+      assert(df2.collect()(0).getLong(0) == baseResult)
+      val cachedChoice = PlanChoice.lastChoice.get()
+      assert(cachedChoice.isDefined)
+      assert(cachedChoice.get.nCandidates == 1, "expected choice-cache hit")
+      assert(cachedChoice.get.knobLabel == choice.get.knobLabel)
+      assert(df2.queryExecution.executedPlan.canonicalized.toString
+        .replaceAll("plan_id=\\d+", "plan_id=*") == cachedChoice.get.canonical)
     } finally PlanChoice.uninstall()
   }
 
