@@ -63,6 +63,15 @@ object Dedup {
       .select(col("doc_id"),
         xxhash64(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("h"))
       .distinct()
+      // Materialize the sketch ONCE: the dedup queries reference the
+      // shingle set 3-4 times (set sizes, both self-join sides, band
+      // signatures) and Spark's exchange reuse does NOT dedupe the
+      // recomputations (audited: 12 scans in dd3's unpersisted plan).
+      // This is the "write the sketch, then query it" step any 100 TB
+      // dedup runs anyway — spill-safe storage level, dropped by the
+      // session's clearCache (the cache manager dedupes by plan, so
+      // repeated calls share one materialization).
+      .persist()
   }
 
   /** (a_id, b_id, jaccard) pairs with exact shingle-set Jaccard >=
@@ -133,6 +142,7 @@ object Dedup {
     val banded = minMatrix(ex)
       .select(col("doc_id"), posexplode(array(bandSigs: _*)))
       .toDF("doc_id", "band", "band_sig")
+      .persist() // both self-join sides; avoids recomputing the 96-agg signature pass
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
@@ -194,6 +204,7 @@ object Dedup {
           s"""transform(sequence(0, ${SimHashBands - 1}), c ->
              |  shiftright(simhash, c * 16) & 65535L)""".stripMargin)))
         .toDF("doc_id", "simhash", "band", "band_val")
+        .persist() // both self-join sides; avoids recomputing the 64-bit-sum pass
       chunk.as("a").join(chunk.as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_val") === col("b.band_val") &&

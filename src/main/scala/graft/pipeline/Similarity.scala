@@ -167,6 +167,7 @@ object Similarity {
       val sig = e.select(col("vec_id"),
         posexplode(expr(s"graft_hyperplane_bands(v, $bits, $bands, 42)"))
           .as(Seq("band", "sig")))
+        .persist() // both self-join sides share one signature materialization
       // NOTE deliberately no distinct() on raw candidates: a pair
       // colliding in k bands is scored k times (the kernel is one
       // fused 64-dim loop — cheap), and dedupe happens AFTER the
