@@ -42,12 +42,22 @@ object TextAnalysis {
   private def markerScore(words: Seq[String]): Column =
     size(filter(wordsCol, x => x.isin(words.map(lit): _*)))
 
+  /** BPE-ish subword pre-tokenizer pattern: letter runs, single
+    * digits, punctuation runs — the GPT-2-style split shape, kept to
+    * ASCII classes (no lookarounds) so Java regex (Spark) and RE2
+    * (DuckDB) agree byte-for-byte. */
+  private val SubtokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // token counting (whitespace tokenizer) per language
+    // token counting per language: whitespace tokenizer AND the
+    // BPE-ish regex pre-tokenizer (the pair a training pipeline
+    // actually tracks — words for stats, subword proxy for cost)
     "txt1_token_stats" -> ((spark, sfDir) =>
       docs(spark, sfDir)
         .groupBy(col("lang"))
         .agg(sum(size(wordsCol)).cast("long").as("n_tokens"),
+          sum(size(regexp_extract_all(col("text"), lit(SubtokenPattern), lit(0))))
+            .cast("long").as("n_subtokens"),
           sum(length(col("text"))).cast("long").as("n_chars_sum"),
           count(lit(1)).as("n_docs"))),
     // heuristic language ID: marker-word argmax (en > de > es > fr
@@ -136,6 +146,7 @@ object TextAnalysis {
     "txt1_token_stats" ->
       """SELECT lang,
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))) AS BIGINT) AS n_subtokens,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars_sum,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY lang""".stripMargin,
