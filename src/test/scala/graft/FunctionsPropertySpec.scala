@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.{CosineSimilarity, HyperplaneBands}
+
+/** Property sweeps for the native expression kernels — interpreted
+  * eval path over seeded random inputs (codegen parity is pinned
+  * separately in PipelineSpec / PlanOptSpec). */
+class FunctionsPropertySpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(4242L)
+
+  private def randVec(maxDim: Int = 64): Array[Double] = {
+    val n = 1 + rng.nextInt(maxDim)
+    Array.fill(n)(rng.nextDouble() * 20.0 - 10.0)
+  }
+
+  private def evalCosine(a: Array[Double], b: Array[Double]): Double = {
+    val e = CosineSimilarity(
+      BoundReference(0, ArrayType(DoubleType), nullable = false),
+      BoundReference(1, ArrayType(DoubleType), nullable = false))
+    e.eval(InternalRow(new GenericArrayData(a), new GenericArrayData(b)))
+      .asInstanceOf[Double]
+  }
+
+  test("cosine: symmetric, bounded, self-similarity 1 (200 random vectors)") {
+    (1 to 200).foreach { _ =>
+      val a = randVec()
+      val b = Array.fill(a.length)(rng.nextDouble() * 20.0 - 10.0)
+      assert(math.abs(evalCosine(a, a) - 1.0) < 1e-9)
+      val ab = evalCosine(a, b)
+      assert(math.abs(ab - evalCosine(b, a)) < 1e-12, "symmetry")
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9, "Cauchy-Schwarz bound")
+    }
+  }
+
+  test("cosine: invariant under positive scaling of either side") {
+    (1 to 100).foreach { _ =>
+      val a = randVec()
+      val s = 0.1 + rng.nextDouble() * 99.9
+      assert(math.abs(evalCosine(a, a.map(_ * s)) - 1.0) < 1e-9)
+    }
+  }
+
+  private def bandsOf(v: Array[Double], bits: Int, n: Int, seed: Long): Seq[Long] = {
+    val e = HyperplaneBands(
+      BoundReference(0, ArrayType(DoubleType), nullable = false), bits, n, seed)
+    e.eval(InternalRow(new GenericArrayData(v)))
+      .asInstanceOf[ArrayData].toLongArray().toSeq
+  }
+
+  test("hyperplane bands: deterministic, ranged, scale-sign-invariant") {
+    (1 to 100).foreach { _ =>
+      val v = randVec()
+      val seed = rng.nextLong()
+      val s1 = bandsOf(v, 4, 8, seed)
+      assert(s1 == bandsOf(v, 4, 8, seed), "deterministic")
+      assert(s1.forall(x => x >= 0 && x < 16), "4-bit signatures")
+      // positive scaling preserves every hyperplane sign => same sigs
+      assert(s1 == bandsOf(v.map(_ * 3.7), 4, 8, seed))
+    }
+  }
+
+  test("hyperplane bands: collision rate reflects cosine similarity") {
+    // near-identical vectors collide in (almost) every band; random
+    // pairs collide in far fewer — the LSH property the blocked
+    // near-dup path is built on
+    val dim = 64
+    val base = Array.fill(dim)(rng.nextDouble() * 2 - 1)
+    val near = base.zipWithIndex.map { case (x, i) =>
+      if (i % 16 == 0) x + 0.01 else x } // tiny perturbation
+    val bNear = bandsOf(base, 4, 32, 42L).zip(bandsOf(near, 4, 32, 42L))
+      .count { case (x, y) => x == y }
+    var randCollisions = 0
+    (1 to 20).foreach { _ =>
+      val r = Array.fill(dim)(rng.nextDouble() * 2 - 1)
+      randCollisions += bandsOf(base, 4, 32, 42L).zip(bandsOf(r, 4, 32, 42L))
+        .count { case (x, y) => x == y }
+    }
+    val randMean = randCollisions / 20.0
+    assert(bNear >= 28, s"near-dup collided in only $bNear/32 bands")
+    assert(randMean <= bNear / 2.0,
+      s"random pairs collide too often: $randMean vs near $bNear")
+  }
+
+  test("band params honor the miss bound across thresholds") {
+    for (tau <- Seq(0.1, 0.3, 0.4, 0.5, 0.7, 0.9, 0.95);
+         miss <- Seq(1e-2, 1e-3, 1e-4)) {
+      val (b, l) = HyperplaneBands.params(tau, miss)
+      assert(b >= 1 && b <= 24 && l >= 1 && l <= 64, s"($b,$l) for tau=$tau")
+      val p = 1.0 - math.acos(tau) / math.Pi
+      assert(math.pow(1.0 - math.pow(p, b), l) <= miss + 1e-12,
+        s"miss bound violated at tau=$tau miss=$miss -> ($b,$l)")
+    }
+  }
+}
