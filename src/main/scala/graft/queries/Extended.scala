@@ -61,6 +61,28 @@ object Extended {
       |WHERE s.s_nationkey = n.n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // x7 oracle: correlated max-ts subquery — the declarative as-of
+  // semantics. Comparisons and outputs live in the MICROsecond domain
+  // on both engines (Spark loads the nanos parquet ts as micros via
+  // `ts div 1000`; DuckDB floors the same way with epoch_ns // 1000),
+  // so tie semantics are bit-identical.
+  private val x7Sql =
+    """SELECT p.event_id,
+      |  (SELECT max(epoch_ns(c.ts) // 1000) FROM events c
+      |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |     AND epoch_ns(c.ts) // 1000 <= epoch_ns(p.ts) // 1000) AS asof_us
+      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
+
+  // x8 oracle: the BETWEEN-style range predicate (half-open bands on
+  // integer edges)
+  private val x8Sql =
+    """SELECT band, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem,
+      |  (VALUES ('low', 1, 11), ('mid', 11, 26), ('high', 26, 51)) AS b(band, lo, hi)
+      |WHERE l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_left_outer_join" -> sql(x1),
     "x2_semi_join" -> sql(x2),
@@ -86,6 +108,52 @@ object Extended {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_suppliers"))
         .orderBy(col("n_name"))
+    }),
+    // x7: AS-OF JOIN (brief's named custom-operator example) — for
+    // each purchase, the latest click by the same user at-or-before
+    // the purchase time. NOT a join at all in the physical plan:
+    // union-tag both streams, one window pass per user ordered by
+    // (ts, kind) carrying the last click time forward, filter back to
+    // purchases. ONE shuffle on user_id, state bounded per user — the
+    // shape that holds on 100 TB of events, where the naive
+    // inequality join is quadratic per user.
+    "x7_asof_join" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(spark, sfDir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          // clicks order BEFORE purchases at equal ts: at-or-before
+          when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("is_p"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("asof_us",
+          max(when(col("is_p") === 0, col("ts_us"))).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("event_id"), col("asof_us"))
+    }),
+    // x8: RANGE JOIN (the brief's other named example) via bin
+    // expansion: half-open bands on integer edges explode to one row
+    // per unit bin, the fact side joins on floor(value) — a pure
+    // equi-join (shuffle/broadcast on the bin key), never the
+    // BroadcastNestedLoopJoin Spark would plan for the raw BETWEEN
+    // predicate. Expansion factor = band width in bins: bounded and
+    // chosen by the binning granularity, independent of fact size.
+    "x8_range_join" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val bands = Seq(("low", 1, 11), ("mid", 11, 26), ("high", 26, 51))
+        .toDF("band", "lo", "hi")
+        .withColumn("bin", explode(sequence(col("lo"), col("hi") - 1)))
+        .select(col("band"), col("bin"))
+      Tables.load(spark, sfDir, "lineitem")
+        .withColumn("bin", floor(col("l_quantity")).cast("int"))
+        .join(bands, "bin")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("band"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -94,5 +162,7 @@ object Extended {
     "x3_anti_join" -> x3,
     "x4_union_all" -> x4,
     "x5_distinct_agg" -> x5,
-    "x6_salted_skew_join" -> x6Sql)
+    "x6_salted_skew_join" -> x6Sql,
+    "x7_asof_join" -> x7Sql,
+    "x8_range_join" -> x8Sql)
 }

@@ -78,6 +78,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("as-of join compiles to a single window pass, not a join") {
+    import graft.queries.Extended
+    val df = Extended.defs("x7_asof_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), s"as-of should be join-free:\n$plan")
+    // semantics: every as-of timestamp is at-or-before nothing later
+    // than the purchase itself (asof_us <= purchase ts)
+    val joined = df.collect()
+    assert(joined.length > 100)
+    assert(joined.count(!_.isNullAt(1)) > 0, "no purchase had a prior click?")
+  }
+
+  test("range join runs as an equi-join on bins, never a nested loop") {
+    import graft.queries.Extended
+    val df = Extended.defs("x8_range_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // bands partition the quantity domain: totals must equal row count
+    val total = Tables.load(spark, sf, "lineitem").count()
+    assert(rows.values.sum == total, s"$rows vs $total")
+  }
+
   test("events table loads with microsecond timestamps") {
     val e = Tables.load(spark, sf, "events")
     assert(e.schema("ts").dataType.typeName == "timestamp")
