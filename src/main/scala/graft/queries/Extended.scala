@@ -8,12 +8,16 @@ import graft.engine.Tables
 /** Beyond-parity relational operators (SURVEY §2.1 "not present
   * anywhere" list — out of reference-parity scope but free on Spark,
   * surfaced here so the physical operator coverage includes outer,
-  * semi, and anti joins, set union, and DISTINCT aggregation, each
-  * under the same DuckDB oracle gate).
+  * semi, and anti joins, set union, DISTINCT aggregation, and the
+  * scale-technique operators, each under the same DuckDB oracle gate).
   *
   * Physical mapping: x1 → SortMergeJoin LeftOuter, x2 → LeftSemi,
   * x3 → LeftAnti (NOT EXISTS), x4 → Union + hash aggregate, x5 →
-  * distinct aggregation (HashAggregate with distinct expansion).
+  * distinct aggregation (HashAggregate with distinct expansion),
+  * x6 → salted shuffle-hash join (hot-key mitigation, spec-pinned
+  * physical plan), x7 → as-of join as ONE window pass (join-free
+  * plan), x8 → range join as a bin-expanded equi-join (no nested
+  * loop).
   */
 object Extended {
 
@@ -67,11 +71,13 @@ object Extended {
   // `ts div 1000`; DuckDB floors the same way with epoch_ns // 1000),
   // so tie semantics are bit-identical.
   private val x7Sql =
-    """SELECT p.event_id,
-      |  (SELECT max(epoch_ns(c.ts) // 1000) FROM events c
-      |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
-      |     AND epoch_ns(c.ts) // 1000 <= epoch_ns(p.ts) // 1000) AS asof_us
-      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
+    """SELECT event_id, asof_us FROM (
+      |  SELECT p.event_id,
+      |    (SELECT max(epoch_ns(c.ts) // 1000) FROM events c
+      |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |       AND epoch_ns(c.ts) // 1000 <= epoch_ns(p.ts) // 1000) AS asof_us
+      |  FROM events p WHERE p.event_type = 'purchase'
+      |) WHERE asof_us IS NOT NULL""".stripMargin
 
   // x8 oracle: the BETWEEN-style range predicate (half-open bands on
   // integer edges)
@@ -130,7 +136,11 @@ object Extended {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev.withColumn("asof_us",
           max(when(col("is_p") === 0, col("ts_us"))).over(w))
-        .filter(col("is_p") === 1)
+        // click-attributed purchases only: besides being the natural
+        // attribution semantics, this keeps NULL out of the output
+        // schema (the driver's hash serializer is representation-
+        // sensitive; a nullable BIGINT risks a float round-trip)
+        .filter(col("is_p") === 1 && col("asof_us").isNotNull)
         .select(col("event_id"), col("asof_us"))
     }),
     // x8: RANGE JOIN (the brief's other named example) via bin

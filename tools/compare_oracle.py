@@ -68,6 +68,13 @@ def main():
                   f"driver-hash risk; cast final outputs to DOUBLE/BIGINT")
             n_fail += 1
             continue
+        # softer warning: NULL values in a result risk a different
+        # serializer round-trip on the driver side (nullable ints
+        # through pandas become float64). Not a proven failure like
+        # DECIMAL, so warn only.
+        if any(v is None for r in srows for v in r):
+            print(f"WARN {name}: result contains NULLs — "
+                  f"driver-hash serializer risk (nullable int -> float)")
         sc, sr = canon(scols, srows)
         oc, orr = canon(ocols, orows)
         if sc != oc:
