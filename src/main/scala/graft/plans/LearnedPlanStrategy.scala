@@ -34,6 +34,11 @@ import graft.planopt.{Candidates, LeroModelPairWise, PlanFeatures}
   * Scale note: the sweep costs `|grid|` driver-side plannings per
   * query — milliseconds against catalog stats, independent of data
   * size; nothing here touches executors until the chosen plan runs.
+  * The sweep temporarily flips session confs during planning
+  * (restored in a finally); sessions running concurrent queries on
+  * the same SparkSession should serialize planning or use
+  * `newSession()` per thread — the standard caveat for any
+  * conf-sweeping extension.
   * AQE can still refine the chosen plan's shuffles at runtime (its
   * runtime re-plan composes with — and can override — the static
   * choice; disable AQE for a strictly pinned plan, as the labeling
