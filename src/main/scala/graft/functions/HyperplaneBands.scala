@@ -52,9 +52,23 @@ case class HyperplaneBands(child: Expression, bitsPerBand: Int,
 
   override def prettyName: String = HyperplaneBands.name
 
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val d = v.numElements()
+    if (elementsNullable) {
+      var i = 0
+      while (i < d) { // same contract as graft_cosine: no silent garbage
+        if (v.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"$prettyName: null array element at index $i")
+        i += 1
+      }
+    }
     val out = new Array[Long](nBands)
     var band = 0
     while (band < nBands) {
@@ -93,9 +107,18 @@ case class HyperplaneBands(child: Expression, bitsPerBand: Int,
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       val z = ctx.freshName("z")
+      val nullCheck = if (elementsNullable)
+        s"""for (int $i = 0; $i < $d; $i++) {
+           |  if ($a.isNullAt($i)) {
+           |    throw new IllegalArgumentException(
+           |      "$prettyName: null array element at index " + $i);
+           |  }
+           |}""".stripMargin
+      else ""
       // identical arithmetic to nullSafeEval (spec asserts parity)
       s"""
          |int $d = $a.numElements();
+         |$nullCheck
          |long[] $out = new long[$nBands];
          |for (int $band = 0; $band < $nBands; $band++) {
          |  long $sig = 0L;
@@ -157,12 +180,12 @@ object HyperplaneBands {
     * probability of missing a true pair is below `maxMiss`, using at
     * most `maxBands` bands: the largest `b` (most selective buckets)
     * whose required band count `L = ln(maxMiss)/ln(1 - p^b)` still
-    * fits. More selective thresholds buy more pruning: tau=0.9 yields
-    * (12, 41) — ~1% of random pairs become candidates — while the
-    * test corpus's deliberately weak tau=0.4 yields (4, 40), which
-    * prunes little because cos 0.4 in 64-dim random data is barely
-    * above noise. The parameterization, not a constant, is the
-    * scale contract. */
+    * fits. More selective thresholds buy more pruning: at
+    * maxMiss=1e-4, tau=0.9 yields (12, 55) — ~1.3% of random pairs
+    * become candidates — while the test corpus's deliberately weak
+    * tau=0.4 yields (4, 54), which prunes little because cos 0.4 in
+    * 64-dim random data is barely above noise. The parameterization,
+    * not a constant, is the scale contract. */
   def params(tau: Double, maxMiss: Double, maxBands: Int = 64): (Int, Int) = {
     require(tau > 0 && tau < 1 && maxMiss > 0 && maxMiss < 1)
     val p = 1.0 - math.acos(tau) / math.Pi

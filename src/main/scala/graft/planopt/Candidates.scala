@@ -58,6 +58,15 @@ object Candidates {
     * plan string, and the featurizable plan IR snapshot. */
   final case class Candidate(knobs: Knobs, canonical: String, plan: PlanNode)
 
+  /** THE canonical-plan key used for candidate dedupe, the routing
+    * choice cache, and the spec's executed-plan comparison — one
+    * definition so the three can never diverge. `canonicalized`
+    * normalizes exprIds but keeps per-planning `plan_id` counters;
+    * strip them or identical plans from different plannings never
+    * match. */
+  def canonicalKey(p: org.apache.spark.sql.catalyst.plans.QueryPlan[_]): String =
+    p.canonicalized.toString.replaceAll("plan_id=\\d+", "plan_id=*")
+
   /** Run `body` with `confs` set, restoring previous values after. */
   def withConfs[T](spark: SparkSession, confs: Seq[(String, String)])(body: => T): T = {
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -77,11 +86,7 @@ object Candidates {
       withConfs(spark, knobs.confs) {
         val df = build(spark)
         val plan = df.queryExecution.executedPlan
-        // canonicalized normalizes exprIds but keeps per-planning
-        // plan_id counters — strip them or identical plans from
-        // different plannings never dedupe
-        val canonical = plan.canonicalized.toString
-          .replaceAll("plan_id=\\d+", "plan_id=*")
+        val canonical = canonicalKey(plan)
         if (!seen.contains(canonical)) {
           seen(canonical) = Candidate(knobs, canonical, PlanFeatures.fromSparkPlan(plan))
         }

@@ -32,7 +32,9 @@ object PgPlanImporter {
     val root = if (root0.isArray) root0.get(0) else root0
     val execMs = Option(root.get("Execution Time")).map(_.asDouble())
       .getOrElse(throw new IllegalArgumentException("no Execution Time in plan JSON"))
-    (toPlanNode(root.get("Plan")), execMs)
+    val planNode = Option(root.get("Plan")).getOrElse(
+      throw new IllegalArgumentException("no Plan key in plan JSON"))
+    (toPlanNode(planNode), execMs)
   }
 
   private def toPlanNode(n: JsonNode): PlanNode = {
@@ -56,7 +58,14 @@ object PgPlanImporter {
     val parsed = fields.flatMap { f =>
       val t = f.trim
       if (t.startsWith("[") || t.startsWith("{"))
-        Some(parseCandidate(t))
+        try Some(parseCandidate(t))
+        catch { // skip the malformed candidate, keep the rest, say why
+          case e: Exception =>
+            System.err.println(
+              s"[pg-import] $qid: skipping malformed candidate " +
+                s"(${e.getMessage}; first 80 chars: ${t.take(80)})")
+            None
+        }
       else None // leading qid field / SQL text — not a plan
     }
     if (parsed.isEmpty) None

@@ -110,14 +110,20 @@ object StableMain {
       }
       total
     }
-    // plain session = the training session with routing disabled.
-    // Two passes each: the first pass on s2 pays one-time JIT/codegen
-    // warmup (the training session is already warm), so the warm pass
-    // is the comparable number; re-planning overhead (6 nested
-    // plannings/query) is inside both injected passes.
-    spark.conf.set(graft.plans.PlanChoice.EnabledKey, "false")
-    timeAll(spark, "default-cold")
-    val defMs = timeAll(spark, "default-warm")
+    // plain session = the training session (built WITHOUT the
+    // extension, so routing cannot fire there). Two passes each: the
+    // first pass on s2 pays one-time JIT/codegen warmup (the training
+    // session is already warm), so the warm pass is the comparable
+    // number; re-planning overhead is inside both injected passes.
+    // AQE is pinned OFF on BOTH sides during timing — s2 disables it
+    // to keep chosen plans deterministic, and leaving it on for the
+    // default side would confound the comparison with AQE's own
+    // runtime re-planning.
+    val defMs = Candidates.withConfs(spark,
+      Seq("spark.sql.adaptive.enabled" -> "false")) {
+      timeAll(spark, "default-cold")
+      timeAll(spark, "default-warm")
+    }
     timeAll(s2, "injected-cold")
     val injMs = timeAll(s2, "injected-warm")
     log.info(f"E2E warm: injected session ${injMs}%.1fms vs default ${defMs}%.1fms " +

@@ -51,7 +51,10 @@ object PlanChoice {
   val EnabledKey = "spark.graft.planChoice.enabled"
 
   /** What the strategy decided for the last matching query —
-    * observability for specs and the E2E logs. */
+    * observability for specs and the E2E logs. On a choice-cache hit
+    * `nCandidates` is 1 and `canonical`/`scores` are empty (computing
+    * the prepared plan's canonical form just for observability would
+    * double the fast path's cost). */
   final case class Choice(knobLabel: String, nCandidates: Int,
                           canonical: String, scores: Seq[Double])
 
@@ -121,19 +124,17 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
     }
     PlanChoice.replanning.set(true)
     try {
-      val canonicalKey = query.canonicalized.toString
-        .replaceAll("plan_id=\\d+", "plan_id=*")
-      // steady-state fast path: a repeat query re-plans once under the
-      // remembered knobs instead of sweeping the grid
-      val remembered = PlanChoice.choiceCache.get(canonicalKey)
+      val cacheKey = Candidates.canonicalKey(query)
+      // steady-state fast path: a repeat query re-plans ONCE under the
+      // remembered knobs instead of sweeping the grid (and skips the
+      // prepared-plan canonicalization — planning only)
+      val remembered = PlanChoice.choiceCache.get(cacheKey)
       if (remembered != null) {
         return Candidates.withConfs(session, remembered.confs) {
           val qe = new QueryExecution(classic, query,
             new QueryPlanningTracker, CommandExecutionMode.SKIP)
           PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
-            remembered.label, 1,
-            qe.executedPlan.canonicalized.toString
-              .replaceAll("plan_id=\\d+", "plan_id=*"), Nil)))
+            remembered.label, 1, "", Nil)))
           Seq(qe.sparkPlan)
         }
       }
@@ -158,8 +159,7 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
           // SKIP mode: belt-and-braces against eager command execution
           val qe = new QueryExecution(classic, query,
             new QueryPlanningTracker, CommandExecutionMode.SKIP)
-          val canonical = qe.executedPlan.canonicalized.toString
-            .replaceAll("plan_id=\\d+", "plan_id=*")
+          val canonical = Candidates.canonicalKey(qe.executedPlan)
           if (!seen.contains(canonical)) {
             seen(canonical) = (qe.sparkPlan,
               PlanFeatures.fromSparkPlan(qe.executedPlan), knobs)
@@ -172,7 +172,7 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
         val scores = model.predict(cands.map(c => gen.transform(c._2)))
         val bestIdx = scores.indices.minBy(scores)
         val (bestPlan, _, knobs) = cands(bestIdx)
-        PlanChoice.choiceCache.put(canonicalKey, knobs)
+        PlanChoice.choiceCache.put(cacheKey, knobs)
         PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
           knobs.label, cands.size, seen.keys.toSeq(bestIdx), scores.toSeq)))
         Seq(bestPlan)

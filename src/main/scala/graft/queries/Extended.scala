@@ -76,7 +76,8 @@ object Extended {
       |    (SELECT max(epoch_ns(c.ts) // 1000) FROM events c
       |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
       |       AND epoch_ns(c.ts) // 1000 <= epoch_ns(p.ts) // 1000) AS asof_us
-      |  FROM events p WHERE p.event_type = 'purchase'
+      |  FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id IS NOT NULL
       |) WHERE asof_us IS NOT NULL""".stripMargin
 
   // x8 oracle: the BETWEEN-style range predicate (half-open bands on
@@ -126,7 +127,11 @@ object Extended {
     "x7_asof_join" -> ((spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.load(spark, sfDir, "events")
-        .filter(col("event_type").isin("click", "purchase"))
+        // NULL users excluded on BOTH engines: Spark's window would
+        // group NULLs into one partition while SQL's correlated
+        // equality never matches NULL — latent divergence otherwise
+        .filter(col("event_type").isin("click", "purchase") &&
+          col("user_id").isNotNull)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"),
           // clicks order BEFORE purchases at equal ts: at-or-before

@@ -127,6 +127,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(miss(0.9, bHigh, lHigh) <= 1e-4)
   }
 
+  test("graft_hyperplane_bands raises on null elements") {
+    graft.functions.HyperplaneBands.register(spark)
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_hyperplane_bands(array(1.0D, cast(null as double)), 4, 8, 42) AS s")
+        .head()
+    }
+    assert(err.getMessage.contains("null array element")
+      || Option(err.getCause).exists(_.getMessage.contains("null array element")))
+  }
+
   test("graft_cosine raises on length mismatch and null elements") {
     graft.functions.CosineSimilarity.register(spark)
     val mismatch = intercept[Exception] {

@@ -67,8 +67,8 @@ class PlannerInjectionSpec extends AnyFunSuite {
       assert(choice.get.scores.size == choice.get.nCandidates)
       // 3) the EXECUTED plan is the argmin candidate, provably: its
       // canonical form equals the recorded chosen canonical
-      val executedCanonical = df.queryExecution.executedPlan
-        .canonicalized.toString.replaceAll("plan_id=\\d+", "plan_id=*")
+      val executedCanonical =
+        Candidates.canonicalKey(df.queryExecution.executedPlan)
       assert(executedCanonical == choice.get.canonical,
         s"executed plan is not the chosen candidate:\n$executedCanonical\nvs\n${choice.get.canonical}")
       // 4) argmin semantics (lero_test.py:97): chosen index minimizes score
@@ -76,8 +76,8 @@ class PlannerInjectionSpec extends AnyFunSuite {
       assert(scores.indices.minBy(scores) ==
         scores.indexOf(scores.min))
       // 5) steady state: the repeat query hits the choice cache —
-      // same knob choice, single planning (nCandidates == 1), same
-      // executed plan
+      // same knob choice, single planning (nCandidates == 1), and the
+      // executed plan still equals the originally chosen candidate
       PlanChoice.lastChoice.set(None)
       val df2 = Relational.defs("j1_join_2way")(s2, sf)
       assert(df2.collect()(0).getLong(0) == baseResult)
@@ -85,8 +85,8 @@ class PlannerInjectionSpec extends AnyFunSuite {
       assert(cachedChoice.isDefined)
       assert(cachedChoice.get.nCandidates == 1, "expected choice-cache hit")
       assert(cachedChoice.get.knobLabel == choice.get.knobLabel)
-      assert(df2.queryExecution.executedPlan.canonicalized.toString
-        .replaceAll("plan_id=\\d+", "plan_id=*") == cachedChoice.get.canonical)
+      assert(Candidates.canonicalKey(df2.queryExecution.executedPlan)
+        == choice.get.canonical)
     } finally PlanChoice.uninstall()
   }
 

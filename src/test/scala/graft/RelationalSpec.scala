@@ -80,15 +80,21 @@ class RelationalSpec extends AnyFunSuite {
 
   test("as-of join compiles to a single window pass, not a join") {
     import graft.queries.Extended
+    import org.apache.spark.sql.functions.{col, unix_micros}
     val df = Extended.defs("x7_asof_join")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("Window"), plan)
     assert(!plan.contains("Join"), s"as-of should be join-free:\n$plan")
-    // semantics: every as-of timestamp is at-or-before nothing later
-    // than the purchase itself (asof_us <= purchase ts)
-    val joined = df.collect()
+    // row-level semantics: every as-of click is at-or-before its
+    // purchase (joining back to events is test-side only)
+    val purchaseTs = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+    val joined = df.join(purchaseTs, "event_id")
+      .select(col("asof_us"), col("p_us")).collect()
     assert(joined.length > 100)
-    assert(joined.count(!_.isNullAt(1)) > 0, "no purchase had a prior click?")
+    assert(joined.forall(r => r.getLong(0) <= r.getLong(1)),
+      "an as-of click is later than its purchase")
   }
 
   test("range join runs as an equi-join on bins, never a nested loop") {
