@@ -43,8 +43,14 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    // Optional subset for local iteration (driver never sets this):
+    // SPARK_GRAFT_ONLY=dd2_ngram_jaccard,dd3_minhash_lsh
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def timeAll(recordErrors: Boolean): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         resetState()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

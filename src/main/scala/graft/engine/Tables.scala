@@ -82,6 +82,7 @@ object Tables {
     if (registered.get(spark) == sfDir) return
     graft.functions.CosineSimilarity.register(spark) // native fn library
     graft.functions.HyperplaneBands.register(spark)
+    graft.functions.CollectCappedLongs.register(spark)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")

@@ -20,6 +20,52 @@ class PipelineSpec extends AnyFunSuite {
       .select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("df-capped dd2 equals the unrestricted exact-jaccard join") {
+    // dd2's candidate generation drops hot shingles (df > MaxShingleDf)
+    // from the self-join; verification runs on full sets. The result
+    // must still be EXACTLY the unrestricted ground truth.
+    val ex = Dedup.shingles(spark, sf)
+    val truth = Dedup.exactPairsGroundTruth(ex, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = SparkEntry.queries("dd2_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(truth.nonEmpty)
+    assert(capped == truth)
+  }
+
+  test("dd2 plan is df-capped: bounded collect present, no cartesian product") {
+    val plan = SparkEntry.queries("dd2_ngram_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the bounded-buffer collect aggregate is what caps candidate
+    // generation (one corpus shuffle, <= K+1 entries per key)
+    assert(plan.contains("graft_collect_capped"),
+      s"df-cap bounded collect missing:\n$plan")
+    // and the raw corpus-sized self-join on shingle hash must be gone
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("collect_capped buffers never exceed the limit and mark overflow") {
+    import spark.implicits._
+    graft.functions.CollectCappedLongs.register(spark)
+    val df = Seq.tabulate(100)(i => (i % 3).toLong -> i.toLong)
+      .toDF("k", "v")
+      .repartition(8)
+      .groupBy("k")
+      .agg(expr("graft_collect_capped(v, 5)").as("vs"))
+      .select(col("k"), size(col("vs")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // every key has 33-34 values, far over the cap: all buffers stop at 5
+    assert(df.values.toSet == Set(5), df.toString)
+    // and under the cap, everything is kept
+    val under = Seq((1L, 10L), (1L, 11L), (2L, 12L)).toDF("k", "v")
+      .groupBy("k").agg(expr("graft_collect_capped(v, 5)").as("vs"))
+      .select(col("k"), size(col("vs")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(under == Map(1L -> 2, 2L -> 1), under.toString)
+  }
+
   test("minhash LSH near-dup equals exact n-gram jaccard") {
     val exact = pairs("dd2_ngram_jaccard")
     val lsh = pairs("dd3_minhash_lsh")
