@@ -1,0 +1,113 @@
+package graft.planopt
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.planopt.PlanFeatures.{FeatureGenerator, Normalizer}
+
+/** Save/load for a trained comparator — the Spark-native counterpart
+  * of the reference's model directory (`Lero/model.py:100-126`: torch
+  * `nn_weights` + pickled `feature_generator` + `input_feature_dim`;
+  * the committed `saved_models/stats/stable_model/` is that format).
+  * A deployed optimizer must survive a JVM restart: `PlanChoice`
+  * installs from this directory, and `StableMain` writes it next to
+  * its training log.
+  *
+  * Layout (no pickle — JSON metadata + raw binary weights):
+  *  - `model_meta.json`: format version, `input_feature_dim`, the op
+  *    vocabulary, the input-table vocabulary, and the log-min-max
+  *    normalizer bounds (JSON doubles round-trip exactly in Java —
+  *    `Double.toString` is shortest-round-trip);
+  *  - `nn_weights.bin`: big-endian stream, one block per parameter in
+  *    `LeroNet.paramGrads` order (conv1..3 w/b, fc1..2 w/b), each
+  *    `int32 length` + `length` raw `float64`s — bit-exact.
+  */
+object ModelIO {
+
+  private val FormatVersion = 1
+  private val MetaFile = "model_meta.json"
+  private val WeightsFile = "nn_weights.bin"
+
+  def save(dir: String, model: LeroModelPairWise, gen: FeatureGenerator): Unit = {
+    require(model.featureDim == gen.featureDim,
+      s"model dim ${model.featureDim} != featurizer dim ${gen.featureDim}")
+    Files.createDirectories(Paths.get(dir))
+
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("format_version", FormatVersion)
+    root.put("input_feature_dim", model.featureDim)
+    val ops = root.putArray("op_types")
+    gen.opTypes.foreach(ops.add)
+    val rels = root.putArray("input_relations")
+    gen.inputRelations.foreach(rels.add)
+    def putBounds(field: String, m: Map[String, Double]): Unit = {
+      val n = root.putObject(field)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+    }
+    putBounds("normalizer_mins", gen.normalizer.mins)
+    putBounds("normalizer_maxs", gen.normalizer.maxs)
+    Files.write(Paths.get(dir, MetaFile),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(Paths.get(dir, WeightsFile).toFile)))
+    try {
+      model.net.paramGrads.foreach { case (param, _) =>
+        out.writeInt(param.length)
+        var i = 0
+        while (i < param.length) { out.writeDouble(param(i)); i += 1 }
+      }
+    } finally out.close()
+  }
+
+  def load(dir: String): (LeroModelPairWise, FeatureGenerator) = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(
+      Files.readAllBytes(Paths.get(dir, MetaFile))).asInstanceOf[ObjectNode]
+    val version = root.get("format_version").asInt()
+    require(version == FormatVersion,
+      s"unsupported model format version $version (expected $FormatVersion)")
+    val dim = root.get("input_feature_dim").asInt()
+    def strings(field: String): Vector[String] = {
+      val it = root.get(field).elements()
+      val buf = Vector.newBuilder[String]
+      while (it.hasNext) buf += it.next().asText()
+      buf.result()
+    }
+    def bounds(field: String): Map[String, Double] = {
+      val node = root.get(field)
+      val it = node.fields()
+      val buf = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        buf += e.getKey -> e.getValue.asDouble()
+      }
+      buf.result()
+    }
+    val gen = FeatureGenerator.restore(
+      Normalizer(bounds("normalizer_mins"), bounds("normalizer_maxs")),
+      strings("input_relations"), strings("op_types"))
+    require(gen.featureDim == dim,
+      s"persisted input_feature_dim $dim != reconstructed featurizer dim ${gen.featureDim}")
+
+    val model = new LeroModelPairWise(dim)
+    val in = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(Paths.get(dir, WeightsFile).toFile)))
+    try {
+      model.net.paramGrads.foreach { case (param, _) =>
+        val n = in.readInt()
+        require(n == param.length,
+          s"weight block length $n != expected ${param.length} " +
+            "(architecture/dim mismatch)")
+        var i = 0
+        while (i < n) { param(i) = in.readDouble(); i += 1 }
+      }
+      require(in.read() == -1, s"trailing bytes in $WeightsFile")
+    } finally in.close()
+    (model, gen)
+  }
+}

@@ -178,6 +178,14 @@ object PlanFeatures {
       maxs = maxs.map { case (k, v) => k -> (if (v == mins(k)) v + 1.0 else v) }
       new FeatureGenerator(Normalizer(mins, maxs), rels, opTypes)
     }
+
+    /** Reconstruct a fitted featurizer from persisted state
+      * ([[graft.planopt.ModelIO]] load path — the deserialization
+      * counterpart of the reference's pickled feature_generator,
+      * `model.py:113-120`). */
+    def restore(normalizer: Normalizer, inputRelations: Vector[String],
+                opTypes: Vector[String]): FeatureGenerator =
+      new FeatureGenerator(normalizer, inputRelations, opTypes)
   }
 
   // --- SparkPlan → PlanNode walker -----------------------------------

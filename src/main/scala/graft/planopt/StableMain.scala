@@ -15,13 +15,14 @@ import graft.workload.{Harvester, WorkloadGen}
   * `results/stats/` goldens (BASELINE.md ranking loss 0.6132 on its
   * STATS corpus — different data, same metric).
   *
-  * Usage: runMain graft.planopt.StableMain [sfDir] [numGenerated] [epochs]
+  * Usage: runMain graft.planopt.StableMain [sfDir] [numGenerated] [epochs] [outDir]
   */
 object StableMain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
     val numGen = args.lift(1).map(_.toInt).getOrElse(24)
     val epochs = args.lift(2).map(_.toInt).getOrElse(60)
+    val outDir = args.lift(3).getOrElse("results/r4_stable")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,7 +31,7 @@ object StableMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val log = new Pipelines.Logger(Some("results/r3_stable/log.txt"))
+    val log = new Pipelines.Logger(Some(s"$outDir/log.txt"))
     Tables.registerAll(spark, sfDir)
 
     // seed workload: the join-bearing relational shapes
@@ -54,7 +55,7 @@ object StableMain {
     log.info(s"harvesting metadata from $sfDir")
     val h = WorkloadGen.harvest(spark, seedSql)
     val rd = Harvester.rangeDict(spark, sfDir)
-    Harvester.writeInfos(spark, sfDir, "results/r3_stable/infos", seedSql)
+    Harvester.writeInfos(spark, sfDir, s"$outDir/infos", seedSql)
     val generated = WorkloadGen.generateRandomSql(
       h, rd, Harvester.revAliasMap, numSql = numGen, seed = 42L)
     log.info(s"generated $numGen workload queries")
@@ -73,61 +74,121 @@ object StableMain {
     val art = Pipelines.stableWithModel(spark, trainQ, testQ, epochs = epochs,
       seed = 17L, log = log)
     val res = art.result
-    Pipelines.writeLeroDict(res, "results/r3_stable/lero_dict.json")
+    Pipelines.writeLeroDict(res, s"$outDir/lero_dict.json")
     log.info(s"ranking_loss=${res.rankingLoss.getOrElse(Double.NaN)} " +
       f"selected=${res.selectedTotalSec}%.3fs default=${res.defaultTotalSec}%.3fs " +
       "(reference STATS golden: 0.6132 ranking loss, different corpus)")
 
-    // ---- in-engine deployment (SURVEY §7.4): install the trained
-    // model and run the SAME held-out queries through a session wired
-    // with GraftExtensions — the planner's LearnedPlanStrategy picks
-    // the argmin physical variant transparently; no per-query
-    // orchestration code. Compare wall time against the plain session.
-    graft.plans.PlanChoice.install(art.model, art.fg)
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    val s2 = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "false") // pin chosen plans
-      .withExtensions(new graft.engine.GraftExtensions)
-      .getOrCreate()
-    s2.sparkContext.setLogLevel("ERROR")
-    Tables.registerAll(s2, sfDir)
+    // ---- persist the trained artifact (the reference commits
+    // saved_models/stats/stable_model/ — weights + feature_generator +
+    // input_feature_dim; ModelIO is the Spark-native format) and
+    // deploy FROM DISK: everything below this line could run in a
+    // fresh JVM that never trained anything.
+    val modelDir = s"$outDir/stable_model"
+    ModelIO.save(modelDir, art.model, art.fg)
+    log.info(s"saved model artifact to $modelDir")
+    graft.plans.PlanChoice.installFrom(modelDir)
+
+    // ---- in-engine deployment (SURVEY §7.4): run the SAME held-out
+    // queries through a session wired with GraftExtensions — the
+    // planner's LearnedPlanStrategy picks the argmin physical variant
+    // transparently; no per-query orchestration code.
+    def extSession(extra: Seq[(String, String)]): SparkSession = {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val b = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "false") // pin chosen plans
+        .withExtensions(new graft.engine.GraftExtensions)
+      extra.foreach { case (k, v) => b.config(k, v) }
+      val s = b.getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      Tables.registerAll(s, sfDir)
+      s
+    }
     def timeAll(sess: SparkSession, label: String): Double = {
       var total = 0.0
+      var routed = 0
+      val bypassBefore = graft.plans.PlanChoice.bypassCount.get()
       testQ.foreach { case (name, build) =>
         graft.plans.PlanChoice.lastChoice.set(None)
         val t0 = System.nanoTime()
         build(sess).write.format("noop").mode("overwrite").save()
         val ms = (System.nanoTime() - t0) / 1e6
         total += ms
-        val chosen = graft.plans.PlanChoice.lastChoice.get()
+        val choice = graft.plans.PlanChoice.lastChoice.get()
+        if (choice.isDefined) routed += 1
+        val chosen = choice
           .map(c => s"chose [${c.knobLabel}] of ${c.nCandidates}").getOrElse("no routing")
         log.info(f"$label $name: $ms%.1fms ($chosen)")
       }
+      val bypassed = graft.plans.PlanChoice.bypassCount.get() - bypassBefore
+      // bypass counts strategy INVOCATIONS (a declined root re-offers
+      // join-bearing fragments), not queries
+      log.info(s"$label: routed=$routed of ${testQ.size} queries; " +
+        s"bypass invocations=$bypassed")
       total
     }
-    // plain session = the training session (built WITHOUT the
-    // extension, so routing cannot fire there). Two passes each: the
-    // first pass on s2 pays one-time JIT/codegen warmup (the training
-    // session is already warm), so the warm pass is the comparable
-    // number; re-planning overhead is inside both injected passes.
-    // AQE is pinned OFF on BOTH sides during timing — s2 disables it
-    // to keep chosen plans deterministic, and leaving it on for the
-    // default side would confound the comparison with AQE's own
-    // runtime re-planning.
-    val defMs = Candidates.withConfs(spark,
-      Seq("spark.sql.adaptive.enabled" -> "false")) {
-      timeAll(spark, "default-cold")
-      timeAll(spark, "default-warm")
+    // Two passes each: the first pass on a fresh session pays one-time
+    // JIT/codegen warmup, so the warm pass is the comparable number;
+    // re-planning overhead is inside both injected passes. AQE is
+    // pinned OFF on BOTH sides during timing — the extension sessions
+    // disable it to keep chosen plans deterministic, and leaving it on
+    // for the default side would confound the comparison with AQE's
+    // own runtime re-planning. The plain side is the training session
+    // (built WITHOUT the extension, so routing cannot fire there).
+
+    // Timing protocol: the two sides run in ALTERNATING passes and
+    // each side reports its best total (pass 1 doubles as that side's
+    // JIT/codegen warmup). A sequential all-of-side-A-then-all-of-
+    // side-B layout let background drift (GC of training garbage,
+    // JIT) land asymmetrically — observed swinging a side 3× between
+    // otherwise-identical runs.
+    def bestOf(passes: Int)(side: (Int) => Double): Double =
+      (1 to passes).map(side).min
+
+    // (A) stock deployment: default broadcast settings + the default
+    // 4 MB size bypass. r3 finding: routing was a pure ~30% tax on
+    // sub-threshold queries; the bypass (tiny queries) + the choice
+    // cache's direct-physical-planning fast path (repeats) must make
+    // injected ≈ default.
+    val s2 = extSession(Nil)
+    var defA = Double.MaxValue
+    var injA = Double.MaxValue
+    for (k <- 1 to 3) {
+      defA = math.min(defA, Candidates.withConfs(spark,
+        Seq("spark.sql.adaptive.enabled" -> "false")) {
+        timeAll(spark, s"default-p$k")
+      })
+      injA = math.min(injA, timeAll(s2, s"injected-p$k"))
     }
-    timeAll(s2, "injected-cold")
-    val injMs = timeAll(s2, "injected-warm")
-    log.info(f"E2E warm: injected session ${injMs}%.1fms vs default ${defMs}%.1fms " +
-      s"over ${testQ.size} held-out queries (injected includes per-query re-planning)")
+    log.info(f"E2E(A) best-of-3, stock conf: injected ${injA}%.1fms vs default ${defA}%.1fms " +
+      s"over ${testQ.size} held-out queries (size bypass active)")
+
+    // (B) defensive deployment: autoBroadcastJoinThreshold=-1 — the
+    // common production guard against driver OOM from mis-estimated
+    // broadcasts. The session default is then SMJ-everything; the
+    // routed session's learned choice re-enables broadcast for the
+    // joins where it wins (a NON-default knob), which is exactly the
+    // plan diversity r3's E2E lacked. Same bypass: tiny queries skip
+    // routing on the injected side and run the session default, so
+    // any delta comes from the routed big joins.
+    val noBcast = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val s3 = extSession(noBcast)
+    var defB = Double.MaxValue
+    var injB = Double.MaxValue
+    for (k <- 1 to 3) {
+      defB = math.min(defB, Candidates.withConfs(spark,
+        noBcast :+ ("spark.sql.adaptive.enabled" -> "false")) {
+        timeAll(spark, s"noBcast-default-p$k")
+      })
+      injB = math.min(injB, timeAll(s3, s"noBcast-injected-p$k"))
+    }
+    log.info(f"E2E(B) best-of-3, autoBroadcast=-1: injected ${injB}%.1fms vs default ${defB}%.1fms " +
+      s"over ${testQ.size} held-out queries (routed choices re-enable broadcast)")
     graft.plans.PlanChoice.uninstall()
     log.close()
     spark.stop()

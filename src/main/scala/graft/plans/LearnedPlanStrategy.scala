@@ -50,6 +50,21 @@ object PlanChoice {
     * installed AND this is not "false". */
   val EnabledKey = "spark.graft.planChoice.enabled"
 
+  /** Size-threshold bypass (r3 verdict: routing was a pure tax on
+    * sub-100 ms queries): when the summed size estimate of the
+    * query's leaf relations is below this many bytes, skip the sweep
+    * entirely — the knob choice cannot buy back its own planning
+    * cost on inputs this small. Leaf-input size, NOT the root's
+    * output estimate (a count(*) over 100 TB estimates 1 output row).
+    * Default 4 MB ≈ "everything fits in one task"; set 0 to route
+    * everything (specs), raise it for interactive fleets. */
+  val MinInputBytesKey = "spark.graft.planChoice.minInputBytes"
+  val DefaultMinInputBytes: Long = 4L * 1024 * 1024
+
+  /** Queries that skipped the sweep via the size bypass since the
+    * last install — observability for the E2E logs and specs. */
+  val bypassCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** What the strategy decided for the last matching query —
     * observability for specs and the E2E logs. On a choice-cache hit
     * `nCandidates` is 1 and `canonical`/`scores` are empty (computing
@@ -87,7 +102,18 @@ object PlanChoice {
   def install(model: LeroModelPairWise, gen: PlanFeatures.FeatureGenerator): Unit = {
     installed = Some((model, gen))
     lastChoice.set(None)
+    bypassCount.set(0)
     choiceCache.clear()
+  }
+
+  /** Install from a persisted model directory
+    * ([[graft.planopt.ModelIO]] — the deployment path: train once,
+    * save, and any later JVM loads the artifact instead of
+    * retraining; mirrors the reference's committed
+    * `saved_models/stats/stable_model/`). */
+  def installFrom(dir: String): Unit = {
+    val (model, gen) = graft.planopt.ModelIO.load(dir)
+    install(model, gen)
   }
 
   def uninstall(): Unit = { installed = None; choiceCache.clear() }
@@ -113,15 +139,38 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
     // here is safe: the built-in write strategy plans the command
     // node with planLater(query), so the planner re-enters with the
     // bare query subtree and the sweep runs on that.
-    if (!enabled || plan.isInstanceOf[Command] ||
-      !plan.exists(_.isInstanceOf[Join])) return Nil
-
-    val (model, gen) = modelOpt.get
-    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    //
+    // The Command check must run on the UNWRAPPED plan: the planner
+    // offers ReturnAnswer(OverwriteByExpression(...)) for a v2 write,
+    // and matching on the wrapper let the command through — the sweep
+    // then cached under the COMMAND's canonical string, which embeds
+    // its query field with raw (non-canonicalized) exprIds that
+    // differ on every run, so the choice cache could never hit and
+    // every repeat of a write-path query re-paid the full sweep.
     val query = plan match { // ReturnAnswer is a planning-only marker
       case ReturnAnswer(child) => child
       case p => p
     }
+    if (!enabled || query.isInstanceOf[Command] ||
+      !query.exists(_.isInstanceOf[Join])) return Nil
+
+    // Size bypass: on tiny inputs the sweep's planning cost exceeds
+    // any possible plan win. Leaf-relation sizes, not the root
+    // estimate (aggregation roots estimate ~1 row regardless of
+    // input scale).
+    val minBytes = session.conf
+      .get(PlanChoice.MinInputBytesKey, PlanChoice.DefaultMinInputBytes.toString)
+      .toLong
+    if (minBytes > 0) {
+      val inputBytes = query.collectLeaves().map(_.stats.sizeInBytes).sum
+      if (inputBytes < minBytes) {
+        PlanChoice.bypassCount.incrementAndGet()
+        return Nil
+      }
+    }
+
+    val (model, gen) = modelOpt.get
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     PlanChoice.replanning.set(true)
     try {
       val cacheKey = Candidates.canonicalKey(query)
@@ -131,11 +180,18 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       val remembered = PlanChoice.choiceCache.get(cacheKey)
       if (remembered != null) {
         return Candidates.withConfs(session, remembered.confs) {
-          val qe = new QueryExecution(classic, query,
-            new QueryPlanningTracker, CommandExecutionMode.SKIP)
+          // `query` is already optimized (strategies see the optimized
+          // plan) and the remembered knobs are physical-planning-time
+          // only, so skip the nested QueryExecution's re-analysis +
+          // re-optimization (CBO join-reorder DP re-ran on every hit —
+          // ~60 ms/query on 7-way joins, the r3 "routing tax") and go
+          // straight to physical planning, exactly like
+          // QueryExecution.createSparkPlan does.
+          val planned = classic.sessionState.planner
+            .plan(ReturnAnswer(query)).next()
           PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
             remembered.label, 1, "", Nil)))
-          Seq(qe.sparkPlan)
+          Seq(planned)
         }
       }
       // enumerate: nested planning under each knob assignment (same

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch profiling main for local iteration — not part of the
@@ -16,44 +16,56 @@ object ProbeMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.Tables.registerAll(spark, sfDir)
 
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val info = sc.stageInfo
-        val ms = (for {s <- info.submissionTime; c <- info.completionTime}
-          yield c - s).getOrElse(-1L)
-        stages.add((s"stage ${info.stageId} [${info.name.take(60)}] tasks=${info.numTasks}", ms))
-      }
-    })
-    def dumpStages(label: String): Unit = {
-      println(s"--- stages for $label ---")
-      stages.toArray(Array.empty[(String, Long)]).filter(_._2 > 300)
-        .foreach { case (n, ms) => println(f"  $ms%6d ms  $n") }
-      stages.clear()
+    import graft.planopt._
+    import graft.queries.Relational
+    val names = Seq("j1_join_2way", "j1_join_5way", "j1_join_7way",
+      "a2_min_join", "q2_join_group_topn")
+    val qs: Seq[(String, SparkSession => DataFrame)] =
+      names.map(n => n -> ((s: SparkSession) => Relational.defs(n)(s, sfDir)))
+    val labeled = Pipelines.labelWorkload(spark, qs, new Pipelines.Logger(None))
+    labeled.foreach { lq =>
+      println(s"PROBE ${lq.qid}: " + lq.latenciesMs.map(_.round).mkString(","))
+    }
+    val (fg, model) = Pipelines.train(labeled, epochs = 40)
+
+    // library-path choice for j7
+    val build = (s: SparkSession) => Relational.defs("j1_join_7way")(s, sfDir)
+    val cands = Candidates.enumerate(spark, build)
+    val scores = model.predict(cands.map(c => fg.transform(c.plan)))
+    println("PROBE library candidates:")
+    cands.zip(scores).foreach { case (c, s) =>
+      println(f"  score=$s%.4f knobs=${c.knobs.label}")
     }
 
-    import graft.pipeline.Dedup
-    val sets = Dedup.shingleSets(spark, sfDir)
-    t("sets materialize")(println(sets.count()))
-    val ex = Dedup.shingles(spark, sfDir)
-    t("ex materialize (repart h)")(println(ex.count()))
-    stages.clear()
-    for (i <- 1 to 4) {
-      t(s"dd2 run$i")(println(
-        Dedup.verifiedPairs(sets, Dedup.cappedCandidates(ex), 0.8).count()))
-      Thread.sleep(200)
-      dumpStages(s"run$i")
+    // in-engine routing
+    graft.plans.PlanChoice.install(model, fg)
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .withExtensions(new graft.engine.GraftExtensions)
+      .getOrCreate()
+    s2.sparkContext.setLogLevel("ERROR")
+    graft.engine.Tables.registerAll(s2, sfDir)
+    names.foreach { n =>
+      graft.plans.PlanChoice.lastChoice.set(None)
+      Relational.defs(n)(s2, sfDir).write.format("noop").mode("overwrite").save()
+      val c = graft.plans.PlanChoice.lastChoice.get()
+      println(s"PROBE routed $n: " + c.map(ch =>
+        s"chose [${ch.knobLabel}] of ${ch.nCandidates}, scores=" +
+          ch.scores.map(x => f"$x%.4f").mkString(",")).getOrElse("none"))
     }
-    t("dd3")(println(graft.SparkEntry.queries("dd3_minhash_lsh")(spark, sfDir).count()))
+    graft.plans.PlanChoice.uninstall()
     spark.stop()
   }
 }

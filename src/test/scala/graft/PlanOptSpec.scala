@@ -233,6 +233,57 @@ class PlanOptSpec extends AnyFunSuite {
     assert(math.abs(gen.inverseLabel(y) - 120.0) < 1e-9)
   }
 
+  test("model save/load round-trips a trained comparator bit-identically") {
+    // trained model + fitted featurizer → directory → back, with the
+    // reference's saved-model semantics (model.py:100-126: weights +
+    // feature_generator + input_feature_dim) but JSON/binary, no pickle
+    val scanA = PlanNode("FileScan", 1000, 32, Some("lineitem"), Nil)
+    val scanB = PlanNode("FileScan", 50, 16, Some("orders"), Nil)
+    val join = PlanNode("SortMergeJoin", 800, 48, None, Seq(scanA, scanB))
+    val agg = PlanNode("HashAggregate", 10, 8, None, Seq(join))
+    val deep = PlanNode("Sort", 900, 48, None, Seq(join))
+    val gen = FeatureGenerator.fit(Seq(agg, deep), Seq(120.0, 480.0))
+    val tA = gen.transform(agg)
+    val tB = gen.transform(deep)
+
+    val model = new LeroModelPairWise(gen.featureDim, seed = 13)
+    model.fit(IndexedSeq(tB, tB), IndexedSeq(tA, tA),
+      IndexedSeq(0.9, 0.9), IndexedSeq(0.1, 0.1), epochs = 5, batchSize = 2)
+    val before = model.predict(Seq(tA, tB))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    ModelIO.save(dir, model, gen)
+    val (m2, g2) = ModelIO.load(dir)
+
+    assert(g2.featureDim == gen.featureDim)
+    assert(g2.opTypes == gen.opTypes)
+    assert(g2.inputRelations == gen.inputRelations)
+    assert(g2.normalizer.mins == gen.normalizer.mins) // exact doubles
+    assert(g2.normalizer.maxs == gen.normalizer.maxs)
+    // re-featurize through the LOADED generator and re-score through
+    // the LOADED net: scores must be bit-identical
+    val after = m2.predict(Seq(g2.transform(agg), g2.transform(deep)))
+    assert(before.sameElements(after),
+      s"${before.toSeq} vs ${after.toSeq}")
+    // weight arrays are bit-identical too
+    model.net.paramGrads.zip(m2.net.paramGrads).foreach {
+      case ((p1, _), (p2, _)) => assert(p1.sameElements(p2))
+    }
+  }
+
+  test("model load rejects a dim-mismatched weights file") {
+    val scan = PlanNode("FileScan", 10, 8, Some("lineitem"), Nil)
+    val gen = FeatureGenerator.fit(Seq(scan), Seq(1.0))
+    val model = new LeroModelPairWise(gen.featureDim, seed = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_bad").toString
+    ModelIO.save(dir, model, gen)
+    // truncate the weights file: load must fail loudly, not corrupt
+    val wf = java.nio.file.Paths.get(dir, "nn_weights.bin")
+    val bytes = java.nio.file.Files.readAllBytes(wf)
+    java.nio.file.Files.write(wf, bytes.take(bytes.length / 2))
+    intercept[Exception] { ModelIO.load(dir) }
+  }
+
   test("SparkPlan walker featurizes a real join plan") {
     import SparkTestSession._
     val df = graft.queries.Relational.defs("j1_join_2way")(spark, sf)

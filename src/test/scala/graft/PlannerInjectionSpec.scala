@@ -29,6 +29,10 @@ class PlannerInjectionSpec extends AnyFunSuite {
         .config("spark.ui.enabled", "false")
         // pin plans for deterministic assertions (AQE may re-plan)
         .config("spark.sql.adaptive.enabled", "false")
+        // sf0.001 inputs are far below the default 4 MB size bypass;
+        // these tests exercise routing itself, so disable the bypass
+        // (its own behavior has a dedicated test below)
+        .config(PlanChoice.MinInputBytesKey, "0")
         .withExtensions(new graft.engine.GraftExtensions)
         .getOrCreate()
       try body(s2)
@@ -107,6 +111,70 @@ class PlannerInjectionSpec extends AnyFunSuite {
       assert(choice.isDefined, "strategy did not fire for the write's query subtree")
       // the chosen plan is the QUERY (has a join), not a command shell
       assert(choice.get.canonical.contains("Join"), choice.get.canonical)
+      assert(!choice.get.canonical.contains("OverwriteByExpression") &&
+        !choice.get.canonical.contains("noop-table"),
+        s"swept the write command itself: ${choice.get.canonical.linesIterator.next()}")
+      // a repeated identical write must hit the choice cache — the
+      // command's canonical embeds raw exprIds that change per run, so
+      // caching under it (the original bug) could never hit
+      PlanChoice.lastChoice.set(None)
+      Relational.defs("j1_join_2way")(s2, sf)
+        .write.format("noop").mode("overwrite").save()
+      val second = PlanChoice.lastChoice.get()
+      assert(second.isDefined)
+      assert(second.get.nCandidates == 1,
+        "second write of the same query re-swept instead of hitting the cache")
+    } finally PlanChoice.uninstall()
+  }
+
+  test("size bypass skips the sweep for tiny inputs and is conf-tunable") {
+    val build = (s: SparkSession) => Relational.defs("j1_join_2way")(s, sf)
+    val cands = Candidates.enumerate(spark, build)
+    val gen = PlanFeatures.FeatureGenerator.fit(cands.map(_.plan))
+    PlanChoice.install(new LeroModelPairWise(gen.featureDim, seed = 7), gen)
+    try withExtensionSession { s2 =>
+      graft.engine.Tables.registerAll(s2, sf)
+      // restore the default bypass threshold: sf0.001 inputs (<1 MB)
+      // are far below 4 MB, so the strategy must decline
+      s2.conf.set(PlanChoice.MinInputBytesKey,
+        PlanChoice.DefaultMinInputBytes.toString)
+      PlanChoice.lastChoice.set(None)
+      val before = PlanChoice.bypassCount.get()
+      val n = Relational.defs("j1_join_2way")(s2, sf).collect()(0).getLong(0)
+      assert(n > 0)
+      assert(PlanChoice.lastChoice.get().isEmpty,
+        "tiny query was routed despite the size bypass")
+      assert(PlanChoice.bypassCount.get() > before, "bypass not counted")
+      // drop the threshold: the same query now routes
+      s2.conf.set(PlanChoice.MinInputBytesKey, "0")
+      PlanChoice.lastChoice.set(None)
+      Relational.defs("j1_join_2way")(s2, sf).collect()
+      assert(PlanChoice.lastChoice.get().isDefined,
+        "query did not route with the bypass disabled")
+    } finally PlanChoice.uninstall()
+  }
+
+  test("installFrom loads a saved model directory and routes with it") {
+    val build = (s: SparkSession) => Relational.defs("j1_join_2way")(s, sf)
+    val cands = Candidates.enumerate(spark, build)
+    val gen = PlanFeatures.FeatureGenerator.fit(cands.map(_.plan))
+    val model = new LeroModelPairWise(gen.featureDim, seed = 61)
+    val dir = java.nio.file.Files.createTempDirectory("graft_install").toString
+    graft.planopt.ModelIO.save(dir, model, gen)
+    PlanChoice.uninstall()
+    PlanChoice.installFrom(dir) // deployment path: no retraining
+    try withExtensionSession { s2 =>
+      graft.engine.Tables.registerAll(s2, sf)
+      PlanChoice.lastChoice.set(None)
+      val df = Relational.defs("j1_join_2way")(s2, sf)
+      df.collect()
+      val choice = PlanChoice.lastChoice.get()
+      assert(choice.isDefined, "loaded model did not route")
+      // the loaded net is bit-identical to the saved one: same scores
+      val expected = model.predict(cands.map(c => gen.transform(c.plan)))
+      val loaded = PlanChoice.current.get
+      val got = loaded._1.predict(cands.map(c => loaded._2.transform(c.plan)))
+      assert(expected.sameElements(got))
     } finally PlanChoice.uninstall()
   }
 
