@@ -4,6 +4,7 @@ import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -49,6 +50,7 @@ object Similarity {
   private val NearDupThreshold = 0.4
   private val IvfCells = 16
   private val IvfProbes = 12 // random 64-d data clusters weakly; recall@top-10 needs wide probing
+  private val KnnK = 5
 
   /** embeddings as double arrays: (vec_id, v). */
   private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
@@ -119,9 +121,96 @@ object Similarity {
       .select(col("vec_id"),
         array_to_vector(expr("transform(v, x -> x / nrm)")).as("features"))
 
+  /** Per-row top-k of scored (a_id, b_id, cos_sim) pairs. Rank on the
+    * RAW cosine (round only the output) with b_id as the tie-break so
+    * both engines rank identically. The rank<=k filter compiles to
+    * WindowGroupLimit (Spark 3.5+): each shuffle partition keeps only
+    * its local top-k BEFORE the exchange, so the shuffle carries
+    * O(rows·k/partitions), not the full pair stream. */
+  private def topKPerRow(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("a_id"))
+          .orderBy(col("cos_sim").desc, col("b_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("a_id"), col("rnk").cast("long").as("rnk"), col("b_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+
+  /** Exact kNN JOIN: the top-k cosine neighbors for EVERY corpus row
+    * (corpus×corpus), the all-rows generalization of sim1's single
+    * probe — a training-data pipeline's "nearest neighbors per
+    * document" verb. This is the declared exact ground truth: the
+    * N²/P scored-pair stream never materializes (WindowGroupLimit
+    * truncates per partition), but the scoring work is inherently
+    * quadratic — at 100 TB you run [[knnJoinBlocked]] and accept its
+    * measured recall, exactly like every production ANN system. */
+  def knnJoinExact(e: DataFrame, k: Int): DataFrame = {
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val scored = a.crossJoin(broadcast(b))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("graft_cosine(va, vb)").as("cos_sim"))
+    topKPerRow(scored, k)
+  }
+
+  /** Blocked kNN join — the 100 TB path: banded hyperplane signatures
+    * ([[graft.functions.HyperplaneBands]]) → (band, sig) equi-join for
+    * candidate pairs → exact re-score of candidates only → per-row
+    * top-k. Candidate generation shuffles on bounded band keys; no
+    * cross product in the plan.
+    *
+    * Unlike dd5_blocked (a THRESHOLD query, where permissive bands can
+    * guarantee recall and share the exact oracle), a top-k query has
+    * no threshold to tune bands against: recall depends on how far the
+    * true neighbors sit above the background similarity. On a corpus
+    * with real cluster structure (neighbor cos ≫ background, the
+    * regime where you'd deploy this) recall@k is ~1 and candidates are
+    * ~cluster-sized — `KnnJoinSpec` pins both on a planted clustered
+    * corpus. On structureless data (this repo's synthetic embeddings,
+    * max pair cos ≈ 0.51 over a ≈0 background) NO sublinear method can
+    * beat the exact join — so the oracle-gated entry is the exact one,
+    * and this path is spec- and bench-verified instead.
+    *
+    * A row with fewer than k surviving candidates emits fewer than k
+    * neighbors (standard ANN semantics; callers needing exactly k
+    * re-probe with wider bands). */
+  def knnJoinBlocked(e: DataFrame, k: Int, bits: Int, bands: Int,
+                     seed: Int = 42): DataFrame = {
+    val sig = e.select(col("vec_id"),
+      posexplode(expr(s"graft_hyperplane_bands(v, $bits, $bands, $seed)"))
+        .as(Seq("band", "sig")))
+      .persist() // both self-join sides share one signature materialization
+    // BOTH directions (a,b) and (b,a) survive — top-k is per-row and
+    // directional. distinct BEFORE scoring: duplicate candidate pairs
+    // (a pair colliding in several bands) would occupy duplicate ranks
+    // in the window, corrupting top-k (dd5_blocked can defer dedupe to
+    // after its threshold filter; a rank filter cannot).
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val scored = cand.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        expr("graft_cosine(va, vb)").as("cos_sim"))
+    topKPerRow(scored, k)
+  }
+
+  /** Library entry for the blocked kNN join over a parquet corpus
+    * (bench + spec surface; see [[knnJoinBlocked]] for why this is not
+    * an oracle-gated query). */
+  def knnBlockedOnCorpus(spark: SparkSession, sfDir: String,
+                         bits: Int, bands: Int): DataFrame =
+    knnJoinBlocked(vecs(spark, sfDir), KnnK, bits, bands)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_cosine_topk" -> ((spark, sfDir) =>
       topK(cosineToProbe(spark, sfDir))),
+    "sim4_knn_join" -> ((spark, sfDir) =>
+      knnJoinExact(vecs(spark, sfDir), KnnK)),
     "sim2_ann_lsh" -> ((spark, sfDir) => {
       val e = normalized(spark, sfDir)
       val model = lshModel(spark, sfDir, e)
@@ -172,65 +261,106 @@ object Similarity {
     // HyperplaneBands.params — at the test corpus's deliberately weak
     // tau=0.4 the bands are permissive; at a production tau=0.9 the
     // same code prunes ~99% of random pairs (see params scaladoc).
-    "dd5_blocked_neardup" -> ((spark, sfDir) => {
-      val (bits, bands) = HyperplaneBands.params(NearDupThreshold, 1e-4)
-      val e = vecs(spark, sfDir)
-      val sig = e.select(col("vec_id"),
-        posexplode(expr(s"graft_hyperplane_bands(v, $bits, $bands, 42)"))
-          .as(Seq("band", "sig")))
-        .persist() // both self-join sides share one signature materialization
-      // NOTE deliberately no distinct() on raw candidates: a pair
-      // colliding in k bands is scored k times (the kernel is one
-      // fused 64-dim loop — cheap), and dedupe happens AFTER the
-      // threshold filter when only the few true pairs survive. A
-      // pre-score distinct would shuffle the full candidate stream,
-      // which at a permissive threshold is the bulk of all pairs.
-      val cand = sig.as("x").join(sig.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      val va = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-      val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
-      cand.join(va, "a_id").join(vb, "b_id") // small side auto-broadcasts at test SF; shuffles at corpus scale
-        .select(col("a_id"), col("b_id"),
-          expr("graft_cosine(va, vb)").as("cos_sim"))
-        .filter(col("cos_sim") >= NearDupThreshold)
-        .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
-        .distinct()
-    })
+    "dd5_blocked_neardup" -> ((spark, sfDir) =>
+      blockedNearDup(spark, sfDir, NearDupThreshold)),
+    // the SAME code at a production threshold: tau=0.9's (12,55)
+    // bands prune ~99% of random pairs, so the bench entry measures
+    // the pruning regime the scaladoc claims rather than dd5's
+    // deliberately-permissive tau=0.4 (r3 verdict). On this corpus
+    // (max pair cos ≈ 0.51) the result — and its shared exact
+    // oracle — are both empty: the gate is precision-only here;
+    // recall is pinned by the tau=0.4 entry and PipelineSpec.
+    "dd5_blocked_tau09" -> ((spark, sfDir) =>
+      blockedNearDup(spark, sfDir, 0.9))
   )
 
-  private val cosSql =
-    """list_dot_product(e.embedding, p.embedding) /
-      |    (sqrt(list_dot_product(e.embedding, e.embedding)) *
-      |     sqrt(list_dot_product(p.embedding, p.embedding)))""".stripMargin
+  /** Banded hyperplane-LSH near-dup at threshold `tau`:
+    * candidate equi-join on (band, signature) → exact cosine
+    * re-score of candidates only. */
+  private def blockedNearDup(spark: SparkSession, sfDir: String, tau: Double): DataFrame = {
+    val (bits, bands) = HyperplaneBands.params(tau, 1e-4)
+    val e = vecs(spark, sfDir)
+    val sig = e.select(col("vec_id"),
+      posexplode(expr(s"graft_hyperplane_bands(v, $bits, $bands, 42)"))
+        .as(Seq("band", "sig")))
+      .persist() // both self-join sides share one signature materialization
+    // NOTE deliberately no distinct() on raw candidates: a pair
+    // colliding in k bands is scored k times (the kernel is one
+    // fused 64-dim loop — cheap), and dedupe happens AFTER the
+    // threshold filter when only the few true pairs survive. A
+    // pre-score distinct would shuffle the full candidate stream,
+    // which at a permissive threshold is the bulk of all pairs.
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    cand.join(va, "a_id").join(vb, "b_id") // small side auto-broadcasts at test SF; shuffles at corpus scale
+      .select(col("a_id"), col("b_id"),
+        expr("graft_cosine(va, vb)").as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
+      .distinct()
+  }
+
+  /** All cosine oracles compute over vectors pre-cast to DOUBLE[]:
+    * DuckDB's `list_dot_product` on FLOAT[] accumulates in float32
+    * (~1e-7 off the double result), while the Spark side casts to
+    * double before the kernel — the discrepancy landed one sf0.01
+    * kNN pair on the wrong side of the round-to-4 boundary
+    * (0.32574998 vs 0.32575003). With the cast, both engines run
+    * left-to-right float64 accumulation and agree bitwise. */
+  private val castCte =
+    "WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  private def cosSql(a: String, b: String) =
+    s"""list_dot_product($a.v, $b.v) /
+       |    (sqrt(list_dot_product($a.v, $a.v)) *
+       |     sqrt(list_dot_product($b.v, $b.v)))""".stripMargin
 
   private val topkOracleSql =
-    s"""SELECT e.vec_id, round($cosSql, 4) AS cos_sim
-       |FROM embeddings e,
-       |  (SELECT embedding FROM embeddings WHERE vec_id = $ProbeId) p
+    s"""$castCte
+       |SELECT e.vec_id, round(${cosSql("e", "p")}, 4) AS cos_sim
+       |FROM ed e,
+       |  (SELECT v FROM ed WHERE vec_id = $ProbeId) p
        |WHERE e.vec_id <> $ProbeId
-       |ORDER BY $cosSql DESC
+       |ORDER BY ${cosSql("e", "p")} DESC
        |LIMIT $TopK""".stripMargin
+
+  private val knnOracleSql =
+    s"""$castCte
+       |SELECT a_id, CAST(rnk AS BIGINT) AS rnk, b_id, round(cos_sim, 4) AS cos_sim
+       |FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cosSql("a", "b")} AS cos_sim,
+       |    row_number() OVER (
+       |      PARTITION BY a.vec_id
+       |      ORDER BY ${cosSql("a", "b")} DESC,
+       |        b.vec_id) AS rnk
+       |  FROM ed a, ed b
+       |  WHERE a.vec_id <> b.vec_id)
+       |WHERE rnk <= $KnnK""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim1_cosine_topk" -> topkOracleSql,
+    "sim4_knn_join" -> knnOracleSql,
     // both approximate paths must equal the exact path at test scale
     "sim2_ann_lsh" -> topkOracleSql,
     "sim3_ann_ivf" -> topkOracleSql,
-    "dd5_embed_neardup" -> dd5OracleSql,
+    "dd5_embed_neardup" -> dd5OracleSql(NearDupThreshold),
     // blocked path must equal the exact path — shared oracle is the gate
-    "dd5_blocked_neardup" -> dd5OracleSql
+    "dd5_blocked_neardup" -> dd5OracleSql(NearDupThreshold),
+    // production threshold: exact result is empty on this corpus, so
+    // the gate pins precision (no false pair may survive the bands)
+    "dd5_blocked_tau09" -> dd5OracleSql(0.9)
   )
 
-  private lazy val dd5OracleSql =
-      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |  round(list_dot_product(a.embedding, b.embedding) /
-         |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
-         |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
-         |FROM embeddings a, embeddings b
+  private def dd5OracleSql(tau: Double) =
+      s"""$castCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${cosSql("a", "b")}, 4) AS cos_sim
+         |FROM ed a, ed b
          |WHERE a.vec_id < b.vec_id
-         |  AND list_dot_product(a.embedding, b.embedding) /
-         |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
-         |     sqrt(list_dot_product(b.embedding, b.embedding))) >= $NearDupThreshold""".stripMargin
+         |  AND ${cosSql("a", "b")} >= $tau""".stripMargin
 }

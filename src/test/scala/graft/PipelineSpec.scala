@@ -136,6 +136,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("kNN join: k neighbors per row, ranked, self-free, sim1-consistent") {
+    val rows = SparkEntry.queries("sim4_knn_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val n = SparkEntry.queries("sim4_knn_join")(spark, sf)
+      .select("a_id").distinct().count()
+    assert(n == 500 && rows.length == 500 * 5)
+    assert(rows.forall { case (a, _, b, _) => a != b })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to 5L))
+      // scores non-increasing in rank
+      assert(byRank.map(_._4).sliding(2).forall(p => p.head >= p.last - 1e-9))
+    }
+    // probe row 0's top-5 must agree with sim1's (top-10) head
+    val sim1 = SparkEntry.queries("sim1_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).take(5)
+    val knn0 = rows.filter(_._1 == 0L).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+    assert(knn0 == sim1.toSeq)
+  }
+
+  test("kNN join plan: WindowGroupLimit truncates before the exchange") {
+    val plan = SparkEntry.queries("sim4_knn_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("blocked kNN join: full recall and no cross product on clustered data") {
+    // the regime the blocked path is FOR: real cluster structure
+    // (neighbor cos ~0.9+ over a ~0 background). 20 planted clusters
+    // of 6; every row's true top-5 is its 5 cluster siblings.
+    val rnd = new scala.util.Random(4242)
+    def unit(dim: Int): Array[Double] = {
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / nrm)
+    }
+    val rows = for {
+      c <- 0 until 20
+      center = unit(64)
+      m <- 0 until 6
+    } yield {
+      val v = center.zip(Array.fill(64)(rnd.nextGaussian() * 0.03))
+        .map { case (x, nz) => x + nz }
+      (c * 6L + m, v)
+    }
+    import spark.implicits._
+    val e = rows.toDF("vec_id", "v")
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.HyperplaneBands.register(spark)
+    val exact = Similarity.knnJoinExact(e, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val blocked = Similarity.knnJoinBlocked(e, 5, bits = 10, bands = 60)
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.size == 120 * 5)
+    assert(got == exact, "blocked kNN lost a true neighbor on clustered data")
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("hyperplane band signatures: codegen equals interpreted eval") {
     import graft.functions.HyperplaneBands
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
