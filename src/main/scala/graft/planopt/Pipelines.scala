@@ -93,6 +93,77 @@ object Pipelines {
     (fg, model)
   }
 
+  // ---- pretrain-on-cost (`lero_train.py:91-94`, pretrain=True) ----
+
+  /** Analytic physical-plan cost — the Spark stand-in for the PG
+    * `Plan.Total Cost` label the reference pretrains on BEFORE any
+    * runtime labels exist (cold start). Physical variants of one
+    * logical plan share every intermediate cardinality, so a pure
+    * C_out (Σ rows) cannot rank them; the discriminating terms are
+    * physical: shuffle exchanges move rows over the wire, sorts pay a
+    * comparison log-factor, broadcast builds ship to every executor,
+    * nested-loop/cartesian blow up. Each node contributes
+    * rows·weight(op). Absolute magnitudes are irrelevant downstream —
+    * labels are log-min-max normalized and the comparator only
+    * consumes order. */
+  def planCost(p: PlanNode): Double = {
+    val rows = math.max(p.rowsEst, 1.0)
+    val self = p.opType match {
+      case "ShuffleExchange" => 3.0 * rows
+      case "BroadcastExchange" => 2.0 * rows
+      case "Sort" => rows * (math.log(rows + 1) / math.log(2))
+      case "SortMergeJoin" | "ShuffledHashJoin" | "BroadcastHashJoin" => rows
+      case "BroadcastNestedLoopJoin" | "CartesianProduct" => 100.0 * rows
+      case _ => rows
+    }
+    self + p.children.map(planCost).sum
+  }
+
+  /** Enumerate candidates and label them with [[planCost]] — planning
+    * only, NO execution (the cluster never runs a query). The result
+    * reuses [[LabeledQuery]] with cost units in `latenciesMs`, so
+    * [[train]] and [[evaluate]] consume it unchanged — exactly the
+    * reference's pretrain flow, where cost labels ride the same
+    * pairwise loss as runtime labels. */
+  def costWorkload(spark: SparkSession,
+                   queries: Seq[(String, SparkSession => DataFrame)],
+                   log: Logger = new Logger(None)): Seq[LabeledQuery] =
+    queries.map { case (qid, build) =>
+      val cands = Candidates.enumerate(spark, build)
+      val costs = cands.map(c => planCost(c.plan))
+      log.info(s"$qid: ${cands.length} candidates, " +
+        s"costs=${costs.map(c => f"$c%.0f").mkString(",")}")
+      LabeledQuery(qid, cands.map(_.plan), costs)
+    }
+
+  /** Pointwise rank-score training (`training_with_rank_score`,
+    * `lero_train.py:49-52` + M13 [[Ranking.rankScore]]): per query,
+    * sort candidates by label (cost in pretrain mode, runtime
+    * otherwise), regress `rankScore(rank)` with the pointwise net.
+    * Rank scores are log-min-max normalized through the featurizer's
+    * label path like every other label in this codebase. */
+  def trainPointwiseRankScore(labeled: Seq[LabeledQuery],
+                              scoreType: Int = 0, epochs: Int = 100,
+                              seed: Long = 17L,
+                              opTypes: Vector[String] = PlanFeatures.OpTypes): (FeatureGenerator, LeroModelPointWise) = {
+    val trainable = labeled.filter(_.plans.length >= 2)
+    require(trainable.nonEmpty, "no query has >=2 candidates")
+    val ranked = trainable.map { q =>
+      val order = q.latenciesMs.zipWithIndex.sortBy(_._1).map(_._2)
+      val rankOf = order.zipWithIndex
+        .map { case (cand, r) => cand -> Ranking.rankScore(r + 1, scoreType) }
+        .toMap
+      (q.plans, q.plans.indices.map(rankOf))
+    }
+    val allPlans = ranked.flatMap(_._1)
+    val allScores = ranked.flatMap(_._2)
+    val fg = FeatureGenerator.fit(allPlans, allScores, opTypes)
+    val model = new LeroModelPointWise(fg.featureDim, seed)
+    model.fit(allPlans.map(fg.transform).toIndexedSeq,
+      allScores.map(fg.normLabel).toIndexedSeq, epochs = epochs)
+    (fg, model)
+  }
+
   /** Evaluation result (`lero_test.py:82-155`). */
   final case class EvalResult(rankingLoss: Option[Double],
                               leroDict: Map[String, Double],

@@ -68,4 +68,52 @@ class CandidatesSpec extends AnyFunSuite {
     val labeled = Candidates.labelCandidates(spark, build("j1_join_2way"), cands)
     assert(labeled.forall(_._2 > 0))
   }
+
+  test("planCost discriminates physical variants of one logical plan") {
+    // the point of the analytic cost: same logical plan, different
+    // physical operators → different costs (row counts alone tie)
+    val cands = Candidates.enumerate(spark, build("j1_join_5way"))
+    assert(cands.size >= 2)
+    val costs = cands.map(c => Pipelines.planCost(c.plan))
+    assert(costs.forall(c => c > 0 && java.lang.Double.isFinite(c)))
+    assert(costs.distinct.size > 1, s"costs degenerate: $costs")
+  }
+
+  test("cost-pretrained comparator beats random init on runtime-labeled held-out") {
+    // lero_train.py:91-94 semantics: before ANY runtime labels exist,
+    // train the pairwise comparator on optimizer-cost labels
+    // (planning only, nothing executed); it must already rank
+    // runtime-labeled held-out candidates better than chance.
+    val log = new Pipelines.Logger(None)
+    val trainNames = Seq("j1_join_5way", "a2_min_join", "q2_join_group_topn")
+    val costLabeled = Pipelines.costWorkload(spark,
+      trainNames.map(n => n -> build(n) _), log)
+    val (fg, pretrained) = Pipelines.train(costLabeled, epochs = 60, seed = 5L)
+
+    val testNames = Seq("j1_join_2way", "j1_join_7way")
+    val runtimeLabeled = Pipelines.labelWorkload(spark,
+      testNames.map(n => n -> build(n) _), log)
+    def lossOf(m: LeroModelPairWise): Double =
+      Ranking.rankingLoss(
+        runtimeLabeled.map(q => m.predict(q.plans.map(fg.transform)).toSeq),
+        runtimeLabeled.map(_.latenciesMs)).get
+    val pre = lossOf(pretrained)
+    val rand = lossOf(new LeroModelPairWise(fg.featureDim, seed = 5L))
+    assert(pre <= rand,
+      f"cost-pretrained loss $pre%.4f worse than random-init $rand%.4f")
+  }
+
+  test("pointwise rank-score pretraining orders candidates by cost rank") {
+    val names = Seq("j1_join_5way", "j1_join_7way", "a2_min_join")
+    val costLabeled = Pipelines.costWorkload(spark, names.map(n => n -> build(n) _))
+    val (fg, model) = Pipelines.trainPointwiseRankScore(
+      costLabeled, scoreType = 0, epochs = 80, seed = 11L)
+    // on its own training queries the pointwise net must reproduce the
+    // cost ordering's argmin (the cold-start chooser contract)
+    val agree = costLabeled.count { q =>
+      val scores = model.predict(q.plans.map(fg.transform))
+      scores.indices.minBy(scores) == q.latenciesMs.indices.minBy(q.latenciesMs)
+    }
+    assert(agree >= names.size - 1, s"argmin agreement $agree/${names.size}")
+  }
 }
