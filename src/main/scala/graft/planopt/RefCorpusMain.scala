@@ -64,6 +64,30 @@ object RefCorpusMain {
     log.info(s"train-split ranking loss: ${trainRes.rankingLoss.getOrElse(Double.NaN)}")
     log.info(f"held-out selected latency=${testRes.selectedTotalSec}%.3fs " +
       f"vs candidate-0 default=${testRes.defaultTotalSec}%.3fs")
+
+    // k-fold cross-validation (r4; r3 verdict: with 182 queries a
+    // single split swings the held-out loss ±0.24 — 0.827 @70/30 vs
+    // 0.589 @85/15 — so any one split is cherry-pickable. The fold
+    // mean±sd is the split-independent comparison against the golden.)
+    val k = 5
+    val blocks = shuffled.zipWithIndex.groupBy(_._2 % k)
+      .toSeq.sortBy(_._1).map(_._2.map(_._1))
+    val foldLosses = blocks.indices.map { i =>
+      val foldTest = blocks(i)
+      val foldTrain = blocks.indices.filter(_ != i).flatMap(blocks)
+      val (ffg, fm) = Pipelines.train(foldTrain, epochs = epochs, seed = 17L,
+        opTypes = PlanFeatures.PgOpTypes)
+      val r = Pipelines.evaluate(ffg, fm, foldTest)
+      val loss = r.rankingLoss.getOrElse(Double.NaN)
+      log.info(f"fold $i%d: held-out loss=$loss%.4f " +
+        f"(test=${foldTest.size}%d queries, selected=${r.selectedTotalSec}%.1fs " +
+        f"default=${r.defaultTotalSec}%.1fs)")
+      loss
+    }
+    val mean = foldLosses.sum / k
+    val sd = math.sqrt(foldLosses.map(l => (l - mean) * (l - mean)).sum / (k - 1))
+    log.info(f"$k%d-fold held-out ranking loss: mean=$mean%.4f sd=$sd%.4f " +
+      "(reference committed golden: 0.6132; lower is better)")
     log.close()
   }
 }
