@@ -24,6 +24,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 51 queries × 2 passes blow through the default 100-entry
+      // generated-class cache, so the "warm" pass was recompiling
+      // every stage (warm ≈ cold on codegen-heavy queries, and the
+      // tail of the run measured compilation, not execution)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
