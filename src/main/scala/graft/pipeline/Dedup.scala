@@ -134,7 +134,10 @@ object Dedup {
       .select(posexplode(col("docs")).as(Seq("i", "a_id")), col("docs"))
       .select(col("a_id"),
         explode(expr("slice(docs, i + 2, size(docs))")).as("b_id"))
-      .distinct()
+    // deliberately NOT distinct here: [[verifiedPairs]] dedupes AFTER
+    // its cheap size-ratio prune, so the corpus-wide distinct shuffle
+    // carries only ratio-compatible pairs (~4x fewer), not the full
+    // candidate stream
 
   private def jaccardOf = col("c").cast("double") /
     (col("na") + col("nb") - col("c")).cast("double")
@@ -166,17 +169,35 @@ object Dedup {
     * — the r3 bimodality): locally the candidate side is tiny and
     * broadcasts; at 100 TB both sides are large and AQE keeps the
     * doc_id-keyed shuffle join.
+    *
+    * Lossless size-ratio prune BEFORE the array joins:
+    * |A∩B| <= min(|A|,|B|), so J(A,B) <= min/max — a pair whose
+    * shingle-set sizes differ by more than the threshold ratio
+    * cannot reach it, whatever the overlap. Sizes come from a
+    * doc-count-sized projection of `sets` (ints, broadcastable at
+    * any sane doc count), so the expensive array_intersect runs only
+    * on ratio-compatible pairs (~4x fewer on the test corpus).
     */
   private[graft] def verifiedPairs(sets: DataFrame, cand: DataFrame,
-                                   threshold: Double): DataFrame =
+                                   threshold: Double): DataFrame = {
+    val sizes = sets.select(col("doc_id"), size(col("hs")).as("n"))
     cand
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
+      // dedupe AFTER the prune: candidate streams may carry one row
+      // per shared shingle; a pair must score once. Post-prune the
+      // distinct shuffles only the ratio-compatible minority.
+      .distinct()
       .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("ha"), col("hb"))).as("c"),
-        size(col("ha")).as("na"), size(col("hb")).as("nb"))
+        col("na"), col("nb"))
       .filter(jaccardOf >= threshold)
       .select(col("a_id"), col("b_id"), round(jaccardOf, 3).as("jaccard"))
+  }
 
   // --- MinHash machinery (ref coreset.py:5-46 uses 128 perms, LSH thr
   //     0.5; we run 96 perms = 24 bands × 4 rows — s-curve thr ~0.45,
