@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CollectCappedLongs, CosineSimilarity, HyperplaneBands}
+import graft.functions.{CollectCappedLongs, CosineSimilarity, DotProduct, HyperplaneBands}
 
 /** Session-extension entry point (SURVEY §7: register custom pieces
   * via `SparkSessionExtensions`). Enable with
@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.info, CosineSimilarity.builder))
     ext.injectFunction((FunctionIdentifier(HyperplaneBands.name),
       HyperplaneBands.info, HyperplaneBands.builder))
+    ext.injectFunction((FunctionIdentifier(DotProduct.name),
+      DotProduct.info, DotProduct.builder))
     ext.injectFunction((FunctionIdentifier(CollectCappedLongs.name),
       CollectCappedLongs.info, CollectCappedLongs.builder))
     ext.injectPlannerStrategy(session => graft.plans.LearnedPlanStrategy(session))

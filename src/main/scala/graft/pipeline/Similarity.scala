@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.functions.{CosineSimilarity, HyperplaneBands}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBands}
 
 /** Similarity search + embedding near-dup over the `embeddings`
   * table (64-dim FLOAT vectors). Exact paths are the oracle-checked
@@ -55,6 +55,7 @@ object Similarity {
   /** embeddings as double arrays: (vec_id, v). */
   private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
     CosineSimilarity.register(spark)
+    DotProduct.register(spark)
     HyperplaneBands.register(spark)
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"),
@@ -145,12 +146,18 @@ object Similarity {
     * quadratic — at 100 TB you run [[knnJoinBlocked]] and accept its
     * measured recall, exactly like every production ANN system. */
   def knnJoinExact(e: DataFrame, k: Int): DataFrame = {
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    // norms once per ROW (N sqrt-dots), dots once per PAIR (N²): a
+    // third of graft_cosine's per-pair flops, bit-identical value
+    // (graft_dot accumulates like the fused kernel's terms, and
+    // dot/(na*nb) is the kernel's exact final expression)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      expr("sqrt(graft_dot(v, v))").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      expr("sqrt(graft_dot(v, v))").as("nb"))
     val scored = a.crossJoin(broadcast(b))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
-        expr("graft_cosine(va, vb)").as("cos_sim"))
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
     topKPerRow(scored, k)
   }
 
@@ -191,11 +198,13 @@ object Similarity {
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      expr("sqrt(graft_dot(v, v))").as("na"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      expr("sqrt(graft_dot(v, v))").as("nb"))
     val scored = cand.join(va, "a_id").join(vb, "b_id")
       .select(col("a_id"), col("b_id"),
-        expr("graft_cosine(va, vb)").as("cos_sim"))
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
     topKPerRow(scored, k)
   }
 

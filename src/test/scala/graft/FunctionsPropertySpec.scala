@@ -40,6 +40,34 @@ class FunctionsPropertySpec extends AnyFunSuite {
     }
   }
 
+  private def evalDot(a: Array[Double], b: Array[Double]): Double = {
+    val e = graft.functions.DotProduct(
+      BoundReference(0, ArrayType(DoubleType), nullable = false),
+      BoundReference(1, ArrayType(DoubleType), nullable = false))
+    e.eval(InternalRow(new GenericArrayData(a), new GenericArrayData(b)))
+      .asInstanceOf[Double]
+  }
+
+  test("dot: amortized-norm cosine is BIT-identical to the fused kernel") {
+    // the kNN kernels compute dot/(na*nb) with per-row precomputed
+    // norms; that decomposition must reproduce graft_cosine exactly
+    // (same accumulation order, same final ops), not just approximately
+    (1 to 200).foreach { _ =>
+      val a = randVec()
+      val b = Array.fill(a.length)(rng.nextDouble() * 20.0 - 10.0)
+      val na = math.sqrt(evalDot(a, a))
+      val nb = math.sqrt(evalDot(b, b))
+      val decomposed = evalDot(a, b) / (na * nb)
+      assert(decomposed == evalCosine(a, b), "bitwise parity")
+    }
+  }
+
+  test("dot: raises on length mismatch like the cosine kernel") {
+    intercept[IllegalArgumentException] {
+      evalDot(Array(1.0, 2.0), Array(1.0))
+    }
+  }
+
   test("cosine: invariant under positive scaling of either side") {
     (1 to 100).foreach { _ =>
       val a = randVec()
