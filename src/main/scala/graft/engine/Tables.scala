@@ -81,6 +81,7 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (registered.get(spark) == sfDir) return
     graft.functions.CosineSimilarity.register(spark) // native fn library
+    graft.functions.DotProduct.register(spark)
     graft.functions.HyperplaneBands.register(spark)
     graft.functions.CollectCappedLongs.register(spark)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

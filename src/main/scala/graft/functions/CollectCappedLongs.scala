@@ -106,9 +106,13 @@ case class CollectCappedLongs(
 object CollectCappedLongs {
   val name = "graft_collect_capped"
 
+  // 11-arg form like the other graft functions: the 3-arg constructor
+  // is (className, db, name) — it would record the usage string as the
+  // function NAME in registry metadata
   val info = new ExpressionInfo(
-    classOf[CollectCappedLongs].getName, name,
-    s"$name(col, limit) - collect_list over bigints with a hard per-key buffer cap.")
+    classOf[CollectCappedLongs].getName, null, name,
+    "_FUNC_(col, limit) - collect_list over bigints with a hard per-key buffer cap.",
+    "", "", "", "", "", "", "built-in")
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.length == 2, s"$name expects (col, limit)")

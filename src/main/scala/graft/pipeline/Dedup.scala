@@ -110,6 +110,18 @@ object Dedup {
     * genuine J>=0.8 near-dup shares dozens of content shingles, each
     * rare. The cap is a constant, so candidate cost stays
     * K·|shingles| = linear in corpus size at any scale.
+    *
+    * KNOWN BLIND SPOT (deliberate, spec-pinned): a duplicate CLUSTER
+    * of more than MaxShingleDf documents makes every shared shingle
+    * hot, so dd2's capped generation emits no candidates for it —
+    * the price of bounding the self-join. That regime is covered by
+    * the suite, not abandoned: dd1 catches exact duplicates at any
+    * cluster size, and dd3's banded MinHash candidates have NO df cap
+    * (a mass-duplicate cluster shares band signatures, so its pairs
+    * all surface there — `PipelineSpec` plants a 70-doc cluster and
+    * asserts exactly this split). Losslessness of dd2 itself is
+    * verified corpus-wide against the unrestricted ground-truth join
+    * at sf0.001/sf0.01 (spec) and sf0.1 (256/256 pairs).
     */
   private[graft] val MaxShingleDf = 64
 
@@ -229,7 +241,7 @@ object Dedup {
   /** LSH banding: candidates = docs sharing any (band, band_sig) key,
     * via a banded equi-join (the only shuffle that matters at scale).
     */
-  private def bandedCandidates(ex: DataFrame): DataFrame = {
+  private[graft] def bandedCandidates(ex: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
     val bandSigs = (0 until NumBands).map { b =>
       xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)

@@ -173,7 +173,7 @@ object Similarity {
     * true neighbors sit above the background similarity. On a corpus
     * with real cluster structure (neighbor cos ≫ background, the
     * regime where you'd deploy this) recall@k is ~1 and candidates are
-    * ~cluster-sized — `KnnJoinSpec` pins both on a planted clustered
+    * ~cluster-sized — `PipelineSpec` pins both on a planted clustered
     * corpus. On structureless data (this repo's synthetic embeddings,
     * max pair cos ≈ 0.51 over a ≈0 background) NO sublinear method can
     * beat the exact join — so the oracle-gated entry is the exact one,
@@ -208,12 +208,6 @@ object Similarity {
     topKPerRow(scored, k)
   }
 
-  /** Library entry for the blocked kNN join over a parquet corpus
-    * (bench + spec surface; see [[knnJoinBlocked]] for why this is not
-    * an oracle-gated query). */
-  def knnBlockedOnCorpus(spark: SparkSession, sfDir: String,
-                         bits: Int, bands: Int): DataFrame =
-    knnJoinBlocked(vecs(spark, sfDir), KnnK, bits, bands)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_cosine_topk" -> ((spark, sfDir) =>

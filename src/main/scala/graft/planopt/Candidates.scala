@@ -41,6 +41,18 @@ object Candidates {
       "spark.sql.join.preferSortMergeJoin" -> preferSortMergeJoin.toString,
       "spark.sql.cbo.joinReorder.enabled" -> joinReorder.toString,
       "spark.sql.adaptive.enabled" -> "false")
+
+    /** The physical-planning subset of [[confs]] — what the in-engine
+      * strategy applies. It must NOT override optimizer-time confs:
+      * its nested planning re-optimizes an ALREADY-OPTIMIZED plan, and
+      * forcing e.g. joinReorder=true in a session that runs with it
+      * disabled would reorder the sweep's candidates while the
+      * choice-cache fast path (which plans the incoming optimized
+      * query directly) keeps the session's join order — the executed
+      * plan on a cache hit would silently differ from the plan the
+      * model scored on the miss. */
+    def physicalConfs: Seq[(String, String)] =
+      confs.filterNot(_._1 == "spark.sql.cbo.joinReorder.enabled")
     def label: String =
       s"bcast=$broadcastThreshold,smj=$preferSortMergeJoin,reorder=$joinReorder"
   }

@@ -147,8 +147,10 @@ object StableMain {
     // side-B layout let background drift (GC of training garbage,
     // JIT) land asymmetrically — observed swinging a side 3× between
     // otherwise-identical runs.
-    def bestOf(passes: Int)(side: (Int) => Double): Double =
-      (1 to passes).map(side).min
+    def bestOf(passes: Int)(sides: Int => (Double, Double)): (Double, Double) = {
+      val runs = (1 to passes).map(sides)
+      (runs.map(_._1).min, runs.map(_._2).min)
+    }
 
     // (A) stock deployment: default broadcast settings + the default
     // 4 MB size bypass. r3 finding: routing was a pure ~30% tax on
@@ -156,14 +158,12 @@ object StableMain {
     // cache's direct-physical-planning fast path (repeats) must make
     // injected ≈ default.
     val s2 = extSession(Nil)
-    var defA = Double.MaxValue
-    var injA = Double.MaxValue
-    for (k <- 1 to 3) {
-      defA = math.min(defA, Candidates.withConfs(spark,
+    val (defA, injA) = bestOf(3) { k =>
+      (Candidates.withConfs(spark,
         Seq("spark.sql.adaptive.enabled" -> "false")) {
         timeAll(spark, s"default-p$k")
-      })
-      injA = math.min(injA, timeAll(s2, s"injected-p$k"))
+      },
+        timeAll(s2, s"injected-p$k"))
     }
     log.info(f"E2E(A) best-of-3, stock conf: injected ${injA}%.1fms vs default ${defA}%.1fms " +
       s"over ${testQ.size} held-out queries (size bypass active)")
@@ -178,14 +178,12 @@ object StableMain {
     // any delta comes from the routed big joins.
     val noBcast = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val s3 = extSession(noBcast)
-    var defB = Double.MaxValue
-    var injB = Double.MaxValue
-    for (k <- 1 to 3) {
-      defB = math.min(defB, Candidates.withConfs(spark,
+    val (defB, injB) = bestOf(3) { k =>
+      (Candidates.withConfs(spark,
         noBcast :+ ("spark.sql.adaptive.enabled" -> "false")) {
         timeAll(spark, s"noBcast-default-p$k")
-      })
-      injB = math.min(injB, timeAll(s3, s"noBcast-injected-p$k"))
+      },
+        timeAll(s3, s"noBcast-injected-p$k"))
     }
     log.info(f"E2E(B) best-of-3, autoBroadcast=-1: injected ${injB}%.1fms vs default ${defB}%.1fms " +
       s"over ${testQ.size} held-out queries (routed choices re-enable broadcast)")

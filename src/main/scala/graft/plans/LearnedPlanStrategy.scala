@@ -158,9 +158,11 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
     // any possible plan win. Leaf-relation sizes, not the root
     // estimate (aggregation roots estimate ~1 row regardless of
     // input scale).
-    val minBytes = session.conf
-      .get(PlanChoice.MinInputBytesKey, PlanChoice.DefaultMinInputBytes.toString)
-      .toLong
+    // byteStringAsBytes accepts both raw byte counts and the size
+    // suffixes every other Spark size conf takes ("4m", "4MB")
+    val minBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      session.conf.get(PlanChoice.MinInputBytesKey,
+        PlanChoice.DefaultMinInputBytes.toString))
     if (minBytes > 0) {
       val inputBytes = query.collectLeaves().map(_.stats.sizeInBytes).sum
       if (inputBytes < minBytes) {
@@ -179,7 +181,7 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       // prepared-plan canonicalization — planning only)
       val remembered = PlanChoice.choiceCache.get(cacheKey)
       if (remembered != null) {
-        return Candidates.withConfs(session, remembered.confs) {
+        return Candidates.withConfs(session, remembered.physicalConfs) {
           // `query` is already optimized (strategies see the optimized
           // plan) and the remembered knobs are physical-planning-time
           // only, so skip the nested QueryExecution's re-analysis +
@@ -211,7 +213,7 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       // DataFrame.
       val seen = scala.collection.mutable.LinkedHashMap[String, (SparkPlan, PlanFeatures.PlanNode, Candidates.Knobs)]()
       Candidates.knobGrid.filter(_.joinReorder).foreach { knobs =>
-        Candidates.withConfs(session, knobs.confs) {
+        Candidates.withConfs(session, knobs.physicalConfs) {
           // SKIP mode: belt-and-braces against eager command execution
           val qe = new QueryExecution(classic, query,
             new QueryPlanningTracker, CommandExecutionMode.SKIP)

@@ -136,6 +136,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("df-cap blind spot: >K duplicate cluster is missed by dd2, caught by dd3") {
+    // the documented trade-off of bounding the dd2 self-join: a
+    // duplicate cluster larger than MaxShingleDf makes every shared
+    // shingle hot, so capped candidate generation emits nothing for
+    // it — while dd3's banded MinHash candidates (no df cap) surface
+    // every pair of the cluster. Plant a 70-doc cluster (K=64) and
+    // assert exactly that split.
+    import spark.implicits._
+    val common = (1L to 50L).map(i => i * 1000003L)
+    val rows = (0 until 70).map { d =>
+      (d.toLong, common ++ Seq(9000000000L + d)) // J = 50/52 ≈ 0.96
+    }
+    val sets = rows.toDF("doc_id", "hs")
+    val ex = sets.select(col("doc_id"), explode(col("hs")).as("h"))
+    graft.functions.CollectCappedLongs.register(spark)
+    assert(Dedup.cappedCandidates(ex).count() == 0,
+      "capped generation unexpectedly produced candidates for a hot cluster")
+    val banded = Dedup.verifiedPairs(sets, Dedup.bandedCandidates(ex), 0.8)
+    assert(banded.count() == 70L * 69 / 2,
+      "dd3's banded candidates must cover the full duplicate cluster")
+  }
+
   test("kNN join: k neighbors per row, ranked, self-free, sim1-consistent") {
     val rows = SparkEntry.queries("sim4_knn_join")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
