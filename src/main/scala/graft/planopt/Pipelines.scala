@@ -64,17 +64,11 @@ object Pipelines {
       LabeledQuery(qid, labeled.map(_._1.plan), labeled.map(_._2))
     }
 
-  /** Train a pairwise comparator on labeled queries
-    * (`lero_train.py:76-106` flow: fit featurizer on all plans +
-    * exec times, all-ordered-pairs per query, pairwise BCE). */
-  def train(labeled: Seq[LabeledQuery], epochs: Int = 100,
-            seed: Long = 17L,
-            opTypes: Vector[String] = PlanFeatures.OpTypes): (FeatureGenerator, LeroModelPairWise) = {
-    val trainable = labeled.filter(_.plans.length >= 2)
-    require(trainable.nonEmpty, "no query has >=2 candidates")
-    val allPlans = trainable.flatMap(_.plans)
-    val allTimes = trainable.flatMap(_.latenciesMs)
-    val fg = FeatureGenerator.fit(allPlans, allTimes, opTypes)
+  /** All-ordered-pairs training tensors for `labeled` under a FIXED
+    * featurizer (`lero_train.py:26-40` pairing). */
+  private def trainingTensors(trainable: Seq[LabeledQuery], fg: FeatureGenerator):
+      (IndexedSeq[PlanFeatures.FeatTree], IndexedSeq[PlanFeatures.FeatTree],
+        IndexedSeq[Double], IndexedSeq[Double]) = {
     val x1 = scala.collection.mutable.ArrayBuffer[PlanFeatures.FeatTree]()
     val x2 = scala.collection.mutable.ArrayBuffer[PlanFeatures.FeatTree]()
     val y1 = scala.collection.mutable.ArrayBuffer[Double]()
@@ -87,10 +81,45 @@ object Pipelines {
         y1 += labels(i); y2 += labels(j)
       }
     }
+    (x1.toIndexedSeq, x2.toIndexedSeq, y1.toIndexedSeq, y2.toIndexedSeq)
+  }
+
+  /** Train a pairwise comparator on labeled queries
+    * (`lero_train.py:76-106` flow: fit featurizer on all plans +
+    * exec times, all-ordered-pairs per query, pairwise BCE). */
+  def train(labeled: Seq[LabeledQuery], epochs: Int = 100,
+            seed: Long = 17L,
+            opTypes: Vector[String] = PlanFeatures.OpTypes): (FeatureGenerator, LeroModelPairWise) = {
+    val trainable = labeled.filter(_.plans.length >= 2)
+    require(trainable.nonEmpty, "no query has >=2 candidates")
+    val allPlans = trainable.flatMap(_.plans)
+    val allTimes = trainable.flatMap(_.latenciesMs)
+    val fg = FeatureGenerator.fit(allPlans, allTimes, opTypes)
+    val (x1, x2, y1, y2) = trainingTensors(trainable, fg)
     val model = new LeroModelPairWise(fg.featureDim, seed)
-    model.fit(x1.toIndexedSeq, x2.toIndexedSeq, y1.toIndexedSeq, y2.toIndexedSeq,
-      epochs = epochs)
+    model.fit(x1, x2, y1, y2, epochs = epochs)
     (fg, model)
+  }
+
+  /** Fine-tune an EXISTING comparator on new labels — the reference's
+    * `tuning_model_path` mode (`lero_train.py:77-88`: load the saved
+    * model, REUSE its feature_generator, continue `fit` from the
+    * current weights). The featurizer is frozen deliberately: vocab
+    * and normalizer bounds travel with the artifact ([[ModelIO]]),
+    * so features stay comparable across refreshes. Combined with
+    * [[costWorkload]] this is the full cold-start lifecycle: pretrain
+    * on cost labels, deploy, then fine-tune as the first runtime
+    * labels arrive — spec'd to beat training from scratch on the
+    * same few runtime labels. Mutates and returns `model`. */
+  def finetune(fg: FeatureGenerator, model: LeroModelPairWise,
+               labeled: Seq[LabeledQuery], epochs: Int = 100): LeroModelPairWise = {
+    val trainable = labeled.filter(_.plans.length >= 2)
+    require(trainable.nonEmpty, "no query has >=2 candidates")
+    require(model.featureDim == fg.featureDim,
+      s"model dim ${model.featureDim} != featurizer dim ${fg.featureDim}")
+    val (x1, x2, y1, y2) = trainingTensors(trainable, fg)
+    model.fit(x1, x2, y1, y2, epochs = epochs)
+    model
   }
 
   // ---- pretrain-on-cost (`lero_train.py:91-94`, pretrain=True) ----
