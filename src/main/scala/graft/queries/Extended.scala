@@ -17,7 +17,10 @@ import graft.engine.Tables
   * x6 → salted shuffle-hash join (hot-key mitigation, spec-pinned
   * physical plan), x7 → as-of join as ONE window pass (join-free
   * plan), x8 → range join as a bin-expanded equi-join (no nested
-  * loop).
+  * loop), x9 → ROLLUP subtotals (Expand + single hash-agg), x10 →
+  * per-partition window analytics (lag + sliding frame, one
+  * shuffle), x11 → exact interpolated percentiles (group-local
+  * sort; approx_percentile is the sketch path at scale).
   */
 object Extended {
 
@@ -89,6 +92,52 @@ object Extended {
       |  (VALUES ('low', 1, 11), ('mid', 11, 26), ('high', 26, 51)) AS b(band, lo, hi)
       |WHERE l_quantity >= lo AND l_quantity < hi
       |GROUP BY band ORDER BY band""".stripMargin
+
+  // x9: ROLLUP — hierarchical subtotal aggregation (the physical
+  // Expand operator: each input row fans out to its grouping sets,
+  // then one partial/final hash-agg; ONE corpus shuffle regardless of
+  // how many subtotal levels). Grouping-null labels are rewritten via
+  // grouping() on both engines so genuine data NULLs could never
+  // collide with subtotal rows. Money sums stay DECIMAL-exact until
+  // the final DOUBLE cast (driver-hash rule).
+  private val x9Sql =
+    """SELECT
+      |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+      |       ELSE o_orderstatus END AS status,
+      |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+      |       ELSE o_orderpriority END AS prio,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin
+
+  // x10 oracle: per-user event-stream analytics — previous-event
+  // delta + 3-row moving average. Frame sums stay in DECIMAL so the
+  // sliding-window float association (Spark running-frame vs DuckDB
+  // segment tree) cannot skew the hash; division happens once, in
+  // DOUBLE, per output row. Timestamps compared in the microsecond
+  // domain on both engines (Spark loads nanos as micros; DuckDB
+  // floors epoch_ns // 1000).
+  private val x10Sql =
+    """SELECT event_id,
+      |  CAST(v - coalesce(lag(v) OVER w, v) AS DOUBLE) AS delta,
+      |  round(CAST(sum(v) OVER f AS DOUBLE) / (count(*) OVER f), 4) AS mavg3
+      |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |        CAST(value AS DECIMAL(18,2)) AS v
+      |      FROM events WHERE user_id < 100)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+      |       f AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // x11 oracle: exact interpolated per-stratum percentiles (DuckDB
+  // quantile_cont ≡ Spark percentile: both interpolate at p*(n-1)).
+  private val x11Sql =
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+      |  round(quantile_cont(n_chars, 0.50), 4) AS p50,
+      |  round(quantile_cont(n_chars, 0.95), 4) AS p95
+      |FROM documents GROUP BY lang""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_left_outer_join" -> sql(x1),
@@ -169,7 +218,55 @@ object Extended {
           sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double").as("revenue"))
         .orderBy(col("band"))
-    }))
+    }),
+    // x9: ROLLUP subtotals — Spark SQL's ROLLUP compiles to Expand +
+    // one partial/final HashAggregate (subtotal levels cost fan-out
+    // rows, not extra shuffles).
+    "x9_rollup_agg" -> ((spark, sfDir) => Tables.sql(spark, sfDir,
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+        |       ELSE o_orderstatus END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+        |       ELSE o_orderpriority END AS prio,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin)),
+    // x10: per-user window analytics (lag delta + 3-row moving
+    // average) — ONE shuffle on user_id serves both window specs
+    // (same partitioning + ordering); frame arithmetic in DECIMAL,
+    // one DOUBLE division per row. The per-user sort is bounded by
+    // user history, never corpus-wide — the shape that holds when the
+    // events table is 100 TB but no user has more than ~1e6 events.
+    "x10_window_analytics" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(spark, sfDir, "events")
+        .filter(col("user_id") < 100)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val f = w.rowsBetween(-2, Window.currentRow)
+      ev.select(col("event_id"),
+        (col("v") - coalesce(lag(col("v"), 1).over(w), col("v")))
+          .cast("double").as("delta"),
+        round(sum(col("v")).over(f).cast("double") / count(lit(1)).over(f), 4)
+          .as("mavg3"))
+    }),
+    // x11: exact interpolated percentiles per stratum — the quality-
+    // threshold calibration query (e.g. "p95 doc length per language"
+    // before setting a filter cutoff). Spark's `percentile` sorts
+    // within each group only; at 100 TB swap in approx_percentile
+    // (t-digest sketch, partial-aggregable) — same plan shape, the
+    // exact form here is what the oracle can check.
+    "x11_percentiles" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+          round(expr("percentile(n_chars, 0.50)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))))
 
   val oracle: Map[String, String] = Map(
     "x1_left_outer_join" -> x1,
@@ -179,5 +276,8 @@ object Extended {
     "x5_distinct_agg" -> x5,
     "x6_salted_skew_join" -> x6Sql,
     "x7_asof_join" -> x7Sql,
-    "x8_range_join" -> x8Sql)
+    "x8_range_join" -> x8Sql,
+    "x9_rollup_agg" -> x9Sql,
+    "x10_window_analytics" -> x10Sql,
+    "x11_percentiles" -> x11Sql)
 }
