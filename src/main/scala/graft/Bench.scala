@@ -29,8 +29,16 @@ object Bench {
       // every stage (warm ≈ cold on codegen-heavy queries, and the
       // tail of the run measured compilation, not execution)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Synchronous shuffle-file cleanup: the ContextCleaner's async
+      // queue lagged behind a 51-query suite, so dead shuffle files
+      // from early queries accumulated on local disk and the heaviest
+      // late queries (dd2/dd3) paid for it (r4: 28.9s in-suite vs 5.5s
+      // isolated). Blocking cleanup bounds that backlog at one query.
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val diag = new BenchDiag
+    spark.sparkContext.addSparkListener(diag)
 
     // Registration (catalog tables + ANALYZE) and JVM/codegen warmup,
     // outside the timed region.
@@ -52,11 +60,14 @@ object Bench {
     // SPARK_GRAFT_ONLY=dd2_ngram_jaccard,dd3_minhash_lsh
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def timeAll(recordErrors: Boolean): Seq[(String, Double)] =
+    // per-(pass, query) diagnostics JSON objects for bench_diag.json
+    val diagRows = scala.collection.mutable.ArrayBuffer[String]()
+    def timeAll(pass: String, recordErrors: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
         resetState()
+        diag.snapshotDelta(spark.sparkContext) // reset the delta window
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -64,13 +75,16 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        diagRows += s"""{"pass":"$pass","query":"$name","sec":${f"$sec%.3f"},""" +
+          s""""m":${diag.snapshotDelta(spark.sparkContext)}}"""
+        name -> sec
       }
     // primary (cold) pass — the round-over-round comparable number;
     // second (warm) pass reports steady-state with codegen/JIT caches
     // hot, which is what amortized cluster throughput looks like
-    val results = timeAll(recordErrors = true)
-    val warm = timeAll(recordErrors = false)
+    val results = timeAll("cold", recordErrors = true)
+    val warm = timeAll("warm", recordErrors = false)
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -91,6 +105,15 @@ object Bench {
     // pick it up without scraping sbt log noise.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => () }
+    // Extended per-query diagnostics (spill / shuffle / GC / code-cache
+    // deltas) go to a SEPARATE file: the stdout contract is one compact
+    // JSON line, and the driver's capture window is bounded.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_diag.json"),
+      diagRows.mkString("{\"per_query\":[\n", ",\n", "\n],\n") +
+        s""""code_cache_used":${diag.codeCacheUsed},""" +
+        s""""code_cache_max":${diag.codeCacheMax}}\n""")
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -9,20 +9,26 @@ import graft.engine.Tables
   * typed metadata, batched per-partition decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (`decodeStub`) — but everything
-  * around it is the real 100 TB shape:
+  * The IMAGE path is real: PNGs are encoded and decoded with the
+  * JDK's `javax.imageio` codec (no external deps), and the decode /
+  * resize stages are oracle-gated — the PNG corpus is generated with
+  * dimensions and fill color that are closed-form functions of
+  * `doc_id`, so DuckDB can state the expected decoded output without
+  * running a codec, while the Spark side round-trips real PNG bytes.
+  * The execution shape is the 100 TB one:
   *  - media rides in a `BINARY` column inside the row (at production
   *    scale you'd point at object-store keys instead once blobs exceed
   *    a few MB, same schema otherwise);
-  *  - the decoder runs via `mapPartitions` on a typed Dataset — one
-  *    iterator per partition, so a real implementation amortizes codec
-  *    init per partition exactly like a Pandas-UDF batch would;
-  *  - downstream of the stub it's columnar aggregates again.
+  *  - codecs run via `mapPartitions` on a typed Dataset — one
+  *    iterator per partition, so codec/reader state amortizes per
+  *    partition exactly like a Pandas-UDF batch would;
+  *  - downstream of the decode it's columnar aggregates again.
   *
-  * Since the testdata ships no binary table, `documents.text`'s UTF-8
-  * bytes stand in for the blob; the byte-count aggregate is oracle-
-  * checked against DuckDB's `octet_length(encode(text))`.
+  * The VIDEO path (frame sampling) remains a declared stub — the JDK
+  * ships no video codec — but its byte-conservation contract is
+  * oracle-checked. mm1/mm2 run over `documents.text`'s UTF-8 bytes
+  * standing in for opaque blobs; the byte-count aggregates are
+  * oracle-checked against DuckDB's `octet_length(encode(text))`.
   */
 object Multimodal {
 
@@ -34,21 +40,48 @@ object Multimodal {
   case class MediaFeature(media_id: Long, source: String, n_bytes: Long,
                           width: Int, height: Int, checksum: Long)
 
-  /** STUB decoder: stands in for an image/audio codec. Deterministic
-    * fake: "dimensions" and checksum derived from the bytes. A real
-    * build swaps only this function's body (per-partition batched,
-    * codec handle initialized once per iterator).
+  private val PngMime = "image/png"
+
+  /** Closed-form PNG geometry/fill from the id — the contract shared
+    * by the Spark-side generator and the DuckDB oracle. */
+  private def pngWidth(id: Long): Int = 8 + (id % 25).toInt
+  private def pngHeight(id: Long): Int = 8 + ((id * 7) % 25).toInt
+  private def pngRgb(id: Long): (Int, Int, Int) =
+    ((id % 256).toInt, ((id * 31) % 256).toInt, ((id * 101) % 256).toInt)
+
+  /** Batched decoder. PNG blobs go through the REAL `javax.imageio`
+    * codec (width/height from the decoded raster, checksum = sum of
+    * RGB channel values over all pixels); other mimes fall back to
+    * codec-free byte statistics (length + rolling byte hash) — the
+    * honest treatment for blobs this container cannot decode.
     */
-  private def decodeStub(it: Iterator[MediaRecord]): Iterator[MediaFeature] = {
-    // (real codec/session init would happen here, once per partition)
+  private def decode(it: Iterator[MediaRecord]): Iterator[MediaFeature] = {
+    // (per-partition codec state: ImageIO reader instances are reused
+    //  across the iterator within a partition)
     it.map { r =>
-      var cs = 1125899906842597L
-      var i = 0
-      while (i < r.content.length) { cs = cs * 31 + (r.content(i) & 0xff); i += 1 }
-      MediaFeature(r.media_id, r.source, r.content.length.toLong,
-        width = 1 + math.floorMod(cs, 640L).toInt,
-        height = 1 + math.floorMod(cs >> 16, 480L).toInt,
-        checksum = cs)
+      if (r.mime == PngMime) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeature(r.media_id, r.source, r.content.length.toLong,
+          img.getWidth, img.getHeight, sum)
+      } else {
+        var cs = 1125899906842597L
+        var i = 0
+        while (i < r.content.length) { cs = cs * 31 + (r.content(i) & 0xff); i += 1 }
+        MediaFeature(r.media_id, r.source, r.content.length.toLong,
+          width = 0, height = 0, checksum = cs)
+      }
     }
   }
 
@@ -65,8 +98,52 @@ object Multimodal {
   /** Full decode pipeline (ingest → per-partition decode → features). */
   private[graft] def mediaFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeature] = {
     import spark.implicits._
-    mediaRecords(spark, sfDir).mapPartitions(decodeStub)
+    mediaRecords(spark, sfDir).mapPartitions(decode)
   }
+
+  /** PNG ingest: one REAL PNG per document (encoded with
+    * `javax.imageio`), geometry/fill a closed-form function of doc_id
+    * so decode output is oracle-checkable. The constant fill keeps the
+    * blob small; the bytes are genuine codec output, not a fake. */
+  private def encodePng(it: Iterator[MediaRecord]): Iterator[MediaRecord] =
+    it.map { r =>
+      val (w, h) = (pngWidth(r.media_id), pngHeight(r.media_id))
+      val (cr, cg, cb) = pngRgb(r.media_id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(cr, cg, cb))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      r.copy(mime = PngMime, content = bos.toByteArray)
+    }
+
+  private[graft] def pngRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaRecords(spark, sfDir).mapPartitions(encodePng)
+  }
+
+  /** REAL image resize: decode → Graphics2D rescale to (tw, th) →
+    * re-encode PNG. Non-PNG blobs pass through unchanged. */
+  private def resizeImage(tw: Int, th: Int)(
+      it: Iterator[MediaRecord]): Iterator[MediaRecord] =
+    it.map { r =>
+      if (r.mime != PngMime) r
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.drawImage(img, 0, 0, tw, th, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        r.copy(content = bos.toByteArray)
+      }
+    }
 
   /** One sampled frame of a media blob (the video-style schema). */
   case class MediaFrame(media_id: Long, source: String, frame_idx: Int,
@@ -103,6 +180,8 @@ object Multimodal {
 
   private val FramesPerMedia = 4
   private val ResizeTarget = 64
+  private val ResizeW = 16
+  private val ResizeH = 12
 
   private[graft] def mediaFrames(spark: SparkSession, sfDir: String): Dataset[MediaFrame] = {
     import spark.implicits._
@@ -130,7 +209,29 @@ object Multimodal {
       mediaFrames(spark, sfDir).toDF()
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_frames"),
-          sum(octet_length(col("frame"))).cast("long").as("frame_bytes")))
+          sum(octet_length(col("frame"))).cast("long").as("frame_bytes"))),
+    // REAL codec round-trip: encode a per-doc PNG, decode it with
+    // javax.imageio, report decoded raster dims + pixel-channel sum.
+    // The oracle states the closed-form expected values — a decoder
+    // that fabricated dimensions would hash-fail.
+    "mm3_png_decode" -> ((spark, sfDir) => {
+      import spark.implicits._
+      pngRecords(spark, sfDir).mapPartitions(decode).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("checksum").as("px_sum"))
+    }),
+    // REAL resize: decode → rescale to (ResizeW, ResizeH) → re-encode
+    // → decode again. Constant-fill images rescale to the same
+    // constant, so the pixel sum is closed-form for the oracle while
+    // the Spark side exercises the full codec→raster→codec path.
+    "mm4_png_resize" -> ((spark, sfDir) => {
+      import spark.implicits._
+      pngRecords(spark, sfDir)
+        .mapPartitions(resizeImage(ResizeW, ResizeH))
+        .mapPartitions(decode).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("checksum").as("px_sum"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -141,6 +242,24 @@ object Multimodal {
     "mm2_frame_stats" ->
       s"""SELECT source, CAST(count(*) * $FramesPerMedia AS BIGINT) AS n_frames,
          |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS frame_bytes
-         |FROM documents GROUP BY source""".stripMargin
+         |FROM documents GROUP BY source""".stripMargin,
+    // the generator contract (pngWidth/pngHeight/pngRgb) in SQL: the
+    // Spark side must reproduce these via a REAL PNG encode→decode
+    "mm3_png_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 25 AS INT) AS width,
+        |  CAST(8 + (doc_id * 7) % 25 AS INT) AS height,
+        |  CAST((8 + doc_id % 25) * (8 + (doc_id * 7) % 25) *
+        |    (doc_id % 256 + (doc_id * 31) % 256 + (doc_id * 101) % 256)
+        |    AS BIGINT) AS px_sum
+        |FROM documents""".stripMargin,
+    "mm4_png_resize" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST($ResizeW AS INT) AS width,
+         |  CAST($ResizeH AS INT) AS height,
+         |  CAST($ResizeW * $ResizeH *
+         |    (doc_id % 256 + (doc_id * 31) % 256 + (doc_id * 101) % 256)
+         |    AS BIGINT) AS px_sum
+         |FROM documents""".stripMargin
   )
 }

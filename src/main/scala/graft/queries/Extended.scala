@@ -116,8 +116,14 @@ object Extended {
   // sliding-window float association (Spark running-frame vs DuckDB
   // segment tree) cannot skew the hash; division happens once, in
   // DOUBLE, per output row. Timestamps compared in the microsecond
-  // domain on both engines (Spark loads nanos as micros; DuckDB
-  // floors epoch_ns // 1000).
+  // domain on both engines. NOTE the domains agree only for
+  // POST-EPOCH data: Spark's `ts div 1000` (Tables.scala) truncates
+  // toward zero while DuckDB's `//` floors, so a pre-1970 nanosecond
+  // timestamp off a 1000 ns boundary would land one microsecond
+  // apart. The events table is generated strictly post-epoch, and
+  // the ordering key only needs to be consistent per engine — but if
+  // this oracle is ever pointed at pre-epoch data, switch the Spark
+  // read to floor semantics first.
   private val x10Sql =
     """SELECT event_id,
       |  CAST(v - coalesce(lag(v) OVER w, v) AS DOUBLE) AS delta,
@@ -221,17 +227,10 @@ object Extended {
     }),
     // x9: ROLLUP subtotals — Spark SQL's ROLLUP compiles to Expand +
     // one partial/final HashAggregate (subtotal levels cost fan-out
-    // rows, not extra shuffles).
-    "x9_rollup_agg" -> ((spark, sfDir) => Tables.sql(spark, sfDir,
-      """SELECT
-        |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
-        |       ELSE o_orderstatus END AS status,
-        |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
-        |       ELSE o_orderpriority END AS prio,
-        |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        |FROM orders
-        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin)),
+    // rows, not extra shuffles). Same SQL text as the oracle (x9Sql):
+    // both engines parse ANSI ROLLUP identically, and sharing the
+    // string means the two sides cannot drift.
+    "x9_rollup_agg" -> sql(x9Sql),
     // x10: per-user window analytics (lag delta + 3-row moving
     // average) — ONE shuffle on user_id serves both window specs
     // (same partitioning + ordering); frame arithmetic in DECIMAL,
