@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.QueryPlanningTracker
 import org.apache.spark.sql.catalyst.plans.logical.{Command, Join, LogicalPlan, ReturnAnswer}
 import org.apache.spark.sql.execution.{CommandExecutionMode, QueryExecution, SparkPlan, SparkStrategy}
 
-import graft.planopt.{Candidates, LeroModelPairWise, PlanFeatures}
+import graft.planopt.{Candidates, JoinOrders, LeroModelPairWise, PlanFeatures}
 
 /** In-engine learned plan choice (SURVEY §7.4; selection semantics of
   * the reference's test-time argmin, `Lero/lero_test.py:97`): a
@@ -69,24 +69,31 @@ object PlanChoice {
     * observability for specs and the E2E logs. On a choice-cache hit
     * `nCandidates` is 1 and `canonical`/`scores` are empty (computing
     * the prepared plan's canonical form just for observability would
-    * double the fast path's cost). */
+    * double the fast path's cost). `nOrders` counts the distinct
+    * join-ORDER variants that contributed surviving candidates (r4
+    * verdict item 8: the comparator needs a real order choice, not
+    * just exchange variants). */
   final case class Choice(knobLabel: String, nCandidates: Int,
-                          canonical: String, scores: Seq[Double])
+                          canonical: String, scores: Seq[Double],
+                          nOrders: Int = 1)
 
   @volatile private var installed: Option[(LeroModelPairWise, PlanFeatures.FeatureGenerator)] = None
   val lastChoice = new AtomicReference[Option[Choice]](None)
 
-  /** Remembered knob choice per canonical logical plan: a repeat query
-    * re-plans ONCE under the remembered knobs instead of sweeping the
-    * grid — routing overhead drops from |grid| plannings to one for
-    * the steady-state (repeated-template) workload. Bounded LRU;
-    * cleared on (un)install since choices are model-specific. */
+  /** Remembered (join-order variant, knobs) choice per canonical
+    * logical plan: a repeat query re-plans ONCE under the remembered
+    * choice instead of sweeping the grid — routing overhead drops from
+    * |grid| plannings to one for the steady-state (repeated-template)
+    * workload. The variant index reconstructs deterministically via
+    * [[graft.planopt.JoinOrders.variants]]. Bounded LRU; cleared on
+    * (un)install since choices are model-specific. */
+  final case class Remembered(variantIdx: Int, knobs: Candidates.Knobs)
   private val MaxChoiceCache = 1024
   private[plans] val choiceCache =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Candidates.Knobs](64, 0.75f, true) {
+      new java.util.LinkedHashMap[String, Remembered](64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Candidates.Knobs]): Boolean =
+            e: java.util.Map.Entry[String, Remembered]): Boolean =
           size() > MaxChoiceCache
       })
 
@@ -180,8 +187,8 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       // remembered knobs instead of sweeping the grid (and skips the
       // prepared-plan canonicalization — planning only)
       val remembered = PlanChoice.choiceCache.get(cacheKey)
-      if (remembered != null) {
-        return Candidates.withConfs(session, remembered.physicalConfs) {
+      if (remembered != null && remembered.variantIdx == 0) {
+        return Candidates.withConfs(session, remembered.knobs.physicalConfs) {
           // `query` is already optimized (strategies see the optimized
           // plan) and the remembered knobs are physical-planning-time
           // only, so skip the nested QueryExecution's re-analysis +
@@ -192,9 +199,28 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
           val planned = classic.sessionState.planner
             .plan(ReturnAnswer(query)).next()
           PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
-            remembered.label, 1, "", Nil)))
+            remembered.knobs.label, 1, "", Nil)))
           Seq(planned)
         }
+      }
+      if (remembered != null) {
+        // remembered JOIN-ORDER variant: reconstruct it by index and
+        // re-plan through a nested QueryExecution with the reorder
+        // rules pinned off, so the executed plan is the one that was
+        // scored (a raw physical planning of the un-re-optimized
+        // rewrite could differ from the scored candidate)
+        val vs = JoinOrders.variants(query)
+        if (remembered.variantIdx < vs.size) {
+          return Candidates.withConfs(session,
+            remembered.knobs.physicalConfs ++ JoinOrders.pinOrderConfs) {
+            val qe = new QueryExecution(classic, vs(remembered.variantIdx),
+              new QueryPlanningTracker, CommandExecutionMode.SKIP)
+            PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
+              remembered.knobs.label, 1, "", Nil)))
+            Seq(qe.sparkPlan)
+          }
+        }
+        // fall through to a fresh sweep if the variant no longer exists
       }
       // enumerate: nested planning under each knob assignment (same
       // sweep as Candidates.enumerate, but from a LogicalPlan instead
@@ -205,22 +231,31 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       // The plan handed to a planner strategy is already OPTIMIZED, so
       // optimizer-time knobs (cbo.joinReorder) are inert here — join
       // ORDER is fixed by the time we see the plan, and sweeping that
-      // dimension would only re-plan duplicates. Restrict the sweep to
-      // the physical-planning knobs (broadcast threshold, SMJ
-      // preference): 6 nested plannings, dedupe usually to 2-3. Join
-      // order remains covered by the pre-execution library path
-      // (Candidates.chooseAndExecute), which plans from the raw
-      // DataFrame.
-      val seen = scala.collection.mutable.LinkedHashMap[String, (SparkPlan, PlanFeatures.PlanNode, Candidates.Knobs)]()
-      Candidates.knobGrid.filter(_.joinReorder).foreach { knobs =>
-        Candidates.withConfs(session, knobs.physicalConfs) {
-          // SKIP mode: belt-and-braces against eager command execution
-          val qe = new QueryExecution(classic, query,
-            new QueryPlanningTracker, CommandExecutionMode.SKIP)
-          val canonical = Candidates.canonicalKey(qe.executedPlan)
-          if (!seen.contains(canonical)) {
-            seen(canonical) = (qe.sparkPlan,
-              PlanFeatures.fromSparkPlan(qe.executedPlan), knobs)
+      // dimension would only re-plan duplicates. The order CHOICE
+      // space comes from JoinOrders.variants instead: alternative
+      // connected left-deep rewrites of the join region, re-planned
+      // with the reorder rules pinned off so the optimizer cannot
+      // undo the permutation. Variant 0 sweeps the physical knob grid
+      // (6 plannings, dedupe usually to 2-3); later variants sweep
+      // the broadcast-threshold axis only, keeping the total planning
+      // cost bounded.
+      val variantPlans = JoinOrders.variants(query)
+      val seen = scala.collection.mutable.LinkedHashMap[String, (SparkPlan, PlanFeatures.PlanNode, Candidates.Knobs, Int)]()
+      variantPlans.zipWithIndex.foreach { case (vq, vIdx) =>
+        val grid =
+          if (vIdx == 0) Candidates.knobGrid.filter(_.joinReorder)
+          else Candidates.knobGrid.filter(k => k.joinReorder && k.preferSortMergeJoin)
+        val pin = if (vIdx == 0) Nil else JoinOrders.pinOrderConfs
+        grid.foreach { knobs =>
+          Candidates.withConfs(session, knobs.physicalConfs ++ pin) {
+            // SKIP mode: belt-and-braces against eager command execution
+            val qe = new QueryExecution(classic, vq,
+              new QueryPlanningTracker, CommandExecutionMode.SKIP)
+            val canonical = Candidates.canonicalKey(qe.executedPlan)
+            if (!seen.contains(canonical)) {
+              seen(canonical) = (qe.sparkPlan,
+                PlanFeatures.fromSparkPlan(qe.executedPlan), knobs, vIdx)
+            }
           }
         }
       }
@@ -229,10 +264,11 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       else {
         val scores = model.predict(cands.map(c => gen.transform(c._2)))
         val bestIdx = scores.indices.minBy(scores)
-        val (bestPlan, _, knobs) = cands(bestIdx)
-        PlanChoice.choiceCache.put(cacheKey, knobs)
+        val (bestPlan, _, knobs, vIdx) = cands(bestIdx)
+        PlanChoice.choiceCache.put(cacheKey, PlanChoice.Remembered(vIdx, knobs))
         PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
-          knobs.label, cands.size, seen.keys.toSeq(bestIdx), scores.toSeq)))
+          knobs.label, cands.size, seen.keys.toSeq(bestIdx), scores.toSeq,
+          nOrders = cands.map(_._4).distinct.size)))
         Seq(bestPlan)
       }
     } finally PlanChoice.replanning.set(false)

@@ -320,17 +320,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(byLang == total)
   }
 
-  test("multimodal stub conserves byte counts through mapPartitions") {
+  test("multimodal decode conserves byte counts through mapPartitions") {
     val expected = Tables.load(spark, sf, "documents")
       .agg(sum(octet_length(col("text")))).head().getLong(0)
     val got = Multimodal.mediaFeatures(spark, sf)
       .toDF().agg(sum(col("n_bytes"))).head().getLong(0)
     assert(got == expected)
-    // decode stub is deterministic: same input -> same features
+    // byte-stats fallback is deterministic: same input -> same features
     val a = Multimodal.mediaFeatures(spark, sf).collect().sortBy(_.media_id)
     val b = Multimodal.mediaFeatures(spark, sf).collect().sortBy(_.media_id)
     assert(a.toSeq == b.toSeq)
-    assert(a.forall(f => f.width >= 1 && f.height >= 1))
+    // non-decodable mimes report no raster dimensions (honest contract)
+    assert(a.forall(f => f.width == 0 && f.height == 0))
+  }
+
+  test("PNG path is a real imageio round-trip: decoded dims + pixels match the generator contract") {
+    val feats = SparkEntry.queries("mm3_png_decode")(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8 + (id % 25).toInt, s"width of doc $id")
+      assert(r.getInt(2) == 8 + ((id * 7) % 25).toInt, s"height of doc $id")
+      val (cr, cg, cb) = ((id % 256).toInt, ((id * 31) % 256).toInt, ((id * 101) % 256).toInt)
+      assert(r.getLong(3) == r.getInt(1).toLong * r.getInt(2) * (cr + cg + cb),
+        s"pixel sum of doc $id")
+    }
+    // the blobs are genuine PNGs (magic bytes), not fabricated
+    val blob = Multimodal.pngRecords(spark, sf).head()
+    assert(blob.content.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+  }
+
+  test("PNG resize rescales through the codec to the target raster") {
+    val feats = SparkEntry.queries("mm4_png_resize")(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 16 && r.getInt(2) == 12)
+      val (cr, cg, cb) = ((id % 256).toInt, ((id * 31) % 256).toInt, ((id * 101) % 256).toInt)
+      assert(r.getLong(3) == 16L * 12 * (cr + cg + cb))
+    }
   }
 
   test("frame sampling partitions payloads; resize bounds them") {
