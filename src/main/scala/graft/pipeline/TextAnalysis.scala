@@ -131,6 +131,36 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_tok")).cast("long").as("tokens_kept"),
           sum(col("n_char")).cast("long").as("chars_kept"))
+    }),
+    // deterministic rate sampling: keep a doc iff the first hex digit
+    // of md5(text) < '4' (a 4/16 = 25% expected rate). Reproducible
+    // across engines, runs, and cluster sizes — the auditability
+    // property a training pipeline needs from its downsampler (unlike
+    // rand()-based TABLESAMPLE). Pure map-side filter + hash-agg: no
+    // shuffle beyond the final tiny per-source aggregate at any scale.
+    "samp1_hash_sample" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .filter(substring(md5(col("text").cast("binary")), 1, 1) < "4")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(octet_length(col("text"))).cast("long").as("sampled_bytes"))),
+    // deterministic stratified quota: the FIRST 50 docs per source in
+    // md5-hash order (tie-broken by doc_id) — fixed-size per-stratum
+    // samples with no randomness. The rank<=k filter compiles to
+    // WindowGroupLimit: each task truncates to its local top-k before
+    // the per-source exchange, so the shuffle carries O(strata·k).
+    "samp2_stratified" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          octet_length(col("text")).as("nb"),
+          md5(col("text").cast("binary")).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("rn") <= 50)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("nb")).cast("long").as("sampled_bytes"))
     })
   )
 
@@ -200,6 +230,24 @@ object TextAnalysis {
         |          len(regexp_split_to_array(trim(text), '\s+')) <= 8.0
         |  )
         |) WHERE rn = 1
+        |GROUP BY source""".stripMargin,
+    "samp1_hash_sample" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS sampled_bytes
+        |FROM documents
+        |WHERE substr(md5(text), 1, 1) < '4'
+        |GROUP BY source""".stripMargin,
+    "samp2_stratified" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(nb) AS BIGINT) AS sampled_bytes
+        |FROM (
+        |  SELECT source, octet_length(encode(text)) AS nb,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 50
         |GROUP BY source""".stripMargin
   )
 }

@@ -22,7 +22,7 @@ object StableMain {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
     val numGen = args.lift(1).map(_.toInt).getOrElse(24)
     val epochs = args.lift(2).map(_.toInt).getOrElse(60)
-    val outDir = args.lift(3).getOrElse("results/r4_stable")
+    val outDir = args.lift(3).getOrElse("results/r6_stable")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -122,7 +122,8 @@ object StableMain {
         val choice = graft.plans.PlanChoice.lastChoice.get()
         if (choice.isDefined) routed += 1
         val chosen = choice
-          .map(c => s"chose [${c.knobLabel}] of ${c.nCandidates}").getOrElse("no routing")
+          .map(c => s"chose [${c.knobLabel}] of ${c.nCandidates} " +
+            s"(${c.nOrders} join order(s))").getOrElse("no routing")
         log.info(f"$label $name: $ms%.1fms ($chosen)")
       }
       val bypassed = graft.plans.PlanChoice.bypassCount.get() - bypassBefore
@@ -152,12 +153,16 @@ object StableMain {
       (runs.map(_._1).min, runs.map(_._2).min)
     }
 
-    // (A) stock deployment: default broadcast settings + the default
-    // 4 MB size bypass. r3 finding: routing was a pure ~30% tax on
-    // sub-threshold queries; the bypass (tiny queries) + the choice
-    // cache's direct-physical-planning fast path (repeats) must make
-    // injected ≈ default.
-    val s2 = extSession(Nil)
+    // (A) default broadcast settings, size bypass OFF: at sf0.001
+    // every leaf sum is below any sane production threshold, so the
+    // stock 4 MB bypass correctly skips ALL routing (that behavior is
+    // spec-pinned in PlannerInjectionSpec); to measure routing itself
+    // the E2E runs disable it, exactly like the spec. r3 finding:
+    // routing was a pure ~30% tax on tiny queries; the choice cache's
+    // direct-physical-planning fast path (repeats) must make
+    // injected ≈ default even with the bypass off.
+    val bypassOff = Seq(graft.plans.PlanChoice.MinInputBytesKey -> "0")
+    val s2 = extSession(bypassOff)
     val (defA, injA) = bestOf(3) { k =>
       (Candidates.withConfs(spark,
         Seq("spark.sql.adaptive.enabled" -> "false")) {
@@ -165,8 +170,8 @@ object StableMain {
       },
         timeAll(s2, s"injected-p$k"))
     }
-    log.info(f"E2E(A) best-of-3, stock conf: injected ${injA}%.1fms vs default ${defA}%.1fms " +
-      s"over ${testQ.size} held-out queries (size bypass active)")
+    log.info(f"E2E(A) best-of-3, stock broadcast conf: injected ${injA}%.1fms vs default ${defA}%.1fms " +
+      s"over ${testQ.size} held-out queries (size bypass disabled at this tiny SF)")
 
     // (B) defensive deployment: autoBroadcastJoinThreshold=-1 — the
     // common production guard against driver OOM from mis-estimated
@@ -177,7 +182,7 @@ object StableMain {
     // routing on the injected side and run the session default, so
     // any delta comes from the routed big joins.
     val noBcast = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val s3 = extSession(noBcast)
+    val s3 = extSession(noBcast ++ bypassOff)
     val (defB, injB) = bestOf(3) { k =>
       (Candidates.withConfs(spark,
         noBcast :+ ("spark.sql.adaptive.enabled" -> "false")) {
