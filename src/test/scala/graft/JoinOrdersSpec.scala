@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.planopt.JoinOrders
+import graft.queries.Relational
+
+/** Unit contract of the join-order variant generator
+  * ([[graft.planopt.JoinOrders]]): connected-only rebuilds (no cross
+  * products, no residual Filter from unplaced conditions), original
+  * always first, degenerate shapes left alone, schema pinned. */
+class JoinOrdersSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def optimized(name: String): LogicalPlan =
+    Relational.defs(name)(spark, sf).queryExecution.optimizedPlan
+
+  private def joinsOf(p: LogicalPlan): Seq[Join] =
+    p.collect { case j: Join => j }
+
+  test("2-way joins return only the original (no order freedom)") {
+    val vs = JoinOrders.variants(optimized("j1_join_2way"))
+    assert(vs.size == 1)
+  }
+
+  test("7-way joins produce alternative orders, original first") {
+    val q = optimized("j1_join_7way")
+    val vs = JoinOrders.variants(q)
+    assert(vs.head eq q, "variant 0 must be the original plan")
+    assert(vs.size >= 2)
+    // each rewrite is a genuinely different tree from the original
+    vs.tail.foreach(v => assert(v.canonicalized != q.canonicalized))
+  }
+
+  test("rebuilt orders are connected: every join has a condition, no residual filter") {
+    val q = optimized("j1_join_7way")
+    JoinOrders.variants(q).tail.foreach { v =>
+      joinsOf(v).foreach { j =>
+        assert(j.condition.isDefined,
+          s"cross product introduced:\n${j.simpleString(3)}")
+      }
+      // rebuild() parks unplaceable conditions in a Filter directly
+      // above a Join — connected orders must never need one (filters
+      // above other operators, e.g. scan predicates, are fine)
+      v.foreach {
+        case Filter(_, _: Join) =>
+          fail("residual join condition left as a Filter on a Join")
+        case _ => ()
+      }
+    }
+  }
+
+  test("variants keep the query schema (output order pinned)") {
+    val q = optimized("j1_join_7way")
+    JoinOrders.variants(q).foreach { v =>
+      assert(v.output.map(a => (a.name, a.dataType)) ==
+        q.output.map(a => (a.name, a.dataType)))
+    }
+  }
+
+  test("variant generation is deterministic (cache reconstruction contract)") {
+    val q = optimized("j1_join_5way")
+    val a = JoinOrders.variants(q).map(_.canonicalized.toString)
+    val b = JoinOrders.variants(q).map(_.canonicalized.toString)
+    assert(a == b)
+  }
+
+  test("plans without inner joins are untouched") {
+    val q = optimized("s1_full_scan_count")
+    val vs = JoinOrders.variants(q)
+    assert(vs.size == 1 && (vs.head eq q))
+  }
+}
