@@ -56,8 +56,10 @@ object Multimodal {
     * honest treatment for blobs this container cannot decode.
     */
   private def decode(it: Iterator[MediaRecord]): Iterator[MediaFeature] = {
-    // (per-partition codec state: ImageIO reader instances are reused
-    //  across the iterator within a partition)
+    // per-partition codec state: one JVM-wide flag flip (default
+    // disk-backed stream caching costs a temp file per call) — the
+    // codec-amortization point of running decode via mapPartitions
+    javax.imageio.ImageIO.setUseCache(false)
     it.map { r =>
       if (r.mime == PngMime) {
         val img = javax.imageio.ImageIO.read(
@@ -105,7 +107,8 @@ object Multimodal {
     * `javax.imageio`), geometry/fill a closed-form function of doc_id
     * so decode output is oracle-checkable. The constant fill keeps the
     * blob small; the bytes are genuine codec output, not a fake. */
-  private def encodePng(it: Iterator[MediaRecord]): Iterator[MediaRecord] =
+  private def encodePng(it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
+    javax.imageio.ImageIO.setUseCache(false) // memory-backed streams
     it.map { r =>
       val (w, h) = (pngWidth(r.media_id), pngHeight(r.media_id))
       val (cr, cg, cb) = pngRgb(r.media_id)
@@ -119,6 +122,7 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       r.copy(mime = PngMime, content = bos.toByteArray)
     }
+  }
 
   private[graft] def pngRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -128,7 +132,8 @@ object Multimodal {
   /** REAL image resize: decode → Graphics2D rescale to (tw, th) →
     * re-encode PNG. Non-PNG blobs pass through unchanged. */
   private def resizeImage(tw: Int, th: Int)(
-      it: Iterator[MediaRecord]): Iterator[MediaRecord] =
+      it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
+    javax.imageio.ImageIO.setUseCache(false)
     it.map { r =>
       if (r.mime != PngMime) r
       else {
@@ -144,6 +149,7 @@ object Multimodal {
         r.copy(content = bos.toByteArray)
       }
     }
+  }
 
   /** One sampled frame of a media blob (the video-style schema). */
   case class MediaFrame(media_id: Long, source: String, frame_idx: Int,
