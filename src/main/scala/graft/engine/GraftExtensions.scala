@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CollectCappedLongs, CosineSimilarity, DotProduct, HyperplaneBands}
+import graft.functions.{CollectCappedLongs, CosineSimilarity, DotProduct, HyperplaneBands, SortedIntersectCount}
 
 /** Session-extension entry point (SURVEY §7: register custom pieces
   * via `SparkSessionExtensions`). Enable with
@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       DotProduct.info, DotProduct.builder))
     ext.injectFunction((FunctionIdentifier(CollectCappedLongs.name),
       CollectCappedLongs.info, CollectCappedLongs.builder))
+    ext.injectFunction((FunctionIdentifier(SortedIntersectCount.name),
+      SortedIntersectCount.info, SortedIntersectCount.builder))
     ext.injectPlannerStrategy(session => graft.plans.LearnedPlanStrategy(session))
   }
 }

@@ -84,6 +84,7 @@ object Tables {
     graft.functions.DotProduct.register(spark)
     graft.functions.HyperplaneBands.register(spark)
     graft.functions.CollectCappedLongs.register(spark)
+    graft.functions.SortedIntersectCount.register(spark)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")

@@ -86,12 +86,16 @@ object Dedup {
     */
   private[graft] def shingleSets(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.CollectCappedLongs.register(spark)
+    graft.functions.SortedIntersectCount.register(spark)
+    // sort_array at materialization (once per doc, bounded by doc
+    // length) buys the verifiers an allocation-free merge-count per
+    // candidate PAIR — the side of the trade that scales
     docsWide(spark, sfDir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), expr(
-        "array_distinct(if(size(w) < 3, array(), transform(" +
+        "sort_array(array_distinct(if(size(w) < 3, array(), transform(" +
           "sequence(0, size(w) - 3)," +
-          " i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))))").as("hs"))
+          " i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2]))))))").as("hs"))
       .persist()
   }
 
@@ -204,8 +208,11 @@ object Dedup {
       .distinct()
       .join(sets.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      // merge-count over the sorted arrays ([[shingleSets]] sorts at
+      // materialization): no per-pair hash set, no materialized
+      // intersection array — see functions/SortedIntersectCount.scala
       .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("ha"), col("hb"))).as("c"),
+        expr("graft_sorted_intersect_count(ha, hb)").as("c"),
         col("na"), col("nb"))
       .filter(jaccardOf >= threshold)
       .select(col("a_id"), col("b_id"), round(jaccardOf, 3).as("jaccard"))

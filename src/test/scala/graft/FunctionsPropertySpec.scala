@@ -127,4 +127,27 @@ class FunctionsPropertySpec extends AnyFunSuite {
         s"miss bound violated at tau=$tau miss=$miss -> ($b,$l)")
     }
   }
+
+  private def evalIntersect(a: Array[Long], b: Array[Long]): Long = {
+    val e = graft.functions.SortedIntersectCount(
+      BoundReference(0, ArrayType(org.apache.spark.sql.types.LongType), nullable = false),
+      BoundReference(1, ArrayType(org.apache.spark.sql.types.LongType), nullable = false))
+    e.eval(InternalRow(new GenericArrayData(a), new GenericArrayData(b)))
+      .asInstanceOf[Long]
+  }
+
+  test("sorted intersect count equals the reference set intersection (500 random set pairs)") {
+    (1 to 500).foreach { _ =>
+      val universe = 1 + rng.nextInt(200)
+      val a = (0 until rng.nextInt(100)).map(_ => rng.nextInt(universe).toLong)
+        .distinct.sorted.toArray
+      val b = (0 until rng.nextInt(100)).map(_ => rng.nextInt(universe).toLong)
+        .distinct.sorted.toArray
+      val expected = a.toSet.intersect(b.toSet).size.toLong
+      assert(evalIntersect(a, b) == expected)
+      assert(evalIntersect(b, a) == expected, "symmetry")
+      assert(evalIntersect(a, Array.empty[Long]) == 0L)
+      assert(evalIntersect(a, a) == a.length.toLong, "self-intersection")
+    }
+  }
 }
