@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.planopt.Candidates
+
+/** The bucketing contract behind SCALE.md's co-located-join story: two
+  * tables bucketed (and sorted) on their join key join WITHOUT any
+  * exchange under the join — at 100 TB that is the difference between
+  * a full-corpus shuffle per join and none. Spec-proven here rather
+  * than asserted in prose: the join subtree must contain zero
+  * ShuffleExchange nodes, and the bucketed result must equal the
+  * plain-table result.
+  */
+class BucketingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bucketed co-located join: no exchange under the join, same result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val li = s"li_bucketed_${System.nanoTime()}"
+    val or = s"or_bucketed_${System.nanoTime()}"
+    try {
+      Tables.load(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.format("parquet").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$dir/li").saveAsTable(li)
+      Tables.load(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.format("parquet").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").option("path", s"$dir/or").saveAsTable(or)
+
+      // broadcast off + AQE off: without bucketing this join would
+      // shuffle BOTH sides on the key
+      Candidates.withConfs(spark, Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.sources.bucketing.enabled" -> "true")) {
+        val j = spark.table(li).join(spark.table(or),
+          col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("l_quantity")).cast("double").as("qty"))
+        val plan = j.queryExecution.executedPlan
+        val smj = plan.collect { case s: SortMergeJoinExec => s }
+        assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
+        // the whole point: nothing shuffles BELOW the join — bucket
+        // layout satisfies the join's distribution requirement
+        val exchangesUnderJoin = smj.head.collect { case e: ShuffleExchangeExec => e }
+        assert(exchangesUnderJoin.isEmpty,
+          s"bucketed join still shuffles:\n${smj.head}")
+        // and bucket sort order even removes the per-task sorts' input
+        // exchange; correctness vs the plain-table join:
+        val bucketed = j.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val plain = Tables.load(spark, sf, "lineitem")
+          .join(Tables.load(spark, sf, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("l_quantity")).cast("double").as("qty"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(bucketed == plain)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $li")
+      spark.sql(s"DROP TABLE IF EXISTS $or")
+    }
+  }
+
+  test("partition-pruned scan touches only the matching partition's files") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.load(spark, sf, "documents")
+      .write.format("parquet").partitionBy("lang").save(s"$dir/docs")
+
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+      df.collect() // run so the scan's numFiles metric is populated
+      df.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }.head
+    }
+    val all = scanOf(spark.read.parquet(s"$dir/docs"))
+    val pruned = scanOf(spark.read.parquet(s"$dir/docs")
+      .filter(col("lang") === "en"))
+    // the partition predicate must show up as a partition filter (not
+    // a data filter) and cut the files actually listed for the scan
+    assert(pruned.partitionFilters.nonEmpty,
+      "lang = 'en' did not become a partition filter")
+    val filesAll = all.metrics("numFiles").value
+    val filesPruned = pruned.metrics("numFiles").value
+    assert(filesPruned > 0 && filesPruned < filesAll,
+      s"no pruning: $filesPruned of $filesAll files")
+  }
+}
