@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CollectCappedLongs, CosineSimilarity, DotProduct, HyperplaneBands, SortedIntersectCount}
+import graft.functions.{CollectCappedLongs, CosineSimilarity, DotProduct, HyperplaneBands, MinHashSketch, SortedIntersectCount}
 
 /** Session-extension entry point (SURVEY §7: register custom pieces
   * via `SparkSessionExtensions`). Enable with
@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CollectCappedLongs.info, CollectCappedLongs.builder))
     ext.injectFunction((FunctionIdentifier(SortedIntersectCount.name),
       SortedIntersectCount.info, SortedIntersectCount.builder))
+    ext.injectFunction((FunctionIdentifier(MinHashSketch.name),
+      MinHashSketch.info, MinHashSketch.builder))
     ext.injectPlannerStrategy(session => graft.plans.LearnedPlanStrategy(session))
   }
 }

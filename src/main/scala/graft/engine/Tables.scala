@@ -85,6 +85,7 @@ object Tables {
     graft.functions.HyperplaneBands.register(spark)
     graft.functions.CollectCappedLongs.register(spark)
     graft.functions.SortedIntersectCount.register(spark)
+    graft.functions.MinHashSketch.register(spark)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")

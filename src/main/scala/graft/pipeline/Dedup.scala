@@ -87,6 +87,7 @@ object Dedup {
   private[graft] def shingleSets(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.CollectCappedLongs.register(spark)
     graft.functions.SortedIntersectCount.register(spark)
+    graft.functions.MinHashSketch.register(spark)
     // sort_array at materialization (once per doc, bounded by doc
     // length) buys the verifiers an allocation-free merge-count per
     // candidate PAIR — the side of the trade that scales
@@ -220,43 +221,39 @@ object Dedup {
 
   // --- MinHash machinery (ref coreset.py:5-46 uses 128 perms, LSH thr
   //     0.5; we run 96 perms = 24 bands × 4 rows — s-curve thr ~0.45,
-  //     recall@J=0.8 ≈ 1-3e-6, and 96+1 columns stays inside Spark's
-  //     whole-stage-codegen field limit) ---
+  //     recall@J=0.8 ≈ 1-3e-6) ---
   private val NumHashes = 96
   private val NumBands = 24
 
-  /** Per-doc min of `xxhash64(h, i)` for each permutation i, as 96
-    * FLAT columns m0..m95 — one codegen'd hash-aggregate over the
-    * exploded shingle stream. `xxhash64(h, i)` is a genuinely
-    * independent mix per component; an affine a*h+b family without
-    * overflow headroom (Spark 4 ANSI forbids wraparound) degenerates
-    * to monotone-in-h, collapsing every component onto the same min
-    * shingle.
+  /** (doc_id, sig ARRAY<LONG>[96]) MinHash signatures via the fused
+    * [[graft.functions.MinHashSketch]] aggregate — one bounded-buffer
+    * aggregate instead of 96 generated `min(xxhash64(h, i))` slots
+    * (value-identical by construction; the unrolled form's codegen
+    * compile dominated dd3's cold time). `xxhash64(h, i)` is a
+    * genuinely independent mix per component; an affine a*h+b family
+    * without overflow headroom (Spark 4 ANSI forbids wraparound)
+    * degenerates to monotone-in-h, collapsing every component onto
+    * the same min shingle.
     */
-  private def minMatrix(ex: DataFrame): DataFrame =
-    ex.groupBy(col("doc_id")).agg(
-      min(xxhash64(col("h"), lit(0))).as("m0"),
-      (1 until NumHashes).map(i =>
-        min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
-
-  /** (doc_id, sig ARRAY<LONG>[96]) MinHash signatures (array view of
-    * [[minMatrix]], for tests/consumers that want the sketch). */
   private[graft] def minhashSignatures(ex: DataFrame): DataFrame =
-    minMatrix(ex).select(col("doc_id"),
-      array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+    ex.groupBy(col("doc_id"))
+      .agg(expr(s"graft_minhash(h, $NumHashes)").as("sig"))
 
   /** LSH banding: candidates = docs sharing any (band, band_sig) key,
     * via a banded equi-join (the only shuffle that matters at scale).
+    * Band signatures chain `xxhash64` over the band's sketch
+    * components — same values as the pre-r6 flat-column formulation.
     */
   private[graft] def bandedCandidates(ex: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
     val bandSigs = (0 until NumBands).map { b =>
-      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*)
+      xxhash64((b * rows until (b + 1) * rows)
+        .map(i => col("sig").getItem(i)): _*)
     }
-    val banded = minMatrix(ex)
+    val banded = minhashSignatures(ex)
       .select(col("doc_id"), posexplode(array(bandSigs: _*)))
       .toDF("doc_id", "band", "band_sig")
-      .persist() // both self-join sides; avoids recomputing the 96-agg signature pass
+      .persist() // both self-join sides; avoids recomputing the signature pass
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&

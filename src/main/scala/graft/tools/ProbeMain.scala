@@ -44,6 +44,15 @@ object ProbeMain {
         Dedup.verifiedPairs(sets, Dedup.cappedCandidates(Dedup.shingles(spark, sfDir)), 0.8)))
       t("dd2 end-to-end")(noop(
         graft.SparkEntry.queries("dd2_ngram_jaccard")(spark, sfDir)))
+      // fused vs unrolled minhash signature pass (same JVM, same data)
+      t("minhash fused agg")(noop(Dedup.minhashSignatures(ex)))
+      t("minhash unrolled 96-col agg")(noop(
+        ex.groupBy(col("doc_id"))
+          .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
+            (1 until 96).map(i =>
+              min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)))
+      t("dd3 end-to-end")(noop(
+        graft.SparkEntry.queries("dd3_minhash_lsh")(spark, sfDir)))
     }
     spark.stop()
   }

@@ -80,6 +80,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(sig.length == 96)
   }
 
+  test("fused minhash sketch is value-identical to the unrolled min(xxhash64) form") {
+    // the aggregate claims bit-compatibility with
+    // agg(min(xxhash64(h, 0)), ..., min(xxhash64(h, 95))) — pin it on
+    // the real corpus, not synthetic rows
+    val ex = Dedup.shingles(spark, sf)
+    val fused = Dedup.minhashSignatures(ex).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val unrolled = ex.groupBy(col("doc_id"))
+      .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
+        (1 until 96).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 96).map(i => r.getLong(i)).toVector).toMap
+    assert(fused.keySet == unrolled.keySet)
+    fused.foreach { case (id, sig) =>
+      assert(sig == unrolled(id), s"sketch mismatch for doc $id")
+    }
+  }
+
   test("simhash finds planted near-dups with high precision") {
     val exact = pairs("dd2_ngram_jaccard")
     val sim = pairs("dd4_simhash")
