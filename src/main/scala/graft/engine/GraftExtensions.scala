@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{CollectCappedLongs, CosineSimilarity, DotProduct, HyperplaneBands, MinHashSketch, SortedIntersectCount}
+import graft.functions.{CollectCappedLongs, CosineSimilarity, DotProduct, HyperplaneBands, MinHashSketch, SimHashSketch, SortedIntersectCount}
 
 /** Session-extension entry point (SURVEY §7: register custom pieces
   * via `SparkSessionExtensions`). Enable with
@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedIntersectCount.info, SortedIntersectCount.builder))
     ext.injectFunction((FunctionIdentifier(MinHashSketch.name),
       MinHashSketch.info, MinHashSketch.builder))
+    ext.injectFunction((FunctionIdentifier(SimHashSketch.name),
+      SimHashSketch.info, SimHashSketch.builder))
     ext.injectPlannerStrategy(session => graft.plans.LearnedPlanStrategy(session))
   }
 }

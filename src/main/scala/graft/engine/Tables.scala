@@ -86,6 +86,7 @@ object Tables {
     graft.functions.CollectCappedLongs.register(spark)
     graft.functions.SortedIntersectCount.register(spark)
     graft.functions.MinHashSketch.register(spark)
+    graft.functions.SimHashSketch.register(spark)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")

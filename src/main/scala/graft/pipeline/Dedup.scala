@@ -268,21 +268,17 @@ object Dedup {
   private val SimHashMaxHamming = 3
 
   /** (doc_id, simhash LONG): sign-aggregated 64-bit fingerprint over
-    * xxhash64(token) — the classic Charikar sketch. 64 flat codegen'd
-    * sum aggregates (one per bit) + one recombination expression.
+    * xxhash64(token) — the classic Charikar sketch, as the fused
+    * [[graft.functions.SimHashSketch]] aggregate (value-identical to
+    * the pre-r6 64-bit-sum + sign-recombination form, one bounded
+    * buffer instead of 64 generated agg slots).
     */
   private[graft] def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = tokenStream(spark, sfDir)
+    graft.functions.SimHashSketch.register(spark)
+    tokenStream(spark, sfDir)
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    def bitSum(b: Int) =
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L))
-        .as(s"s$b")
-    val sums = ex.groupBy(col("doc_id"))
-      .agg(bitSum(0), (1 until 64).map(bitSum): _*)
-    val combined = (0 until 64)
-      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
-      .reduce(_ bitwiseOR _) // OR, not +: bit 63 would overflow ANSI add
-    sums.select(col("doc_id"), combined.as("simhash"))
+      .groupBy(col("doc_id"))
+      .agg(expr("graft_simhash(h)").as("simhash"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

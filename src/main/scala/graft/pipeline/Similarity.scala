@@ -386,11 +386,17 @@ object Similarity {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    // norms once per ROW, dot once per candidate PAIR — a third of
+    // graft_cosine's per-pair flops at the permissive-tau candidate
+    // volumes, bit-identical value (the decomposition is spec-pinned
+    // in FunctionsPropertySpec)
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      expr("sqrt(graft_dot(v, v))").as("na"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      expr("sqrt(graft_dot(v, v))").as("nb"))
     cand.join(va, "a_id").join(vb, "b_id") // small side auto-broadcasts at test SF; shuffles at corpus scale
       .select(col("a_id"), col("b_id"),
-        expr("graft_cosine(va, vb)").as("cos_sim"))
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
       .distinct()

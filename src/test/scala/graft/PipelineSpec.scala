@@ -98,6 +98,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fused simhash is value-identical to the unrolled bit-sum form") {
+    val fused = Dedup.simhashes(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the pre-r6 formulation: 64 signed bit sums + sign recombination
+    val ex = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+      .toDF("doc_id", "pos", "t")
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    def bitSum(b: Int) =
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"s$b")
+    val sums = ex.groupBy(col("doc_id")).agg(bitSum(0), (1 until 64).map(bitSum): _*)
+    val combined = (0 until 64)
+      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
+    val unrolled = sums.select(col("doc_id"), combined.as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == unrolled)
+  }
+
   test("simhash finds planted near-dups with high precision") {
     val exact = pairs("dd2_ngram_jaccard")
     val sim = pairs("dd4_simhash")
