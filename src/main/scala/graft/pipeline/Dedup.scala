@@ -281,7 +281,43 @@ object Dedup {
       .agg(expr("graft_simhash(h)").as("simhash"))
   }
 
+  /** Benchmark-decontamination eval-set rate: doc_id % DecontamMod == 0
+    * plays the "held-out benchmark" role. */
+  private val DecontamMod = 20
+  private val DecontamN = 8
+
+  /** Per-doc distinct word-8-gram hashes (the decontamination unit —
+    * 8-grams are the common contamination-detection granularity; long
+    * enough that accidental overlap is rare, short enough to catch
+    * partial inclusion). Same map-side bounded construction as
+    * [[shingleSets]]. */
+  private def decontamGrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = DecontamN
+    val parts = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    docsWide(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(if(size(w) < $n, array(), transform(" +
+          s"sequence(0, size(w) - $n), i -> xxhash64(concat_ws(' ', $parts)))))"
+      )).as("g"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: flag corpus docs sharing any 8-gram
+    // with the eval set, with the shared-gram count as evidence. The
+    // eval side is DISTINCT + broadcast — a benchmark suite is bounded
+    // (millions of grams) even when the corpus is 100 TB, so the scan
+    // side streams map-side through the broadcast hash join and the
+    // only shuffle is the final per-doc count.
+    "dc1_decontaminate" -> ((spark, sfDir) => {
+      val g = decontamGrams(spark, sfDir)
+      val ev = g.filter(col("doc_id") % DecontamMod === 0)
+        .select(col("g")).distinct()
+      g.filter(col("doc_id") % DecontamMod =!= 0)
+        .join(broadcast(ev), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared"))
+    }),
     // Exact dedup: hash-groupBy on content hash, per source. (The
     // dropDuplicates operator reduces to exactly this hash-aggregate.)
     "dd1_exact_dedup" -> ((spark, sfDir) =>
@@ -341,7 +377,26 @@ object Dedup {
       |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
       |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8""".stripMargin
 
+  private val dc1OracleSql = {
+    // DuckDB arrays are 1-indexed and `range(1, len-$DecontamN+2)` walks
+    // the 1-based start positions, so the gram is w[i] .. w[i+N-1]
+    val concat = (0 until DecontamN)
+      .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString("||' '||")
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(w) - ${DecontamN - 2}), i -> $concat))) AS g
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |        FROM documents)
+       |),
+       |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $DecontamMod = 0)
+       |SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared
+       |FROM grams c JOIN ev ON c.g = ev.g
+       |WHERE c.doc_id % $DecontamMod <> 0
+       |GROUP BY c.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "dc1_decontaminate" -> dc1OracleSql,
     "dd1_exact_dedup" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
