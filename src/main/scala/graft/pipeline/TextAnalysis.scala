@@ -161,8 +161,34 @@ object TextAnalysis {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sampled"),
           sum(col("nb")).cast("long").as("sampled_bytes"))
+    }),
+    // training-shard packing: assign docs to fixed token-budget shards
+    // by a running token sum per SOURCE (shard_id = floor of the
+    // pre-doc cumulative count / budget) — the sequence-packing step
+    // before writing training shards. Keyed per source deliberately: a
+    // GLOBAL running sum is inherently sequential, while per-key
+    // packing parallelizes over output shard groups (source/date at
+    // 100 TB) — one shuffle on the key, per-key sort bounded by group
+    // size.
+    "pack1_token_shards" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          size(wordsCol).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("source"),
+          expr(s"(cum - n_tok) div $ShardTokenBudget").as("shard_id"),
+          col("n_tok"))
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("shard_tokens"))
     })
   )
+
+  /** Token budget per packed training shard (pack1). */
+  private val ShardTokenBudget = 4096
 
   private def markerListSql(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -248,6 +274,18 @@ object TextAnalysis {
         |      ORDER BY md5(text), doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 50
-        |GROUP BY source""".stripMargin
+        |GROUP BY source""".stripMargin,
+    "pack1_token_shards" ->
+      s"""SELECT source, CAST((cum - n_tok) // $ShardTokenBudget AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+         |FROM (
+         |  SELECT doc_id, source, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT doc_id, source,
+         |          len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+         |        FROM documents)
+         |) GROUP BY 1, 2""".stripMargin
   )
 }
