@@ -310,7 +310,9 @@ object Dedup {
     // side streams map-side through the broadcast hash join and the
     // only shuffle is the final per-doc count.
     "dc1_decontaminate" -> ((spark, sfDir) => {
-      val g = decontamGrams(spark, sfDir)
+      // both sides (eval set + corpus) read the same gram stream —
+      // materialize it once (dropped by the session's clearCache)
+      val g = decontamGrams(spark, sfDir).persist()
       val ev = g.filter(col("doc_id") % DecontamMod === 0)
         .select(col("g")).distinct()
       g.filter(col("doc_id") % DecontamMod =!= 0)
