@@ -31,6 +31,7 @@ object ActiveMain {
     val poolSize = args.lift(1).map(_.toInt).getOrElse(45)
     val budget = args.lift(2).map(_.toInt).getOrElse(16)
     val epochs = args.lift(3).map(_.toInt).getOrElse(60)
+    val outDir = args.lift(4).getOrElse("results/r6_active")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,7 +40,7 @@ object ActiveMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val log = new Pipelines.Logger(Some("results/r3_active/log.txt"))
+    val log = new Pipelines.Logger(Some(s"$outDir/log.txt"))
     Tables.registerAll(spark, sfDir)
 
     // pool + test workload (same generator/seed family as StableMain)
@@ -147,9 +148,9 @@ object ActiveMain {
     val resC = Pipelines.evaluate(fgC, mC, testLabeled)
     val resR = Pipelines.evaluate(fgR, mR, testLabeled)
     val resU = Pipelines.evaluate(fgU, mU, testLabeled)
-    Pipelines.writeLeroDict(resC, "results/r3_active/lero_dict_coreset.json")
-    Pipelines.writeLeroDict(resR, "results/r3_active/lero_dict_random.json")
-    Pipelines.writeLeroDict(resU, "results/r3_active/lero_dict_uncertainty.json")
+    Pipelines.writeLeroDict(resC, s"$outDir/lero_dict_coreset.json")
+    Pipelines.writeLeroDict(resR, s"$outDir/lero_dict_random.json")
+    Pipelines.writeLeroDict(resU, s"$outDir/lero_dict_uncertainty.json")
     log.info(s"CORESET:     loss=${resC.rankingLoss} " +
       f"selected=${resC.selectedTotalSec}%.3fs default=${resC.defaultTotalSec}%.3fs")
     log.info(s"RANDOM:      loss=${resR.rankingLoss} " +
