@@ -31,9 +31,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *    run-to-run) and stressed the code cache; this class is one tiny
   *    JIT-friendly loop, compiled once.
   *
-  * The buffer is a fixed `Array[Long](k)` — constant memory per group
-  * at any corpus scale (the same bounded-buffer contract as
-  * [[CollectCappedLongs]]).
+  * The buffer is a fixed `Array[Long](k + 1)` (k sketch slots + a
+  * seen-input counter) — constant memory per group at any corpus
+  * scale (the same bounded-buffer contract as [[CollectCappedLongs]]).
+  *
+  * A group with no non-null input returns SQL NULL (the unrolled form
+  * returns an array of k NULLs there — inexpressible with this
+  * aggregate's non-null element type, so the whole value is null;
+  * groups produced by groupBy always have at least one row, so the
+  * difference is reachable only through global aggregation of an
+  * empty/all-null input).
   */
 case class MinHashSketch(
     child: Expression,
@@ -53,11 +60,15 @@ case class MinHashSketch(
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def prettyName: String = MinHashSketch.name
 
-  override def createAggregationBuffer(): Array[Long] =
-    Array.fill(numHashes)(Long.MaxValue)
+  // slots 0..numHashes-1 = sketch; slot numHashes = seen-input count
+  override def createAggregationBuffer(): Array[Long] = {
+    val buf = new Array[Long](numHashes + 1)
+    java.util.Arrays.fill(buf, 0, numHashes, Long.MaxValue)
+    buf
+  }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -71,6 +82,7 @@ case class MinHashSketch(
         if (x < buf(i)) buf(i) = x
         i += 1
       }
+      buf(numHashes) += 1
     }
     buf
   }
@@ -81,23 +93,26 @@ case class MinHashSketch(
       if (other(i) < buf(i)) buf(i) = other(i)
       i += 1
     }
+    buf(numHashes) += other(numHashes)
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    if (buf(numHashes) == 0L) null
+    else new GenericArrayData(java.util.Arrays.copyOf(buf, numHashes))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * numHashes)
+    val bb = ByteBuffer.allocate(8 * (numHashes + 1))
     var i = 0
-    while (i < numHashes) { bb.putLong(buf(i)); i += 1 }
+    while (i <= numHashes) { bb.putLong(buf(i)); i += 1 }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Long](numHashes)
+    val buf = new Array[Long](numHashes + 1)
     var i = 0
-    while (i < numHashes) { buf(i) = bb.getLong(); i += 1 }
+    while (i <= numHashes) { buf(i) = bb.getLong(); i += 1 }
     buf
   }
 

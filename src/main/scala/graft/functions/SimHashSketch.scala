@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * Value-identical to the unrolled formulation
   * `agg(sum(when(bit0,1,-1)), ..., sum(when(bit63,1,-1)))` + sign
   * recombination (`pipeline/Dedup.scala` dd4 pre-r6), but as one
-  * 64-long buffer and one tight loop instead of 64 generated agg
-  * slots — the same codegen-compile collapse as
-  * [[MinHashSketch]]. Bounded memory per group by construction.
+  * 65-long buffer (64 counters + a seen-input count) and one tight
+  * loop instead of 64 generated agg slots — the same codegen-compile
+  * collapse as [[MinHashSketch]]. Bounded memory per group by
+  * construction. A group with no non-null input returns 0L, matching
+  * the unrolled form (its NULL bit sums fail every `>= 0` test, so
+  * no bit is set).
   */
 case class SimHashSketch(
     child: Expression,
@@ -40,7 +43,8 @@ case class SimHashSketch(
   override def nullable: Boolean = false
   override def prettyName: String = SimHashSketch.name
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+  // slots 0..63 = signed bit counters; slot 64 = seen-input count
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](65)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -51,17 +55,19 @@ case class SimHashSketch(
         if (((h >>> b) & 1L) == 1L) buf(b) += 1 else buf(b) -= 1
         b += 1
       }
+      buf(64) += 1
     }
     buf
   }
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     var b = 0
-    while (b < 64) { buf(b) += other(b); b += 1 }
+    while (b < 65) { buf(b) += other(b); b += 1 }
     buf
   }
 
   override def eval(buf: Array[Long]): Any = {
+    if (buf(64) == 0L) return 0L // empty group: unrolled form sets no bit
     var out = 0L
     var b = 0
     while (b < 64) {
@@ -72,17 +78,17 @@ case class SimHashSketch(
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * 64)
+    val bb = ByteBuffer.allocate(8 * 65)
     var b = 0
-    while (b < 64) { bb.putLong(buf(b)); b += 1 }
+    while (b < 65) { bb.putLong(buf(b)); b += 1 }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Long](64)
+    val buf = new Array[Long](65)
     var b = 0
-    while (b < 64) { buf(b) = bb.getLong(); b += 1 }
+    while (b < 65) { buf(b) = bb.getLong(); b += 1 }
     buf
   }
 

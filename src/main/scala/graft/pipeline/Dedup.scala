@@ -84,20 +84,27 @@ object Dedup {
     * the cache manager dedupes by plan so repeated calls share one
     * materialization.
     */
+  /** Per-doc SORTED distinct word-n-gram hash arrays — the one n-gram
+    * construction both the dedup shingles (n=3) and decontamination
+    * grams (n=8) derive from, so a tokenization change cannot
+    * desynchronize them. Built entirely map-side; sorted once per doc
+    * (bounded by doc length) so verifiers can merge-count per pair. */
+  private def ngramHashSets(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ")
+    docsWide(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), expr(
+        s"sort_array(array_distinct(if(size(w) < $n, array(), transform(" +
+          s"sequence(0, size(w) - $n)," +
+          s" i -> xxhash64(concat_ws(' ', $parts))))))").as("hs"))
+  }
+
   private[graft] def shingleSets(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.CollectCappedLongs.register(spark)
     graft.functions.SortedIntersectCount.register(spark)
     graft.functions.MinHashSketch.register(spark)
-    // sort_array at materialization (once per doc, bounded by doc
-    // length) buys the verifiers an allocation-free merge-count per
-    // candidate PAIR — the side of the trade that scales
-    docsWide(spark, sfDir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), expr(
-        "sort_array(array_distinct(if(size(w) < 3, array(), transform(" +
-          "sequence(0, size(w) - 3)," +
-          " i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2]))))))").as("hs"))
-      .persist()
+    ngramHashSets(spark, sfDir, 3).persist()
   }
 
   /** Exploded working form (doc_id, h), one row per distinct shingle
@@ -286,21 +293,14 @@ object Dedup {
   private val DecontamMod = 20
   private val DecontamN = 8
 
-  /** Per-doc distinct word-8-gram hashes (the decontamination unit —
-    * 8-grams are the common contamination-detection granularity; long
-    * enough that accidental overlap is rare, short enough to catch
-    * partial inclusion). Same map-side bounded construction as
-    * [[shingleSets]]. */
-  private def decontamGrams(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = DecontamN
-    val parts = (0 until n).map(j => s"w[i+$j]").mkString(", ")
-    docsWide(spark, sfDir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(if(size(w) < $n, array(), transform(" +
-          s"sequence(0, size(w) - $n), i -> xxhash64(concat_ws(' ', $parts)))))"
-      )).as("g"))
-  }
+  /** Per-doc distinct word-8-gram hashes, exploded (the
+    * decontamination unit — 8-grams are the common
+    * contamination-detection granularity; long enough that accidental
+    * overlap is rare, short enough to catch partial inclusion).
+    * Shares [[ngramHashSets]] with the dedup shingles. */
+  private def decontamGrams(spark: SparkSession, sfDir: String): DataFrame =
+    ngramHashSets(spark, sfDir, DecontamN)
+      .select(col("doc_id"), explode(col("hs")).as("g"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: flag corpus docs sharing any 8-gram
@@ -318,7 +318,10 @@ object Dedup {
       g.filter(col("doc_id") % DecontamMod =!= 0)
         .join(broadcast(ev), "g")
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("g")).as("n_shared"))
+        // (doc_id, g) is unique by construction (per-doc distinct grams
+        // joined to a distinct eval set), so a plain count equals
+        // count(DISTINCT g) without the extra distinct-aggregate pass
+        .agg(count(lit(1)).as("n_shared"))
     }),
     // Exact dedup: hash-groupBy on content hash, per source. (The
     // dropDuplicates operator reduces to exactly this hash-aggregate.)

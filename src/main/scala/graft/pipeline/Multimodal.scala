@@ -60,10 +60,20 @@ object Multimodal {
     // disk-backed stream caching costs a temp file per call) — the
     // codec-amortization point of running decode via mapPartitions
     javax.imageio.ImageIO.setUseCache(false)
+    def byteStats(r: MediaRecord): MediaFeature = {
+      var cs = 1125899906842597L
+      var i = 0
+      while (i < r.content.length) { cs = cs * 31 + (r.content(i) & 0xff); i += 1 }
+      MediaFeature(r.media_id, r.source, r.content.length.toLong,
+        width = 0, height = 0, checksum = cs)
+    }
     it.map { r =>
-      if (r.mime == PngMime) {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
+      // ImageIO.read returns NULL (it does not throw) on undecodable
+      // bytes — a corrupt blob must fall back, not NPE the stage
+      val img = if (r.mime == PngMime)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      else null
+      if (img != null) {
         var sum = 0L
         var y = 0
         while (y < img.getHeight) {
@@ -77,13 +87,7 @@ object Multimodal {
         }
         MediaFeature(r.media_id, r.source, r.content.length.toLong,
           img.getWidth, img.getHeight, sum)
-      } else {
-        var cs = 1125899906842597L
-        var i = 0
-        while (i < r.content.length) { cs = cs * 31 + (r.content(i) & 0xff); i += 1 }
-        MediaFeature(r.media_id, r.source, r.content.length.toLong,
-          width = 0, height = 0, checksum = cs)
-      }
+      } else byteStats(r)
     }
   }
 
@@ -135,10 +139,11 @@ object Multimodal {
       it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
     javax.imageio.ImageIO.setUseCache(false)
     it.map { r =>
-      if (r.mime != PngMime) r
+      val img = if (r.mime == PngMime)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      else null
+      if (img == null) r // non-image or undecodable blob: pass through
       else {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
         val out = new java.awt.image.BufferedImage(
           tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
         val g = out.createGraphics()

@@ -49,6 +49,8 @@ object Similarity {
   private val TopK = 10
   private val NearDupThreshold = 0.4
   private val IvfCells = 16
+  private val IvfSeed = 7
+  private val IvfIters = 5
   private val IvfProbes = 12 // random 64-d data clusters weakly; recall@top-10 needs wide probing
   private val KnnK = 5
 
@@ -121,7 +123,11 @@ object Similarity {
     * inside the read-only testdata). */
   private def ivfIndexPath(sfDir: String): String = {
     val f = new java.io.File(s"$sfDir/embeddings.parquet")
-    val key = s"${f.getName}_${f.lastModified}_${f.length}"
+    // key includes the quantizer hyperparameters: an index built under
+    // different (k, seed, iters) must never be served to code that
+    // changed them — that would be a silent recall loss
+    val key = s"${f.getName}_${f.lastModified}_${f.length}" +
+      s"_k${IvfCells}_s${IvfSeed}_i$IvfIters"
     val base = sys.env.getOrElse("GRAFT_INDEX_DIR",
       sys.props("java.io.tmpdir") + "/graft-index")
     s"$base/ivf_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_$key"
@@ -141,7 +147,7 @@ object Similarity {
           else None
         } catch { case _: Throwable => None }
       onDisk.getOrElse {
-        val m = new KMeans().setK(IvfCells).setSeed(7).setMaxIter(5)
+        val m = new KMeans().setK(IvfCells).setSeed(IvfSeed).setMaxIter(IvfIters)
           .setFeaturesCol("features").setPredictionCol("cell")
           .fit(e)
         try m.write.overwrite().save(dir) catch { case _: Throwable => () }

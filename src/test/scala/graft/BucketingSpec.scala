@@ -19,6 +19,16 @@ import graft.planopt.Candidates
 class BucketingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("bucketed co-located join: no exchange under the join, same result") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     val li = s"li_bucketed_${System.nanoTime()}"
@@ -65,30 +75,33 @@ class BucketingSpec extends AnyFunSuite {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $li")
       spark.sql(s"DROP TABLE IF EXISTS $or")
+      deleteRecursively(dir)
     }
   }
 
   test("partition-pruned scan touches only the matching partition's files") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
-    Tables.load(spark, sf, "documents")
-      .write.format("parquet").partitionBy("lang").save(s"$dir/docs")
+    try {
+      Tables.load(spark, sf, "documents")
+        .write.format("parquet").partitionBy("lang").save(s"$dir/docs")
 
-    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
-      df.collect() // run so the scan's numFiles metric is populated
-      df.queryExecution.executedPlan
-        .collect { case s: FileSourceScanExec => s }.head
-    }
-    val all = scanOf(spark.read.parquet(s"$dir/docs"))
-    val pruned = scanOf(spark.read.parquet(s"$dir/docs")
-      .filter(col("lang") === "en"))
-    // the partition predicate must show up as a partition filter (not
-    // a data filter) and cut the files actually listed for the scan
-    assert(pruned.partitionFilters.nonEmpty,
-      "lang = 'en' did not become a partition filter")
-    val filesAll = all.metrics("numFiles").value
-    val filesPruned = pruned.metrics("numFiles").value
-    assert(filesPruned > 0 && filesPruned < filesAll,
-      s"no pruning: $filesPruned of $filesAll files")
+      def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+        df.collect() // run so the scan's numFiles metric is populated
+        df.queryExecution.executedPlan
+          .collect { case s: FileSourceScanExec => s }.head
+      }
+      val all = scanOf(spark.read.parquet(s"$dir/docs"))
+      val pruned = scanOf(spark.read.parquet(s"$dir/docs")
+        .filter(col("lang") === "en"))
+      // the partition predicate must show up as a partition filter (not
+      // a data filter) and cut the files actually listed for the scan
+      assert(pruned.partitionFilters.nonEmpty,
+        "lang = 'en' did not become a partition filter")
+      val filesAll = all.metrics("numFiles").value
+      val filesPruned = pruned.metrics("numFiles").value
+      assert(filesPruned > 0 && filesPruned < filesAll,
+        s"no pruning: $filesPruned of $filesAll files")
+    } finally deleteRecursively(dir)
   }
 }
