@@ -67,28 +67,21 @@ object Dedup {
       .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
       .toDF("doc_id", "pos", "t")
 
-  /** Per-doc distinct word-3-gram shingle sets as xxhash64 arrays:
-    * (doc_id, hs ARRAY<LONG>) — built entirely MAP-SIDE (split →
-    * transform → array_distinct per row), no shuffle, no sort. The
-    * earlier window-`lead` formulation paid a corpus-wide doc_id
-    * exchange + sort just to see adjacent tokens; per-doc arrays are
-    * bounded by document length, so the lambda stays cheap and the
-    * construction is embarrassingly parallel — the right shape at
-    * 100 TB. (Measured at sf0.1: 0.9 s vs 2.3 s, and one fewer
-    * corpus-wide shuffle.)
+  /** Per-doc SORTED distinct word-n-gram hash arrays
+    * (doc_id, hs ARRAY<LONG>) — the one n-gram construction both the
+    * dedup shingles (n=3) and decontamination grams (n=8) derive
+    * from, so a tokenization change cannot desynchronize them.
     *
-    * Materialized ONCE: the dedup queries reference the sets 3-4
-    * times and Spark's exchange reuse does NOT dedupe the
-    * recomputations (audited: 12 scans in dd3's unpersisted plan).
-    * Spill-safe storage level; dropped by the session's clearCache;
-    * the cache manager dedupes by plan so repeated calls share one
-    * materialization.
-    */
-  /** Per-doc SORTED distinct word-n-gram hash arrays — the one n-gram
-    * construction both the dedup shingles (n=3) and decontamination
-    * grams (n=8) derive from, so a tokenization change cannot
-    * desynchronize them. Built entirely map-side; sorted once per doc
-    * (bounded by doc length) so verifiers can merge-count per pair. */
+    * Built entirely MAP-SIDE (split → transform → array_distinct →
+    * sort_array per row), no shuffle: per-doc arrays are bounded by
+    * document length, so the lambdas stay cheap and the construction
+    * is embarrassingly parallel — the right shape at 100 TB. (An
+    * earlier window-`lead` formulation paid a corpus-wide doc_id
+    * exchange + sort just to see adjacent tokens; measured at sf0.1:
+    * 0.9 s vs 2.3 s.) The per-doc sort (once, bounded) buys the
+    * verifiers an allocation-free merge-count per candidate PAIR
+    * ([[graft.functions.SortedIntersectCount]]) — the side of the
+    * trade that scales. */
   private def ngramHashSets(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
     val parts = (0 until n)
       .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ")
@@ -100,6 +93,12 @@ object Dedup {
           s" i -> xxhash64(concat_ws(' ', $parts))))))").as("hs"))
   }
 
+  /** The dedup 3-gram shingle sets, materialized ONCE: the dedup
+    * queries reference the sets 3-4 times and Spark's exchange reuse
+    * does NOT dedupe the recomputations (audited: 12 scans in dd3's
+    * unpersisted plan). Dropped by the session's clearCache; the
+    * cache manager dedupes by plan so repeated calls share one
+    * materialization. */
   private[graft] def shingleSets(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.CollectCappedLongs.register(spark)
     graft.functions.SortedIntersectCount.register(spark)
