@@ -287,6 +287,81 @@ object Dedup {
       .agg(expr("graft_simhash(h)").as("simhash"))
   }
 
+  // --- Duplicate-cluster resolution (pairs -> connected components) ---
+
+  /** Iteration cap for [[connectedComponents]]. Hash-to-min with
+    * pointer jumping covers ~2^k hops after k rounds, so 25 rounds
+    * handle component diameters up to millions — far beyond any real
+    * duplicate cluster (near-dup graphs are dense blobs, not paths).
+    */
+  private[graft] val MaxCcIters = 25
+
+  /** Connected components over an undirected pair graph
+    * (a_id, b_id) -> (node, comp) where comp is the component's
+    * minimum doc_id — the canonical-document resolution step that
+    * turns near-dup PAIRS into KEEP/DROP decisions (transitive
+    * closure: if A~B and B~C, all three are one cluster even though
+    * (A,C) never scored above threshold).
+    *
+    * Algorithm: min-label propagation (each round a node takes the
+    * smallest label among itself and its neighbors) plus POINTER
+    * JUMPING (then takes its current label-holder's label), the
+    * hash-to-min shape — labels reach 2^k hops after k rounds, so
+    * convergence is O(log diameter) rounds, not O(diameter).
+    *
+    * Scale design: every round is two equi-joins + one aggregate over
+    * the EDGE set — the pair graph, which is tiny relative to the
+    * corpus (only docs with a near-dup partner appear). Convergence is
+    * detected by the monotone label sum (labels only decrease; equal
+    * sum = fixpoint) — one scalar action per round, no change-count
+    * join. Each round's labels are `localCheckpoint`ed to truncate
+    * lineage (iterative plans otherwise grow exponentially and
+    * re-trigger the full dedup upstream); on a real cluster with
+    * flaky executors, swap for reliable `checkpoint()` to a
+    * checkpoint dir — same plan shape, durable blocks.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame,
+                                         maxIters: Int = MaxCcIters): DataFrame = {
+    val sym = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .persist()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("comp"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = prevSum == 0L // empty graph: nothing to iterate
+    while (!converged && iter < maxIters) {
+      // min over self + neighbor labels (every node has >=1 neighbor
+      // by construction, but stay total via the left join + coalesce)
+      val nbrMin = sym
+        .join(labels.select(col("node").as("v"), col("comp").as("vc")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("vc")).as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // pointer jump: follow my label to ITS current label (labels are
+      // node ids, so the label-holder is always present in `stepped`)
+      val next = stepped
+        .join(stepped.select(col("node").as("comp"), col("comp").as("pc")),
+          Seq("comp"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("pc"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      labels.unpersist()
+      labels = next
+      prevSum = nextSum
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Benchmark-decontamination eval-set rate: doc_id % DecontamMod == 0
     * plays the "held-out benchmark" role. */
   private val DecontamMod = 20
@@ -341,6 +416,21 @@ object Dedup {
     "dd3_minhash_lsh" -> ((spark, sfDir) =>
       verifiedPairs(shingleSets(spark, sfDir),
         bandedCandidates(shingles(spark, sfDir)), 0.8)),
+    // Duplicate-cluster resolution: dd2's verified pairs -> connected
+    // components -> (doc, canonical=min-id, cluster size). The output
+    // is the KEEP/DROP decision table a dedup pipeline actually acts
+    // on; clusters are transitive closures, so it contains pairs dd2
+    // itself never scored (A~B, B~C => (A,C) same cluster).
+    "dd6_dup_clusters" -> ((spark, sfDir) => {
+      val pairs = verifiedPairs(shingleSets(spark, sfDir),
+        cappedCandidates(shingles(spark, sfDir)), 0.8)
+      val labels = connectedComponents(pairs.select(col("a_id"), col("b_id")))
+      val sizes = labels.groupBy(col("comp"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "comp")
+        .select(col("node").as("doc_id"), col("comp").as("canon_id"),
+          col("cluster_size"))
+    }),
     // SimHash near-dup: banded on 16-bit chunks (pigeonhole: any pair
     // at hamming<=3 shares a full chunk and is a guaranteed
     // candidate), verified on the full fingerprint. No SQL-expressible
@@ -365,8 +455,11 @@ object Dedup {
     })
   )
 
-  private val dd2OracleSql =
-    """WITH sh AS (
+  /** Shared pair-detection CTEs (sh/cnt/inter) — the exact 3-gram
+    * Jaccard machinery dd2, dd3, and dd6 all sit on; one text so the
+    * three oracles cannot drift apart. */
+  private val pairCteSql =
+    """sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
@@ -375,11 +468,38 @@ object Dedup {
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT ia AS a_id, ib AS b_id,
-      |       round(c * 1.0 / (ca.n + cb.n - c), 3) AS jaccard
-      |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
-      |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8""".stripMargin
+      |          GROUP BY 1, 2)""".stripMargin
+
+  private val dd2OracleSql =
+    s"""WITH $pairCteSql
+       |SELECT ia AS a_id, ib AS b_id,
+       |       round(c * 1.0 / (ca.n + cb.n - c), 3) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+       |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8""".stripMargin
+
+  /** dd6 oracle: transitive closure of the >=0.8 pair graph via a
+    * recursive CTE (`reach` = every node reachable from `node`;
+    * UNION, not UNION ALL, so the fixpoint terminates), canonical =
+    * min reachable id. Independent formulation from the Spark side's
+    * label propagation — agreement is a real cross-check of the
+    * clustering, not an echo. */
+  private val dd6OracleSql =
+    s"""WITH RECURSIVE $pairCteSql,
+       |pairs AS (
+       |  SELECT ia AS a_id, ib AS b_id
+       |  FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+       |  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT u AS node, v AS r FROM edges
+       |  UNION
+       |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.node = e.v),
+       |canon AS (SELECT node, least(node, min(r)) AS canon_id
+       |          FROM reach GROUP BY node),
+       |sz AS (SELECT canon_id, count(*) AS n FROM canon GROUP BY canon_id)
+       |SELECT c.node AS doc_id, c.canon_id, CAST(s.n AS BIGINT) AS cluster_size
+       |FROM canon c JOIN sz s ON s.canon_id = c.canon_id""".stripMargin
 
   private val dc1OracleSql = {
     // DuckDB arrays are 1-indexed and `range(1, len-$DecontamN+2)` walks
@@ -408,7 +528,8 @@ object Dedup {
     "dd2_ngram_jaccard" -> dd2OracleSql,
     // dd3 must reproduce dd2's exact result — the oracle doubles as an
     // end-to-end MinHash-recall check.
-    "dd3_minhash_lsh" -> dd2OracleSql
+    "dd3_minhash_lsh" -> dd2OracleSql,
     // dd4_simhash: intentionally no oracle (engine-specific hash).
+    "dd6_dup_clusters" -> dd6OracleSql
   )
 }

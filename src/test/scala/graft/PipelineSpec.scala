@@ -173,6 +173,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("connected components: min-id canonicals, O(log diameter) rounds") {
+    import spark.implicits._
+    // a 100-node PATH (worst-case diameter for its size) plus a
+    // disjoint triangle: hash-to-min + pointer jumping must resolve
+    // the path in ~log2(100) rounds, nowhere near the 25-round cap —
+    // pin that with an explicit 8-round budget.
+    val path = (0L until 99L).map(i => (i, i + 1))
+    val tri = Seq((1000L, 1001L), (1001L, 1002L), (1000L, 1002L))
+    val edges = (path ++ tri).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(edges, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 103)
+    assert((0L to 99L).forall(labels(_) == 0L))
+    assert((1000L to 1002L).forall(labels(_) == 1000L))
+    // empty graph: total function, empty result
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
+  }
+
+  test("dd6 clusters are the transitive closure of dd2 pairs") {
+    val dupPairs = pairs("dd2_ngram_jaccard")
+    val clusters = SparkEntry.queries("dd6_dup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val canonOf = clusters.map(c => c._1 -> c._2).toMap
+    // membership: exactly the docs that appear in some dup pair
+    assert(canonOf.keySet == dupPairs.flatMap(p => Seq(p._1, p._2)))
+    // every scored pair lands in one cluster
+    assert(dupPairs.forall(p => canonOf(p._1) == canonOf(p._2)))
+    // canonical is the min id of its cluster, and is itself a member
+    val byCanon = clusters.groupBy(_._2)
+    byCanon.foreach { case (canon, members) =>
+      assert(members.map(_._1).min == canon)
+      // cluster_size is consistent across the cluster's rows
+      assert(members.map(_._3).toSet == Set(members.length.toLong))
+    }
+  }
+
   test("df-cap blind spot: >K duplicate cluster is missed by dd2, caught by dd3") {
     // the documented trade-off of bounding the dd2 self-join: a
     // duplicate cluster larger than MaxShingleDf makes every shared
