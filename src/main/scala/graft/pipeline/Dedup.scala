@@ -245,21 +245,28 @@ object Dedup {
     ex.groupBy(col("doc_id"))
       .agg(expr(s"graft_minhash(h, $NumHashes)").as("sig"))
 
-  /** LSH banding: candidates = docs sharing any (band, band_sig) key,
-    * via a banded equi-join (the only shuffle that matters at scale).
-    * Band signatures chain `xxhash64` over the band's sketch
-    * components — same values as the pre-r6 flat-column formulation.
-    */
-  private[graft] def bandedCandidates(ex: DataFrame): DataFrame = {
+  /** The banded LSH index (doc_id, band, band_sig) — the persisted
+    * artifact both full dedup (dd3's self-join) and incremental
+    * ingest (dd7's probe) run against. Band signatures chain
+    * `xxhash64` over the band's sketch components — same values as
+    * the pre-r6 flat-column formulation. */
+  private[graft] def bandedSignatures(ex: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
     val bandSigs = (0 until NumBands).map { b =>
       xxhash64((b * rows until (b + 1) * rows)
         .map(i => col("sig").getItem(i)): _*)
     }
-    val banded = minhashSignatures(ex)
+    minhashSignatures(ex)
       .select(col("doc_id"), posexplode(array(bandSigs: _*)))
       .toDF("doc_id", "band", "band_sig")
-      .persist() // both self-join sides; avoids recomputing the signature pass
+      .persist() // both join sides; avoids recomputing the signature pass
+  }
+
+  /** LSH banding: candidates = docs sharing any (band, band_sig) key,
+    * via a banded equi-join (the only shuffle that matters at scale).
+    */
+  private[graft] def bandedCandidates(ex: DataFrame): DataFrame = {
+    val banded = bandedSignatures(ex)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_sig") === col("b.band_sig") &&
@@ -362,6 +369,10 @@ object Dedup {
     labels
   }
 
+  /** Incremental-dedup batch rate: doc_id % IncrBatchMod == 0 plays
+    * the "newly ingested batch" role (10% of the corpus). */
+  private[graft] val IncrBatchMod = 10
+
   /** Benchmark-decontamination eval-set rate: doc_id % DecontamMod == 0
     * plays the "held-out benchmark" role. */
   private val DecontamMod = 20
@@ -431,6 +442,28 @@ object Dedup {
         .select(col("node").as("doc_id"), col("comp").as("canon_id"),
           col("cluster_size"))
     }),
+    // Incremental ingest dedup: today's batch (doc_id % IncrBatchMod
+    // == 0 plays "newly ingested") probes the historical banded LSH
+    // index for near-dups against the WHOLE corpus — the shape you
+    // run daily at 100 TB: the index is a persisted artifact keyed by
+    // (band, band_sig), the batch is small, and the probe is a
+    // batch-sized equi-join against it (AQE broadcasts the batch
+    // side), not a corpus re-shuffle. Candidates are canonicalized
+    // (least/greatest) so batch-internal pairs score once; exact
+    // verification and threshold are dd2's. Oracle = dd2's exact
+    // pairs restricted to those touching the batch, so LSH recall on
+    // the probe path is oracle-gated too.
+    "dd7_incremental_dedup" -> ((spark, sfDir) => {
+      val banded = bandedSignatures(shingles(spark, sfDir))
+      val cand = banded.filter(col("doc_id") % IncrBatchMod === 0).as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      verifiedPairs(shingleSets(spark, sfDir), cand, 0.8)
+    }),
     // SimHash near-dup: banded on 16-bit chunks (pigeonhole: any pair
     // at hamming<=3 shares a full chunk and is a guaranteed
     // candidate), verified on the full fingerprint. No SQL-expressible
@@ -476,6 +509,17 @@ object Dedup {
        |       round(c * 1.0 / (ca.n + cb.n - c), 3) AS jaccard
        |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
        |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8""".stripMargin
+
+  /** dd7 oracle: dd2's exact pairs restricted to those with at least
+    * one side in the ingest batch — the probe path must find exactly
+    * the batch-touching near-dups the full join would. */
+  private val dd7OracleSql =
+    s"""WITH $pairCteSql
+       |SELECT ia AS a_id, ib AS b_id,
+       |       round(c * 1.0 / (ca.n + cb.n - c), 3) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+       |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8
+       |  AND (ia % $IncrBatchMod = 0 OR ib % $IncrBatchMod = 0)""".stripMargin
 
   /** dd6 oracle: transitive closure of the >=0.8 pair graph via a
     * recursive CTE (`reach` = every node reachable from `node`;
@@ -530,6 +574,7 @@ object Dedup {
     // end-to-end MinHash-recall check.
     "dd3_minhash_lsh" -> dd2OracleSql,
     // dd4_simhash: intentionally no oracle (engine-specific hash).
-    "dd6_dup_clusters" -> dd6OracleSql
+    "dd6_dup_clusters" -> dd6OracleSql,
+    "dd7_incremental_dedup" -> dd7OracleSql
   )
 }

@@ -104,6 +104,36 @@ object TextAnalysis {
           md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
           .as("n_fingerprints"),
           count(lit(1)).as("n_docs"))),
+    // txt5: repetition signals (the Gopher-style quality dimension
+    // txt3's length/punct gates don't see) — duplicate-word and
+    // duplicate-bigram fractions per source, plus a per-doc
+    // "repetitive" flag at dup-bigram > 20%. Numeric design for the
+    // cross-engine hash: every aggregate is an EXACT integer sum
+    // (distinct/total counts), with ONE double division at the end —
+    // no float accumulation whose association order could differ
+    // between engines — and the 20% threshold is the integer
+    // comparison (nb-ndb)*5 > nb, float-free. Per-doc work is
+    // map-side and bounded by document length; the only shuffle is
+    // the final per-source partial/final hash-agg.
+    "txt5_repetition" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(col("source"), wordsCol.as("w"))
+        .select(col("source"), size(col("w")).as("nw"),
+          size(array_distinct(col("w"))).as("ndw"),
+          expr("""if(size(w) < 2, array(),
+                 |  transform(sequence(0, size(w) - 2),
+                 |    i -> concat_ws(' ', w[i], w[i+1])))""".stripMargin)
+            .as("b"))
+        .select(col("source"), col("nw"), col("ndw"),
+          size(col("b")).as("nb"), size(array_distinct(col("b"))).as("ndb"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when((col("nb") - col("ndb")) * 5 > col("nb"), 1L)
+            .otherwise(0L)).cast("long").as("n_repetitive"),
+          round(lit(1) - sum(col("ndw")).cast("double") /
+            sum(col("nw")).cast("double"), 6).as("dup_word_ratio"),
+          round(lit(1) - sum(col("ndb")).cast("double") /
+            sum(col("nb")).cast("double"), 6).as("dup_bigram_ratio"))),
     // the composed training-data pipeline, end to end in ONE plan:
     // quality gate → exact dedup by fingerprint (deterministic
     // representative = lowest doc_id) → per-source corpus stats.
@@ -235,6 +265,27 @@ object TextAnalysis {
         |  CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_fingerprints,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY lang""".stripMargin,
+    // txt5: DuckDB lists are 1-based — range(1, len(w)) walks the
+    // bigram start positions 1..len-1, mirroring Spark's 0-based
+    // sequence(0, size(w)-2).
+    "txt5_repetition" ->
+      """WITH d AS (
+        |  SELECT source, len(w) AS nw, len(list_distinct(w)) AS ndw,
+        |    CASE WHEN len(w) < 2 THEN [] ELSE
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |    END AS b
+        |  FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)
+        |),
+        |m AS (SELECT source, nw, ndw, len(b) AS nb,
+        |             len(list_distinct(b)) AS ndb FROM d)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN (nb - ndb) * 5 > nb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repetitive,
+        |  round(1 - sum(ndw) * 1.0 / sum(nw), 6) AS dup_word_ratio,
+        |  round(1 - sum(ndb) * 1.0 / sum(nb), 6) AS dup_bigram_ratio
+        |FROM m GROUP BY source""".stripMargin,
     "pipe1_clean_corpus" ->
       """SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_kept,
