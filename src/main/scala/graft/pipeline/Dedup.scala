@@ -82,16 +82,24 @@ object Dedup {
     * verifiers an allocation-free merge-count per candidate PAIR
     * ([[graft.functions.SortedIntersectCount]]) — the side of the
     * trade that scales. */
-  private def ngramHashSets(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+  /** The one n-gram hash expression (over a `w` tokens column) every
+    * n-gram consumer derives from — a tokenization change cannot
+    * desynchronize dd2/dd3's shingles from dc1's grams. */
+  private def ngramCoreExpr(n: Int): String = {
     val parts = (0 until n)
       .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ")
+    s"array_distinct(if(size(w) < $n, array(), transform(" +
+      s"sequence(0, size(w) - $n), i -> xxhash64(concat_ws(' ', $parts)))))"
+  }
+
+  private def tokenized(spark: SparkSession, sfDir: String): DataFrame =
     docsWide(spark, sfDir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), expr(
-        s"sort_array(array_distinct(if(size(w) < $n, array(), transform(" +
-          s"sequence(0, size(w) - $n)," +
-          s" i -> xxhash64(concat_ws(' ', $parts))))))").as("hs"))
-  }
+
+  private def ngramHashSets(spark: SparkSession, sfDir: String, n: Int): DataFrame =
+    tokenized(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"sort_array(${ngramCoreExpr(n)})").as("hs"))
 
   /** The dedup 3-gram shingle sets, materialized ONCE: the dedup
     * queries reference the sets 3-4 times and Spark's exchange reuse
@@ -382,10 +390,17 @@ object Dedup {
     * decontamination unit — 8-grams are the common
     * contamination-detection granularity; long enough that accidental
     * overlap is rare, short enough to catch partial inclusion).
-    * Shares [[ngramHashSets]] with the dedup shingles. */
+    * Shares [[ngramCoreExpr]] with the dedup shingles, but keeps the
+    * explode GENERATOR-INLINED: evaluating the HOF inside
+    * `Generate explode(<expr>)` measured 14x faster at sf0.1 (2.5s vs
+    * 35s) than projecting the gram array into a column and exploding
+    * that — the projected form materializes each doc's full array
+    * into row format between two interpreted operators (HOFs sit
+    * outside whole-stage codegen) before unnesting it. */
   private def decontamGrams(spark: SparkSession, sfDir: String): DataFrame =
-    ngramHashSets(spark, sfDir, DecontamN)
-      .select(col("doc_id"), explode(col("hs")).as("g"))
+    tokenized(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr(ngramCoreExpr(DecontamN))).as("g"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: flag corpus docs sharing any 8-gram
