@@ -337,8 +337,13 @@ object Dedup {
     */
   private[graft] def connectedComponents(pairs: DataFrame,
                                          maxIters: Int = MaxCcIters): DataFrame = {
-    val sym = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    // symmetrize in ONE pass over the pair stream (explode of the two
+    // orientations) — a union of two selects would recompute the
+    // upstream pair pipeline once per branch at materialization
+    val sym = pairs.select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("comp", col("node"))
@@ -397,7 +402,7 @@ object Dedup {
     * that — the projected form materializes each doc's full array
     * into row format between two interpreted operators (HOFs sit
     * outside whole-stage codegen) before unnesting it. */
-  private def decontamGrams(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def decontamGrams(spark: SparkSession, sfDir: String): DataFrame =
     tokenized(spark, sfDir)
       .select(col("doc_id"),
         explode(expr(ngramCoreExpr(DecontamN))).as("g"))

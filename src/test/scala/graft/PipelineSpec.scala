@@ -173,6 +173,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("dc1 gram stream keeps the HOF explode generator-inlined") {
+    // Regression pin for the 15x dc1 slowdown: the n-gram transform
+    // must be evaluated INSIDE Generate's generator, not projected
+    // into an intermediate array column that Generate then unnests
+    // (the projected form materializes each doc's full gram array
+    // into row format between two interpreted operators).
+    val plan = Dedup.decontamGrams(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode(if"),
+      s"gram explode not generator-inlined:\n$plan")
+  }
+
   test("connected components: min-id canonicals, O(log diameter) rounds") {
     import spark.implicits._
     // a 100-node PATH (worst-case diameter for its size) plus a
