@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,24 +67,14 @@ object Dedup {
       .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
       .toDF("doc_id", "pos", "t")
 
-  /** Per-doc SORTED distinct word-n-gram hash arrays
-    * (doc_id, hs ARRAY<LONG>) — the one n-gram construction both the
-    * dedup shingles (n=3) and decontamination grams (n=8) derive
-    * from, so a tokenization change cannot desynchronize them.
-    *
-    * Built entirely MAP-SIDE (split → transform → array_distinct →
-    * sort_array per row), no shuffle: per-doc arrays are bounded by
-    * document length, so the lambdas stay cheap and the construction
-    * is embarrassingly parallel — the right shape at 100 TB. (An
-    * earlier window-`lead` formulation paid a corpus-wide doc_id
-    * exchange + sort just to see adjacent tokens; measured at sf0.1:
-    * 0.9 s vs 2.3 s.) The per-doc sort (once, bounded) buys the
-    * verifiers an allocation-free merge-count per candidate PAIR
-    * ([[graft.functions.SortedIntersectCount]]) — the side of the
-    * trade that scales. */
-  /** The one n-gram hash expression (over a `w` tokens column) every
-    * n-gram consumer derives from — a tokenization change cannot
-    * desynchronize dd2/dd3's shingles from dc1's grams. */
+  /** The one n-gram hash expression (over a `w` tokens column, UNSORTED
+    * distinct hashes) every n-gram consumer derives from — a
+    * tokenization change cannot desynchronize dd2/dd3's shingles from
+    * dc1's grams. Entirely map-side, bounded by document length,
+    * embarrassingly parallel — the right shape at 100 TB. (An earlier
+    * window-`lead` formulation paid a corpus-wide doc_id exchange +
+    * sort just to see adjacent tokens; measured at sf0.1: 0.9 s vs
+    * 2.3 s.) */
   private def ngramCoreExpr(n: Int): String = {
     val parts = (0 until n)
       .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ")
@@ -96,6 +86,14 @@ object Dedup {
     docsWide(spark, sfDir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
 
+  /** Per-doc SORTED distinct word-n-gram hash arrays
+    * (doc_id, hs ARRAY<LONG>). The per-doc sort (once, bounded by
+    * document length) buys the verifiers an allocation-free
+    * merge-count per candidate PAIR
+    * ([[graft.functions.SortedIntersectCount]]) — the side of the
+    * trade that scales. Consumers that only explode into an equi-join
+    * (dc1) skip the sort AND keep the explode generator-inlined — see
+    * [[decontamGrams]]. */
   private def ngramHashSets(spark: SparkSession, sfDir: String, n: Int): DataFrame =
     tokenized(spark, sfDir)
       .select(col("doc_id"),
@@ -270,15 +268,20 @@ object Dedup {
       .persist() // both join sides; avoids recomputing the signature pass
   }
 
+  /** The (band, band_sig) bucket-match predicate, shared by the full
+    * self-join (dd3) and the incremental probe (dd7) so a banding
+    * change can never desynchronize the two paths. Callers alias the
+    * sides `a` and `b`. */
+  private def bandMatch: Column =
+    col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
+
   /** LSH banding: candidates = docs sharing any (band, band_sig) key,
     * via a banded equi-join (the only shuffle that matters at scale).
     */
   private[graft] def bandedCandidates(ex: DataFrame): DataFrame = {
     val banded = bandedSignatures(ex)
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") < col("b.doc_id"))
+        bandMatch && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
   }
@@ -348,12 +351,17 @@ object Dedup {
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("comp"))).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // convergence = the monotone label sum is unchanged. Summed in
+    // DECIMAL(38,0): a Long sum overflows at ~1e10 nodes with 64-bit
+    // ids (ANSI would abort; wraparound could spuriously match),
+    // while 38 digits hold any node-count x id-magnitude this can
+    // meet. None = empty frame (also the empty-graph early exit, id
+    // signs irrelevant).
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = prevSum == 0L // empty graph: nothing to iterate
+    var converged = prevSum.isEmpty
     while (!converged && iter < maxIters) {
       // min over self + neighbor labels (every node has >=1 neighbor
       // by construction, but stay total via the left join + coalesce)
@@ -373,7 +381,11 @@ object Dedup {
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
-      labels.unpersist()
+      // superseded label snapshots: Dataset.unpersist would be a
+      // no-op here (localCheckpoint stores RDD blocks directly, not
+      // CacheManager entries) — blocks are reclaimed by the
+      // ContextCleaner once the snapshot is unreferenced, and each is
+      // bounded by the pair-graph node count
       labels = next
       prevSum = nextSum
       iter += 1
@@ -453,8 +465,14 @@ object Dedup {
     // on; clusters are transitive closures, so it contains pairs dd2
     // itself never scored (A~B, B~C => (A,C) same cluster).
     "dd6_dup_clusters" -> ((spark, sfDir) => {
+      // pairs come from the BANDED (dd3) candidate path, not the
+      // df-capped (dd2) one: a mass-duplicate cluster larger than
+      // MaxShingleDf makes every shared shingle hot, so the capped
+      // path emits no candidates for it — precisely the regime
+      // cluster resolution exists for. Banding has no cluster-size
+      // blind spot (members share band signatures).
       val pairs = verifiedPairs(shingleSets(spark, sfDir),
-        cappedCandidates(shingles(spark, sfDir)), 0.8)
+        bandedCandidates(shingles(spark, sfDir)), 0.8)
       val labels = connectedComponents(pairs.select(col("a_id"), col("b_id")))
       val sizes = labels.groupBy(col("comp"))
         .agg(count(lit(1)).as("cluster_size"))
@@ -477,9 +495,7 @@ object Dedup {
       val banded = bandedSignatures(shingles(spark, sfDir))
       val cand = banded.filter(col("doc_id") % IncrBatchMod === 0).as("a")
         .join(banded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.band_sig") === col("b.band_sig") &&
-            col("a.doc_id") =!= col("b.doc_id"))
+          bandMatch && col("a.doc_id") =!= col("b.doc_id"))
         .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
           greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       verifiedPairs(shingleSets(spark, sfDir), cand, 0.8)

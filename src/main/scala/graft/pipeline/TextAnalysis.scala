@@ -132,8 +132,15 @@ object TextAnalysis {
             .otherwise(0L)).cast("long").as("n_repetitive"),
           round(lit(1) - sum(col("ndw")).cast("double") /
             sum(col("nw")).cast("double"), 6).as("dup_word_ratio"),
+          // nullif guard: a source whose docs ALL have <2 tokens has
+          // sum(nb)=0 — Spark's double 0/0 is NaN while DuckDB's
+          // yields NULL, a guaranteed hash mismatch; dividing by NULL
+          // makes both engines agree on NULL. (nw needs no guard:
+          // split() never returns an empty array, so sum(nw) >=
+          // n_docs >= 1.)
           round(lit(1) - sum(col("ndb")).cast("double") /
-            sum(col("nb")).cast("double"), 6).as("dup_bigram_ratio"))),
+            nullif(sum(col("nb")), lit(0)).cast("double"), 6)
+            .as("dup_bigram_ratio"))),
     // the composed training-data pipeline, end to end in ONE plan:
     // quality gate → exact dedup by fingerprint (deterministic
     // representative = lowest doc_id) → per-source corpus stats.
