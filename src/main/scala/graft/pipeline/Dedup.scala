@@ -155,7 +155,8 @@ object Dedup {
     * Never all-pairs; total candidate rows <= K · |shingles|, linear
     * in corpus size.
     */
-  private[graft] def cappedCandidates(ex: DataFrame): DataFrame =
+  private[graft] def cappedCandidates(ex: DataFrame): DataFrame = {
+    graft.functions.CollectCappedLongs.register(ex.sparkSession) // idempotent
     ex.groupBy(col("h"))
       .agg(expr(s"graft_collect_capped(doc_id, ${MaxShingleDf + 1})").as("docs"))
       .filter(size(col("docs")).between(2, MaxShingleDf))
@@ -167,6 +168,7 @@ object Dedup {
     // its cheap size-ratio prune, so the corpus-wide distinct shuffle
     // carries only ratio-compatible pairs (~4x fewer), not the full
     // candidate stream
+  }
 
   private def jaccardOf = col("c").cast("double") /
     (col("na") + col("nb") - col("c")).cast("double")
@@ -209,6 +211,9 @@ object Dedup {
     */
   private[graft] def verifiedPairs(sets: DataFrame, cand: DataFrame,
                                    threshold: Double): DataFrame = {
+    // idempotent; callers may supply their own `sets` frame without
+    // going through shingleSets' registrations
+    graft.functions.SortedIntersectCount.register(sets.sparkSession)
     val sizes = sets.select(col("doc_id"), size(col("hs")).as("n"))
     cand
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
@@ -247,9 +252,13 @@ object Dedup {
     * degenerates to monotone-in-h, collapsing every component onto
     * the same min shingle.
     */
-  private[graft] def minhashSignatures(ex: DataFrame): DataFrame =
+  private[graft] def minhashSignatures(ex: DataFrame): DataFrame = {
+    // idempotent; keeps the sketch usable when a caller reaches the
+    // banded path without going through shingleSets' registrations
+    graft.functions.MinHashSketch.register(ex.sparkSession)
     ex.groupBy(col("doc_id"))
       .agg(expr(s"graft_minhash(h, $NumHashes)").as("sig"))
+  }
 
   /** The banded LSH index (doc_id, band, band_sig) — the persisted
     * artifact both full dedup (dd3's self-join) and incremental

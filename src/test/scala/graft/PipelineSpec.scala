@@ -242,6 +242,13 @@ class PipelineSpec extends AnyFunSuite {
     val banded = Dedup.verifiedPairs(sets, Dedup.bandedCandidates(ex), 0.8)
     assert(banded.count() == 70L * 69 / 2,
       "dd3's banded candidates must cover the full duplicate cluster")
+    // dd6 rides the banded path for exactly this reason: cluster
+    // resolution over the mass-duplicate regime must see the pairs
+    // the capped path drops — all 70 docs collapse to canonical 0
+    val labels = Dedup.connectedComponents(banded.select(col("a_id"), col("b_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 70 && labels.values.forall(_ == 0L),
+      s"mass-dup cluster must resolve to one canonical: $labels")
   }
 
   test("kNN join: k neighbors per row, ranked, self-free, sim1-consistent") {
