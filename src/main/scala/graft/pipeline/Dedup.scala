@@ -403,6 +403,20 @@ object Dedup {
     labels
   }
 
+  /** Cluster labels (node, comp=min id) over the corpus's verified
+    * near-dup pair graph — shared by dd6 (cluster table) and dd8
+    * (canonical corpus). Pairs come from the BANDED (dd3) candidate
+    * path, not the df-capped (dd2) one: a duplicate cluster larger
+    * than MaxShingleDf makes every shared shingle hot, so the capped
+    * path emits no candidates for it — precisely the mass-duplicate
+    * regime cluster resolution exists for. Banding has no
+    * cluster-size blind spot (members share band signatures). */
+  private def dupClusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = verifiedPairs(shingleSets(spark, sfDir),
+      bandedCandidates(shingles(spark, sfDir)), 0.8)
+    connectedComponents(pairs.select(col("a_id"), col("b_id")))
+  }
+
   /** Incremental-dedup batch rate: doc_id % IncrBatchMod == 0 plays
     * the "newly ingested batch" role (10% of the corpus). */
   private[graft] val IncrBatchMod = 10
@@ -474,20 +488,31 @@ object Dedup {
     // on; clusters are transitive closures, so it contains pairs dd2
     // itself never scored (A~B, B~C => (A,C) same cluster).
     "dd6_dup_clusters" -> ((spark, sfDir) => {
-      // pairs come from the BANDED (dd3) candidate path, not the
-      // df-capped (dd2) one: a mass-duplicate cluster larger than
-      // MaxShingleDf makes every shared shingle hot, so the capped
-      // path emits no candidates for it — precisely the regime
-      // cluster resolution exists for. Banding has no cluster-size
-      // blind spot (members share band signatures).
-      val pairs = verifiedPairs(shingleSets(spark, sfDir),
-        bandedCandidates(shingles(spark, sfDir)), 0.8)
-      val labels = connectedComponents(pairs.select(col("a_id"), col("b_id")))
+      val labels = dupClusterLabels(spark, sfDir)
       val sizes = labels.groupBy(col("comp"))
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "comp")
         .select(col("node").as("doc_id"), col("comp").as("canon_id"),
           col("cluster_size"))
+    }),
+    // The end product of the dedup pipeline in one entry: candidate
+    // generation → exact verification → cluster resolution → drop
+    // every non-canonical cluster member, reported as per-source
+    // kept/dropped counts. The drop set is pair-graph sized (tiny
+    // next to the corpus), so the final pass is one corpus scan with
+    // a broadcast-able left join + per-source hash-agg — at 100 TB
+    // you'd write the kept rows instead of counting them, same plan.
+    "dd8_canonical_corpus" -> ((spark, sfDir) => {
+      val drops = dupClusterLabels(spark, sfDir)
+        .filter(col("node") =!= col("comp"))
+        .select(col("node").as("doc_id"), lit(1L).as("dropped"))
+      Tables.load(spark, sfDir, "documents")
+        .join(drops, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("dropped"), lit(0L))).cast("long").as("n_dropped"),
+          (count(lit(1)) - sum(coalesce(col("dropped"), lit(0L))))
+            .cast("long").as("n_kept"))
     }),
     // Incremental ingest dedup: today's batch (doc_id % IncrBatchMod
     // == 0 plays "newly ingested") probes the historical banded LSH
@@ -566,29 +591,45 @@ object Dedup {
        |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8
        |  AND (ia % $IncrBatchMod = 0 OR ib % $IncrBatchMod = 0)""".stripMargin
 
-  /** dd6 oracle: transitive closure of the >=0.8 pair graph via a
-    * recursive CTE (`reach` = every node reachable from `node`;
-    * UNION, not UNION ALL, so the fixpoint terminates), canonical =
-    * min reachable id. Independent formulation from the Spark side's
-    * label propagation — agreement is a real cross-check of the
-    * clustering, not an echo. */
+  /** Transitive-closure CTE chain over the >=0.8 pair graph
+    * (`reach` = every node reachable from `node`; UNION, not UNION
+    * ALL, so the fixpoint terminates), canonical = min reachable id.
+    * Independent formulation from the Spark side's label propagation
+    * — agreement is a real cross-check of the clustering, not an
+    * echo. Shared by the dd6 and dd8 oracles. */
+  private val ccCteSql =
+    """pairs AS (
+      |  SELECT ia AS a_id, ib AS b_id
+      |  FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+      |  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8),
+      |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach AS (
+      |  SELECT u AS node, v AS r FROM edges
+      |  UNION
+      |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.node = e.v),
+      |canon AS (SELECT node, least(node, min(r)) AS canon_id
+      |          FROM reach GROUP BY node)""".stripMargin
+
   private val dd6OracleSql =
     s"""WITH RECURSIVE $pairCteSql,
-       |pairs AS (
-       |  SELECT ia AS a_id, ib AS b_id
-       |  FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
-       |  WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8),
-       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
-       |          UNION ALL SELECT b_id, a_id FROM pairs),
-       |reach AS (
-       |  SELECT u AS node, v AS r FROM edges
-       |  UNION
-       |  SELECT e.u, r.r FROM edges e JOIN reach r ON r.node = e.v),
-       |canon AS (SELECT node, least(node, min(r)) AS canon_id
-       |          FROM reach GROUP BY node),
+       |$ccCteSql,
        |sz AS (SELECT canon_id, count(*) AS n FROM canon GROUP BY canon_id)
        |SELECT c.node AS doc_id, c.canon_id, CAST(s.n AS BIGINT) AS cluster_size
        |FROM canon c JOIN sz s ON s.canon_id = c.canon_id""".stripMargin
+
+  /** dd8 oracle: the canonical corpus — documents minus non-canonical
+    * cluster members, counted per source. */
+  private val dd8OracleSql =
+    s"""WITH RECURSIVE $pairCteSql,
+       |$ccCteSql,
+       |drops AS (SELECT node AS doc_id FROM canon WHERE canon_id <> node)
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(dr.doc_id) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - count(dr.doc_id) AS BIGINT) AS n_kept
+       |FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+       |GROUP BY d.source""".stripMargin
 
   private val dc1OracleSql = {
     // DuckDB arrays are 1-indexed and `range(1, len-$DecontamN+2)` walks
@@ -620,6 +661,7 @@ object Dedup {
     "dd3_minhash_lsh" -> dd2OracleSql,
     // dd4_simhash: intentionally no oracle (engine-specific hash).
     "dd6_dup_clusters" -> dd6OracleSql,
-    "dd7_incremental_dedup" -> dd7OracleSql
+    "dd7_incremental_dedup" -> dd7OracleSql,
+    "dd8_canonical_corpus" -> dd8OracleSql
   )
 }
