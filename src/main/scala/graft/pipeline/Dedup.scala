@@ -82,9 +82,20 @@ object Dedup {
       s"sequence(0, size(w) - $n), i -> xxhash64(concat_ws(' ', $parts)))))"
   }
 
+  private[graft] def tokenizedOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+
   private def tokenized(spark: SparkSession, sfDir: String): DataFrame =
-    docsWide(spark, sfDir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    tokenizedOf(docsWide(spark, sfDir))
+
+  /** Shingle sets for an ARBITRARY (doc_id, text) frame — the unit
+    * the streaming ingest-dedup probe reuses per micro-batch (same
+    * expression as the corpus-wide [[shingleSets]], so stream and
+    * batch can never tokenize differently). */
+  private[graft] def shingleSetsOf(docs: DataFrame): DataFrame =
+    tokenizedOf(docs)
+      .select(col("doc_id"),
+        expr(s"sort_array(${ngramCoreExpr(3)})").as("hs"))
 
   /** Per-doc SORTED distinct word-n-gram hash arrays
     * (doc_id, hs ARRAY<LONG>). The per-doc sort (once, bounded by
@@ -265,23 +276,28 @@ object Dedup {
     * ingest (dd7's probe) run against. Band signatures chain
     * `xxhash64` over the band's sketch components — same values as
     * the pre-r6 flat-column formulation. */
-  private[graft] def bandedSignatures(ex: DataFrame): DataFrame = {
+  private[graft] def bandedSignatures(ex: DataFrame,
+                                      cache: Boolean = true): DataFrame = {
     val rows = NumHashes / NumBands
     val bandSigs = (0 until NumBands).map { b =>
       xxhash64((b * rows until (b + 1) * rows)
         .map(i => col("sig").getItem(i)): _*)
     }
-    minhashSignatures(ex)
+    val banded = minhashSignatures(ex)
       .select(col("doc_id"), posexplode(array(bandSigs: _*)))
       .toDF("doc_id", "band", "band_sig")
-      .persist() // both join sides; avoids recomputing the signature pass
+    // cache=true for self-joins (both sides reuse the signature pass);
+    // false for single-use probe sides (e.g. a streaming micro-batch,
+    // where per-batch cache entries would pile up for the stream's
+    // lifetime)
+    if (cache) banded.persist() else banded
   }
 
   /** The (band, band_sig) bucket-match predicate, shared by the full
     * self-join (dd3) and the incremental probe (dd7) so a banding
     * change can never desynchronize the two paths. Callers alias the
     * sides `a` and `b`. */
-  private def bandMatch: Column =
+  private[graft] def bandMatch: Column =
     col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig")
 
   /** LSH banding: candidates = docs sharing any (band, band_sig) key,

@@ -204,6 +204,35 @@ class PipelineSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260813L)
+    (1 to 5).foreach { trial =>
+      // sparse random graph: isolated pairs, chains, and blobs mixed
+      val n = 60 + rng.nextInt(60)
+      val edges = Seq.fill(n) {
+        val a = rng.nextInt(200).toLong
+        val b = rng.nextInt(200).toLong
+        if (a == b) (a, b + 1) else (a, b)
+      }
+      // driver-side union-find ground truth with min-id roots
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb)
+          parent(math.max(ra, rb)) = lo }
+      }
+      val truth = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"trial $trial: CC labels diverge from union-find")
+    }
+  }
+
   test("dd6 clusters are the transitive closure of dd2 pairs") {
     val dupPairs = pairs("dd2_ngram_jaccard")
     val clusters = SparkEntry.queries("dd6_dup_clusters")(spark, sf)

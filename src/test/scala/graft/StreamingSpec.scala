@@ -100,4 +100,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.length <= 20)
     assert(rows.forall(_.getLong(1) >= 1))
   }
+
+  test("streaming ingest dedup over micro-batches equals the exact ground truth") {
+    import graft.pipeline.Dedup
+    import graft.streaming.IngestDedupStream
+    import org.apache.spark.sql.functions._
+    // history = 90% of the corpus; the stream delivers the other 10%
+    // split across micro-batches (maxFilesPerTrigger=1 over 2 files)
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    val histSets = Dedup.shingleSetsOf(hist).persist()
+    val histBanded = Dedup.bandedSignatures(
+      histSets.select(col("doc_id"), explode(col("hs")).as("h")))
+    val dir = java.nio.file.Files.createTempDirectory("ingest_stream_in")
+    fresh.filter(col("doc_id") % 20 === 0).coalesce(1)
+      .write.parquet(dir.resolve("chunk_a").toString)
+    fresh.filter(col("doc_id") % 20 =!= 0).coalesce(1)
+      .write.parquet(dir.resolve("chunk_b").toString)
+    // file source tails one flat dir: move the part files up
+    val paths = java.nio.file.Files.walk(dir).iterator()
+    var i = 0
+    paths.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p)) {
+        java.nio.file.Files.move(p, dir.resolve(s"batch_$i.parquet")); i += 1
+      }
+    }
+    assert(i == 2, s"expected 2 staged files, got $i")
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    var batches = 0
+    val q = IngestDedupStream.run(spark, dir.toString, docs.schema,
+      histBanded, histSets,
+      pairs => {
+        got.synchronized {
+          got ++= pairs.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          batches += 1
+        }
+      })
+    q.awaitTermination(180000)
+    // ground truth: unrestricted exact-jaccard pairs with exactly one
+    // side in the stream, oriented (new, hist)
+    val allEx = Dedup.shingleSetsOf(docs)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val expected = Dedup.exactPairsGroundTruth(allEx, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, j) => if (a % 10 == 0) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(batches == 2, s"expected 2 micro-batches, saw $batches")
+    assert(expected.nonEmpty, "fixture must contain stream-vs-history pairs")
+    assert(got.toSet == expected)
+    histSets.unpersist(); histBanded.unpersist()
+  }
 }
