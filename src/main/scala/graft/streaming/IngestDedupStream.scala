@@ -35,27 +35,55 @@ object IngestDedupStream {
     * the banded equi-join, verification the merge-count over sorted
     * shingle sets, both shared with dd3/dd7 so stream and batch can
     * never diverge on semantics.
+    *
+    * Per-trigger cost discipline: the batch's shingle sets and the
+    * candidate-touched slice of the history sets are materialized
+    * once via eager `localCheckpoint` (both micro-batch-bounded;
+    * blocks are reclaimed by the ContextCleaner when the trigger's
+    * frames go out of scope) — verifiedPairs references its `sets`
+    * frame four times, which would otherwise re-shingle the batch
+    * and re-scan the corpus-sized history per reference. The only
+    * full history pass per trigger is the single semi-join that
+    * extracts the touched slice.
+    *
+    * The `a.doc_id =!= b.doc_id` guard matters under foreachBatch's
+    * at-least-once semantics: a replayed micro-batch whose docs were
+    * already appended to the history index would otherwise match
+    * itself and report every doc as its own duplicate.
     */
   def probeBatch(newDocs: DataFrame, histBanded: DataFrame,
                  histSets: DataFrame, tau: Double = 0.8): DataFrame = {
-    val newSets = Dedup.shingleSetsOf(newDocs)
+    val newSets = Dedup.shingleSetsOf(newDocs).localCheckpoint(true)
     val newEx = newSets.select(col("doc_id"), explode(col("hs")).as("h"))
     val newBanded = Dedup.bandedSignatures(newEx, cache = false)
-    val cand = newBanded.as("a").join(histBanded.as("b"), Dedup.bandMatch)
+    val cand = newBanded.as("a").join(histBanded.as("b"),
+        Dedup.bandMatch && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-    Dedup.verifiedPairs(newSets.union(histSets), cand, tau)
+    val touched = histSets
+      .join(cand.select(col("b_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      // a replayed doc present on BOTH sides must contribute one
+      // shingle row, not two — duplicates in `sets` would fan
+      // verifiedPairs' joins into duplicated output rows
+      .join(newSets.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    Dedup.verifiedPairs(newSets.union(touched), cand, tau)
       .withColumnRenamed("a_id", "new_id")
       .withColumnRenamed("b_id", "hist_id")
   }
 
   /** Wire a parquet document stream through [[probeBatch]], handing
     * each trigger's verified pairs to `sink`. Caller owns the
-    * history-index lifetime and the query's termination. */
+    * history-index lifetime and the query's termination. Default
+    * trigger drains what exists and stops (backfill / testing); a
+    * long-running ingest service passes e.g.
+    * `Trigger.ProcessingTime("1 minute")`. */
   def run(spark: SparkSession, docsDir: String,
           schema: org.apache.spark.sql.types.StructType,
           histBanded: DataFrame, histSets: DataFrame,
           sink: DataFrame => Unit,
-          maxFilesPerTrigger: Int = 1): StreamingQuery =
+          maxFilesPerTrigger: Int = 1,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(docsDir)
@@ -63,6 +91,6 @@ object IngestDedupStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(probeBatch(batch, histBanded, histSets))
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 }

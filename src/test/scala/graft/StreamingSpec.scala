@@ -118,16 +118,22 @@ class StreamingSpec extends AnyFunSuite {
       .write.parquet(dir.resolve("chunk_a").toString)
     fresh.filter(col("doc_id") % 20 =!= 0).coalesce(1)
       .write.parquet(dir.resolve("chunk_b").toString)
-    // file source tails one flat dir: move the part files up
-    val paths = java.nio.file.Files.walk(dir).iterator()
-    var i = 0
-    paths.forEachRemaining { p =>
-      if (p.toString.endsWith(".parquet") &&
-          java.nio.file.Files.isRegularFile(p)) {
-        java.nio.file.Files.move(p, dir.resolve(s"batch_$i.parquet")); i += 1
-      }
+    // file source tails one flat dir: move the part files up.
+    // Snapshot the walk BEFORE moving (moving into the directory
+    // being walked could surface the moved entries again) and close
+    // the stream.
+    val walk = java.nio.file.Files.walk(dir)
+    val staged =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(p =>
+          p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p)).toList
+      } finally walk.close()
+    staged.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.move(p, dir.resolve(s"batch_$i.parquet"))
     }
-    assert(i == 2, s"expected 2 staged files, got $i")
+    assert(staged.length == 2, s"expected 2 staged files, got $staged")
     val got = scala.collection.mutable.Set[(Long, Long, Double)]()
     var batches = 0
     val q = IngestDedupStream.run(spark, dir.toString, docs.schema,
@@ -139,7 +145,8 @@ class StreamingSpec extends AnyFunSuite {
           batches += 1
         }
       })
-    q.awaitTermination(180000)
+    try assert(q.awaitTermination(180000), "stream did not drain in time")
+    finally q.stop()
     // ground truth: unrestricted exact-jaccard pairs with exactly one
     // side in the stream, oriented (new, hist)
     val allEx = Dedup.shingleSetsOf(docs)
@@ -149,9 +156,17 @@ class StreamingSpec extends AnyFunSuite {
       .filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }
       .map { case (a, b, j) => if (a % 10 == 0) (a, b, j) else (b, a, j) }
       .toSet
-    assert(batches == 2, s"expected 2 micro-batches, saw $batches")
+    val (gotSet, nBatches) = got.synchronized((got.toSet, batches))
+    assert(nBatches == 2, s"expected 2 micro-batches, saw $nBatches")
     assert(expected.nonEmpty, "fixture must contain stream-vs-history pairs")
-    assert(got.toSet == expected)
+    assert(gotSet == expected)
+    // at-least-once replay: re-probing docs ALREADY in the history
+    // index must neither self-match nor duplicate legitimate rows
+    val replay = IngestDedupStream
+      .probeBatch(hist.filter(col("doc_id") < 250), histBanded, histSets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(replay.forall { case (n, h, _) => n != h }, "self-pairs on replay")
+    assert(replay.length == replay.toSet.size, "duplicated rows on replay")
     histSets.unpersist(); histBanded.unpersist()
   }
 }
