@@ -297,6 +297,36 @@ object Similarity {
 
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // int8 embedding quantization QA — the storage-compression op an
+    // embedding store needs at 100 TB (4x smaller vectors): per-vector
+    // absmax/127 scale, quantize, and report reconstruction-error
+    // stats. Numeric discipline for the cross-engine hash: rounding is
+    // the explicit floor(x/s + 0.5) on BOTH engines (their round()
+    // HALF semantics differ), error energy goes through the same
+    // graft_dot kernel the cosine oracles prove bit-deterministic
+    // against DuckDB's list_dot_product, per-row doubles are
+    // deterministic, and cross-row accumulation happens in DECIMAL
+    // (exact, order-free) with one double division at the end. All
+    // work is map-side; the only shuffle is the final scalar agg.
+    "emb1_quantize" -> ((spark, sfDir) => {
+      val rel = vecs(spark, sfDir)
+        .withColumn("scale",
+          expr("array_max(transform(v, x -> abs(x))) / 127.0"))
+        .withColumn("err",
+          expr("transform(v, x -> x - floor(x / scale + 0.5) * scale)"))
+        .select(expr("graft_dot(v, v)").as("energy"),
+          expr("graft_dot(err, err)").as("sq_err"))
+        // zero vectors have no quantization error to score (and 0/0
+        // diverges between engines: NaN vs NULL)
+        .filter(col("energy") > 0)
+        .withColumn("rel", col("sq_err") / col("energy"))
+      rel.agg(count(lit(1)).as("n_vecs"),
+        round(sum(expr("cast(round(rel, 9) as decimal(18,9))"))
+          .cast("double") / count(lit(1)), 6).as("rel_mse"),
+        round(max(col("rel")), 6).as("worst_rel_mse"),
+        round(sum(when(col("rel") < 1e-4, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("frac_ok"))
+    }),
     "sim1_cosine_topk" -> ((spark, sfDir) =>
       topK(cosineToProbe(spark, sfDir))),
     "sim4_knn_join" -> ((spark, sfDir) =>
@@ -467,7 +497,28 @@ object Similarity {
 
   private val knnOracleSql = knnSql(castCte, "ed")
 
+  private val emb1OracleSql =
+    s"""$castCte,
+       |q AS (SELECT vec_id, v,
+       |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |      FROM ed),
+       |e AS (SELECT list_dot_product(v, v) AS energy,
+       |        list_dot_product(
+       |          list_transform(v, x -> x - floor(x / scale + 0.5) * scale),
+       |          list_transform(v, x -> x - floor(x / scale + 0.5) * scale))
+       |          AS sq_err
+       |      FROM q),
+       |r AS (SELECT sq_err / energy AS rel FROM e WHERE energy > 0)
+       |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       |  round(CAST(sum(CAST(round(rel, 9) AS DECIMAL(18,9))) AS DOUBLE)
+       |        / count(*), 6) AS rel_mse,
+       |  round(max(rel), 6) AS worst_rel_mse,
+       |  round(sum(CASE WHEN rel < 1e-4 THEN 1 ELSE 0 END) * 1.0
+       |        / count(*), 6) AS frac_ok
+       |FROM r""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "emb1_quantize" -> emb1OracleSql,
     "sim1_cosine_topk" -> topkOracleSql,
     "sim4_knn_join" -> knnOracleSql,
     // the blocked ANN-join path vs exact kNN on the clustered fixture:
