@@ -54,6 +54,11 @@ object Bench {
     // the weak refs, so the gc() nudge is what actually frees them).
     def resetState(): Unit = {
       spark.catalog.clearCache()
+      // localCheckpoint blocks (the CC loop in dd6/dd8) are RDD-level
+      // persists invisible to clearCache — drop them explicitly so
+      // they can't accumulate across the suite's 130+ query runs
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
     }
     // Optional subset for local iteration (driver never sets this):
