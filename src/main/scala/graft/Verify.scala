@@ -22,8 +22,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop per-query sketch materializations (see Dedup persists) so
-      // 48 queries in one JVM don't accumulate cached partitions
+      // 60+ queries in one JVM don't accumulate cached partitions;
+      // localCheckpoint blocks (dd6/dd8's CC loop) are RDD-level and
+      // invisible to clearCache, so drop those too
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
