@@ -57,8 +57,10 @@ object Bench {
       // localCheckpoint blocks (the CC loop in dd6/dd8) are RDD-level
       // persists invisible to clearCache — drop them explicitly so
       // they can't accumulate across the suite's 130+ query runs
+      // blocking: the removal must not overlap the next query's timed
+      // region (same rationale as the synchronous shuffle cleanup)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       System.gc()
     }
     // Optional subset for local iteration (driver never sets this):

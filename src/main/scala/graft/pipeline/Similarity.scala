@@ -306,8 +306,12 @@ object Similarity {
     // graft_dot kernel the cosine oracles prove bit-deterministic
     // against DuckDB's list_dot_product, per-row doubles are
     // deterministic, and cross-row accumulation happens in DECIMAL
-    // (exact, order-free) with one double division at the end. All
-    // work is map-side; the only shuffle is the final scalar agg.
+    // (exact, order-free) with one double division at the end. The
+    // one residual caveat is the repo-wide round()-tie class (ADVICE
+    // r4): the gated round(rel, 9/6) calls could disagree on an
+    // exact decimal half-boundary — measure-zero on real doubles and
+    // accepted everywhere else the oracles round. All work is
+    // map-side; the only shuffle is the final scalar agg.
     "emb1_quantize" -> ((spark, sfDir) => {
       val rel = vecs(spark, sfDir)
         .withColumn("scale",

@@ -56,9 +56,13 @@ object IngestDedupStream {
     val newSets = Dedup.shingleSetsOf(newDocs).localCheckpoint(true)
     val newEx = newSets.select(col("doc_id"), explode(col("hs")).as("h"))
     val newBanded = Dedup.bandedSignatures(newEx, cache = false)
+    // checkpointed: `cand` feeds both the touched-slice extraction and
+    // verification — unmaterialized, the banded probe join (the most
+    // expensive per-trigger shuffle) would run twice
     val cand = newBanded.as("a").join(histBanded.as("b"),
         Dedup.bandMatch && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .localCheckpoint(true)
     val touched = histSets
       .join(cand.select(col("b_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
@@ -70,6 +74,11 @@ object IngestDedupStream {
     Dedup.verifiedPairs(newSets.union(touched), cand, tau)
       .withColumnRenamed("a_id", "new_id")
       .withColumnRenamed("b_id", "hist_id")
+      // output contract: one row per (new, hist) pair even if the
+      // out-of-band history APPEND was itself replayed (duplicate
+      // doc_id rows in histSets fan the verify joins); the result is
+      // probe-sized, so this dedup shuffle is negligible
+      .dropDuplicates("new_id", "hist_id")
   }
 
   /** Wire a parquet document stream through [[probeBatch]], handing
@@ -89,7 +98,17 @@ object IngestDedupStream {
       .parquet(docsDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(probeBatch(batch, histBanded, histSets))
+        // free the trigger's localCheckpoint blocks once the sink has
+        // consumed the result: in a long-running ProcessingTime
+        // service the ContextCleaner (GC-driven) may not run for
+        // hours, and per-trigger blocks would otherwise accumulate.
+        // The history index's persists predate the probe and survive.
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        try sink(probeBatch(batch, histBanded, histSets))
+        finally sc.getPersistentRDDs
+          .filter { case (id, _) => !before.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
       }
       .trigger(trigger)
       .start()
