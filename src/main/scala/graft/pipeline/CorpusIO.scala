@@ -55,9 +55,29 @@ object CorpusIO {
     fingerprint(back)
   }
 
+  /** Hive-style partitioned parquet layout + pruned read: write the
+    * corpus partitioned by `lang`, read it back filtered to one
+    * partition, fingerprint the slice. The filter must become a
+    * PartitionFilter (directory pruning — only `lang=en/` files are
+    * ever listed/opened; spec-pinned on the physical plan), which is
+    * the layout decision that matters most at 100 TB: a
+    * language-sliced training run reads 1/N of the corpus, not a
+    * filter over all of it. The partition column itself round-trips
+    * through directory names, so the fingerprint also gates that
+    * reconstruction. */
+  private[graft] def partitionedRead(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = Files.createTempDirectory("graft_io_part").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    spark.read.parquet(dir).filter(col("lang") === "en")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io1_json_roundtrip" -> ((spark, sfDir) => roundTrip(spark, sfDir, "json")),
-    "io2_csv_roundtrip" -> ((spark, sfDir) => roundTrip(spark, sfDir, "csv")))
+    "io2_csv_roundtrip" -> ((spark, sfDir) => roundTrip(spark, sfDir, "csv")),
+    "io3_partitioned_prune" -> ((spark, sfDir) =>
+      fingerprint(partitionedRead(spark, sfDir))))
 
   private val fingerprintSql =
     """SELECT source,
@@ -69,5 +89,8 @@ object CorpusIO {
 
   val oracle: Map[String, String] = Map(
     "io1_json_roundtrip" -> fingerprintSql,
-    "io2_csv_roundtrip" -> fingerprintSql)
+    "io2_csv_roundtrip" -> fingerprintSql,
+    "io3_partitioned_prune" ->
+      fingerprintSql.replace("FROM documents",
+        "FROM documents WHERE lang = 'en'"))
 }

@@ -173,6 +173,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("partitioned read prunes at the directory level (PartitionFilters)") {
+    val plan = graft.pipeline.CorpusIO.partitionedRead(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter did not become a partition filter:\n$plan")
+    // and it must NOT degrade to a post-scan data filter on lang
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang"), plan)
+  }
+
   test("dc1 gram stream keeps the HOF explode generator-inlined") {
     // Regression pin for the 15x dc1 slowdown: the n-gram transform
     // must be evaluated INSIDE Generate's generator, not projected
