@@ -265,7 +265,31 @@ object Extended {
         .agg(count(lit(1)).as("n_docs"),
           round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
           round(expr("percentile(n_chars, 0.50)"), 4).as("p50"),
-          round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))))
+          round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))),
+    // x12: pivot — wide per-source language distribution. Spark's
+    // pivot with an EXPLICIT value list compiles to one partial/final
+    // hash-agg (each cell a conditional count), no extra pass to
+    // discover pivot values; na.fill(0) because pivot leaves empty
+    // cells null while the oracle's CASE sums yield 0. The explicit
+    // list is also the 100 TB discipline: an unlisted pivot triggers
+    // a distinct-values collect on the driver.
+    "x12_pivot" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", PivotLangs)
+        .agg(count(lit(1)))
+        .na.fill(0, PivotLangs)))
+
+  private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  private val x12Sql = {
+    val cells = PivotLangs.map(l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
+      .mkString(",\n  ")
+    s"""SELECT source,
+       |  $cells
+       |FROM documents GROUP BY source""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "x1_left_outer_join" -> x1,
@@ -278,5 +302,6 @@ object Extended {
     "x8_range_join" -> x8Sql,
     "x9_rollup_agg" -> x9Sql,
     "x10_window_analytics" -> x10Sql,
-    "x11_percentiles" -> x11Sql)
+    "x11_percentiles" -> x11Sql,
+    "x12_pivot" -> x12Sql)
 }
