@@ -3,7 +3,7 @@ package graft.pipeline
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import graft.engine.Tables
 
@@ -16,21 +16,29 @@ import graft.engine.Tables
   * Fingerprint design: one md5 per row over ALL columns
   * (doc_id|lang|source|n_chars|text via concat_ws — both engines
   * stringify identically), then per source: row count, distinct-hash
-  * count, and an ORDER-FREE exact sum of each hash's first 48 bits in
-  * DECIMAL(38,0). The hash SUM is what makes it content-exact: a
-  * reader bug that corrupts rows injectively (same number of distinct
-  * wrong values) still shifts the sum; 48-bit values in a 38-digit
-  * decimal cannot overflow at any real row count.
+  * count, and an ORDER-FREE exact sum of each hash's first 48 bits.
+  * The hash SUM is what makes it content-exact: a reader bug that
+  * corrupts rows injectively (same number of distinct wrong values)
+  * still shifts the sum; 48-bit terms accumulated in DECIMAL(38,0)
+  * cannot overflow at any real row count. The sum is EMITTED as a
+  * STRING on both engines: a DOUBLE would go silently inexact past
+  * 2^53 (~10^3 more rows than sf0.1 already reaches ~2^55), and raw
+  * DECIMAL output trips the driver's hash normalization of decimal
+  * values (the repo-wide rule is: gated outputs are
+  * BIGINT/DOUBLE/STRING/DATE/TS, never DECIMAL — see
+  * OutputTypeSpec).
   *
   * Scale shape: parallel partitioned sink, parallel scan, one
   * partial/final hash-agg. The write lands in `GRAFT_IO_DIR` when
   * set (on a real cluster this must be shared storage — executors
   * write, the driver-side read lists the same path); default is the
   * driver-local java tmpdir, which is correct only in local mode.
-  * Directories are removed by a JVM shutdown hook, after every
-  * consumer of the lazily-read result has run. The export itself is
-  * EAGER (the .save runs when the query function is invoked) — the
-  * write cost is part of the operator being gated and benched.
+  * The export + fingerprint run EAGERLY when the query function is
+  * invoked (the write cost is part of the operator being gated and
+  * benched), the tiny aggregated result is materialized, and the
+  * export directory is deleted immediately — a JVM shutdown hook
+  * remains only as a crash fallback, so repeated gate runs in one
+  * long bench/verify JVM never accumulate corpus copies on disk.
   */
 object CorpusIO {
 
@@ -44,9 +52,17 @@ object CorpusIO {
       case Some(base) => Files.createTempDirectory(Paths.get(base), prefix)
       case None => Files.createTempDirectory(prefix)
     }
+    // crash fallback only; the normal path deletes eagerly below
     Runtime.getRuntime.addShutdownHook(
       new Thread(() => deleteRec(dir.toFile)))
     dir.toString
+  }
+
+  /** Materialize a tiny aggregated frame so its backing export
+    * directory can be deleted before this function returns. */
+  private def eager(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
   }
 
   /** All-column row hash + per-source rollup shared by the gates and
@@ -58,35 +74,39 @@ object CorpusIO {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(h).as("n_unique"),
         sum(conv(substring(h, 1, 12), 16, 10).cast("decimal(38,0)"))
-          .as("hash_sum"),
+          .cast("string").as("hash_sum"),
         sum(length(col("text"))).cast("long").as("len_total"))
   }
+
+  // Lossless CSV dialect, pinned identically on writer and reader:
+  // explicit quote/escape, no whitespace trimming, and DISTINCT
+  // null/empty sentinels (nullValue "\\N", emptyValue "") so a NULL
+  // text cell and an empty-string text cell survive the round trip
+  // as different values instead of collapsing into one.
+  private val csvDialect: Map[String, String] = Map(
+    "header" -> "true", "quote" -> "\"", "escape" -> "\"",
+    "nullValue" -> "\\N", "emptyValue" -> "",
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false")
 
   private def roundTrip(spark: SparkSession, sfDir: String,
                         format: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val dir = tempDir(s"graft_io_$format")
-    val writer = docs.write.mode("overwrite")
-    (format match {
-      case "json" => writer
-      // pin a concrete lossless CSV dialect: explicit quote/escape,
-      // and NO whitespace trimming on either side (the writer trims
-      // by default, which would silently eat padded text)
-      case "csv" => writer.option("header", "true")
-        .option("quote", "\"").option("escape", "\"")
-        .option("ignoreLeadingWhiteSpace", "false")
-        .option("ignoreTrailingWhiteSpace", "false")
-    }).format(format).save(dir)
-    val reader = spark.read.schema(docs.schema)
-    val back = format match {
-      case "json" => reader.json(dir)
-      case "csv" => reader.option("header", "true")
-        .option("quote", "\"").option("escape", "\"")
-        .option("ignoreLeadingWhiteSpace", "false")
-        .option("ignoreTrailingWhiteSpace", "false")
-        .option("multiLine", "true").csv(dir)
-    }
-    fingerprint(back)
+    try {
+      val writer = docs.write.mode("overwrite")
+      (format match {
+        case "json" => writer
+        case "csv" => writer.options(csvDialect)
+      }).format(format).save(dir)
+      val reader = spark.read.schema(docs.schema)
+      val back = format match {
+        case "json" => reader.json(dir)
+        case "csv" => reader.options(csvDialect)
+          .option("multiLine", "true").csv(dir)
+      }
+      eager(fingerprint(back))
+    } finally deleteRec(new java.io.File(dir))
   }
 
   /** Hive-style partitioned parquet layout + pruned read: write the
@@ -98,23 +118,31 @@ object CorpusIO {
     * language-sliced training run reads 1/N of the corpus, not a
     * filter over all of it. The partition column itself round-trips
     * through directory names, so the all-column fingerprint also
-    * gates that reconstruction. */
-  private[graft] def partitionedRead(spark: SparkSession,
-                                     sfDir: String): DataFrame = {
+    * gates that reconstruction (fingerprint() addresses columns by
+    * name, so the partition column moving to the end of the schema
+    * is irrelevant to the hash). */
+  private def partitionedReadWithDir(spark: SparkSession,
+                                     sfDir: String): (DataFrame, String) = {
     val docs = Tables.load(spark, sfDir, "documents")
     val dir = tempDir("graft_io_part")
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
-    spark.read.parquet(dir).filter(col("lang") === "en")
+    (spark.read.parquet(dir).filter(col("lang") === "en"), dir)
   }
+
+  /** Lazy variant for plan inspection in specs; the export directory
+    * is reclaimed by the shutdown-hook fallback. */
+  private[graft] def partitionedRead(spark: SparkSession,
+                                     sfDir: String): DataFrame =
+    partitionedReadWithDir(spark, sfDir)._1
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io1_json_roundtrip" -> ((spark, sfDir) => roundTrip(spark, sfDir, "json")),
     "io2_csv_roundtrip" -> ((spark, sfDir) => roundTrip(spark, sfDir, "csv")),
-    "io3_partitioned_prune" -> ((spark, sfDir) =>
-      fingerprint(partitionedRead(spark, sfDir)
-        // partitionBy moves lang to the end of the schema; restore the
-        // original column order so concat_ws hashes identical strings
-        .select("doc_id", "text", "lang", "source", "n_chars"))))
+    "io3_partitioned_prune" -> ((spark, sfDir) => {
+      val (slice, dir) = partitionedReadWithDir(spark, sfDir)
+      try eager(fingerprint(slice))
+      finally deleteRec(new java.io.File(dir))
+    }))
 
   private def fingerprintSql(where: String): String =
     s"""WITH f AS (
@@ -125,8 +153,8 @@ object CorpusIO {
        |SELECT source,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
-       |  sum(CAST(CAST('0x' || substr(h, 1, 12) AS BIGINT) AS DECIMAL(38,0)))
-       |    AS hash_sum,
+       |  CAST(sum(CAST(CAST('0x' || substr(h, 1, 12) AS BIGINT)
+       |    AS DECIMAL(38,0))) AS VARCHAR) AS hash_sum,
        |  CAST(sum(len) AS BIGINT) AS len_total
        |FROM f GROUP BY source""".stripMargin
 
