@@ -159,12 +159,46 @@ object Similarity {
     * the random hyperplanes are the index; fit once per corpus. */
   private val lshCache = lruCache[BucketedRandomProjectionLSHModel]()
 
+  private val LshTables = 15
+  private val LshBucketLen = 1.0
+  private val LshSeed = 42
+
+  /** On-disk home of the fitted LSH hyperplanes — same contract as
+    * [[ivfIndexPath]]: keyed by corpus identity AND the model
+    * hyperparameters, so a regenerated corpus or changed (tables,
+    * bucketLength, seed) never serves a stale index. */
+  private def lshIndexPath(sfDir: String): String = {
+    val f = new java.io.File(s"$sfDir/embeddings.parquet")
+    val key = s"${f.getName}_${f.lastModified}_${f.length}" +
+      s"_t${LshTables}_b${LshBucketLen}_s$LshSeed"
+    val base = sys.env.getOrElse("GRAFT_INDEX_DIR",
+      sys.props("java.io.tmpdir") + "/graft-index")
+    s"$base/lsh_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_$key"
+  }
+
+  /** Load the persisted hyperplanes if they match the corpus; fit and
+    * persist only on true first touch (the sim3 [[ivfModel]] pattern —
+    * a cold session pays a small metadata read, not a full LSH fit,
+    * which was the 2nd-slowest cold bench entry in r6). */
   private def lshModel(spark: SparkSession, sfDir: String, e: DataFrame): BucketedRandomProjectionLSHModel =
-    lshCache.computeIfAbsent((spark, sfDir), _ =>
-      new BucketedRandomProjectionLSH()
-        .setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(15).setBucketLength(1.0).setSeed(42)
-        .fit(e))
+    lshCache.computeIfAbsent((spark, sfDir), _ => {
+      val dir = lshIndexPath(sfDir)
+      val onDisk =
+        try {
+          if (new java.io.File(dir, "metadata").exists)
+            Some(BucketedRandomProjectionLSHModel.load(dir))
+          else None
+        } catch { case _: Throwable => None }
+      onDisk.getOrElse {
+        val m = new BucketedRandomProjectionLSH()
+          .setInputCol("features").setOutputCol("hashes")
+          .setNumHashTables(LshTables).setBucketLength(LshBucketLen)
+          .setSeed(LshSeed)
+          .fit(e)
+        try m.write.overwrite().save(dir) catch { case _: Throwable => () }
+        m
+      }
+    })
 
   /** The clustered fixture corpus (see [[Clusters]]): one broadcast
     * join against the 20 seed rows, then a map-side zip_with — the
