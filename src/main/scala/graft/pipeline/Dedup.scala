@@ -363,6 +363,14 @@ object Dedup {
     * flaky executors, swap for reliable `checkpoint()` to a
     * checkpoint dir — same plan shape, durable blocks.
     */
+  /** Rounds between convergence-sum actions: the sum is a full extra
+    * job per round, and labels are MONOTONE (each node's label only
+    * decreases), so an unchanged sum across k rounds proves no node
+    * changed in ANY of them — checking every 3rd round is exact, not
+    * approximate, and cuts per-round driver synchronization by ~1/3.
+    * Overshot propagation rounds past the fixpoint are no-ops. */
+  private val CcCheckEvery = 3
+
   private[graft] def connectedComponents(pairs: DataFrame,
                                          maxIters: Int = MaxCcIters): DataFrame = {
     // symmetrize in ONE pass over the pair stream (explode of the two
@@ -373,21 +381,13 @@ object Dedup {
         struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint(true)
-    // convergence = the monotone label sum is unchanged. Summed in
-    // DECIMAL(38,0): a Long sum overflows at ~1e10 nodes with 64-bit
-    // ids (ANSI would abort; wraparound could spuriously match),
-    // while 38 digits hold any node-count x id-magnitude this can
-    // meet. None = empty frame (also the empty-graph early exit, id
-    // signs irrelevant).
-    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = prevSum.isEmpty
-    while (!converged && iter < maxIters) {
+    // one hash-to-min + pointer-jump round; each snapshot is
+    // localCheckpointed to truncate lineage. Superseded snapshots:
+    // Dataset.unpersist would be a no-op (localCheckpoint stores RDD
+    // blocks directly, not CacheManager entries) — blocks are
+    // reclaimed by the ContextCleaner once unreferenced, each bounded
+    // by the pair-graph node count.
+    def step(labels: DataFrame): DataFrame = {
       // min over self + neighbor labels (every node has >=1 neighbor
       // by construction, but stay total via the left join + coalesce)
       val nbrMin = sym
@@ -398,24 +398,52 @@ object Dedup {
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       // pointer jump: follow my label to ITS current label (labels are
       // node ids, so the label-holder is always present in `stepped`)
-      val next = stepped
+      stepped
         .join(stepped.select(col("node").as("comp"), col("comp").as("pc")),
           Seq("comp"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("pc"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      // superseded label snapshots: Dataset.unpersist would be a
-      // no-op here (localCheckpoint stores RDD blocks directly, not
-      // CacheManager entries) — blocks are reclaimed by the
-      // ContextCleaner once the snapshot is unreferenced, and each is
-      // bounded by the pair-graph node count
-      labels = next
-      prevSum = nextSum
+    }
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    // convergence = the monotone label sum is unchanged since the
+    // previous check. Summed in DECIMAL(38,0): a Long sum overflows at
+    // ~1e10 nodes with 64-bit ids (ANSI would abort; wraparound could
+    // spuriously match), while 38 digits hold any node-count x
+    // id-magnitude this can meet. None = empty frame (also the
+    // empty-graph early exit, id signs irrelevant).
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = prevSum.isEmpty
+    while (!converged && iter < maxIters) {
+      val next = step(labels)
       iter += 1
+      if (iter % CcCheckEvery == 0 || iter == maxIters) {
+        val nextSum = labelSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+      }
+      labels = next
+    }
+    if (!converged) {
+      // the cap was hit with the last check still showing movement —
+      // which does NOT prove non-convergence (the fixpoint may have
+      // landed inside the final check window). Prove it one way or the
+      // other with a single extra propagation round before deciding.
+      val probe = step(labels)
+      converged = labelSum(probe) == prevSum
     }
     sym.unpersist()
+    // a silent partial fixpoint would emit wrong canonical ids and
+    // cluster sizes downstream (dd6/dd8) with nothing but the oracle
+    // to catch it — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters rounds — " +
+        "raise maxIters (graph diameter exceeds 2^rounds)")
     labels
   }
 
@@ -555,24 +583,35 @@ object Dedup {
     // candidate), verified on the full fingerprint. No SQL-expressible
     // oracle (engine-specific xxhash64) → rows-only gate + ScalaTest
     // against the planted near-dups.
-    "dd4_simhash" -> ((spark, sfDir) => {
-      val shs = simhashes(spark, sfDir)
-      val chunk = shs.select(col("doc_id"), col("simhash"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${SimHashBands - 1}), c ->
-             |  shiftright(simhash, c * 16) & 65535L)""".stripMargin)))
-        .toDF("doc_id", "simhash", "band", "band_val")
-        .persist() // both self-join sides; avoids recomputing the 64-bit-sum pass
-      chunk.as("a").join(chunk.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= SimHashMaxHamming)
-    })
+    "dd4_simhash" -> ((spark, sfDir) =>
+      simhashNearDupPairs(simhashes(spark, sfDir)))
   )
+
+  /** dd4's candidate generation + verification over a (doc_id,
+    * simhash) frame: banded on 16-bit chunks (pigeonhole: any pair at
+    * hamming<=[[SimHashMaxHamming]] has 3 flips across 4 bands, so
+    * at least one band survives intact and the pair is a GUARANTEED
+    * candidate), then verified on the full 64-bit fingerprint.
+    * Factored out so the spec can drive it with planted fingerprints
+    * (a 3-bit flip across distinct bands that MUST be found, a 4-bit
+    * same-band flip that MUST be band-matched yet hamming-rejected)
+    * — the two-sided gate the rows-only driver entry lacks. */
+  private[graft] def simhashNearDupPairs(shs: DataFrame): DataFrame = {
+    val chunk = shs.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${SimHashBands - 1}), c ->
+           |  shiftright(simhash, c * 16) & 65535L)""".stripMargin)))
+      .toDF("doc_id", "simhash", "band", "band_val")
+      .persist() // both self-join sides; avoids recomputing the 64-bit-sum pass
+    chunk.as("a").join(chunk.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimHashMaxHamming)
+  }
 
   /** Shared pair-detection CTEs (sh/cnt/inter) — the exact 3-gram
     * Jaccard machinery dd2, dd3, and dd6 all sit on; one text so the

@@ -129,6 +129,44 @@ class PipelineSpec extends AnyFunSuite {
     assert((exact & sim).size >= exact.size / 2, "low recall")
   }
 
+  test("simhash planted near-dups: hamming-3 found, same-band hamming-4 rejected") {
+    import spark.implicits._
+    // Two-sided planted gate over the REAL corpus fingerprints (the
+    // dd5_blocked_tau09 pattern): pick a live doc as the source, then
+    //  - plant A: its simhash with 3 bits flipped in DISTINCT 16-bit
+    //    bands (bits 0, 16, 32) — hamming 3. Pigeonhole: band 3 is
+    //    intact, so banding MUST surface it and the filter MUST keep
+    //    it (recall side).
+    //  - plant B: 4 bits flipped inside ONE band (bits 0..3) —
+    //    hamming 4. Three intact bands make it a GUARANTEED candidate,
+    //    so its absence from the output proves the hamming<=3
+    //    verification actually rejects it (precision side), not that
+    //    banding happened to miss it.
+    val real = Dedup.simhashes(spark, sf)
+    val src = real.orderBy(col("doc_id")).head()
+    val (srcId, srcSig) = (src.getLong(0), src.getLong(1))
+    val plantA = 9000001L -> (srcSig ^ ((1L << 0) | (1L << 16) | (1L << 32)))
+    val plantB = 9000002L -> (srcSig ^ 15L)
+    val planted = real.unionByName(
+      Seq(plantA, plantB).toDF("doc_id", "simhash"))
+    val baseline = Dedup.simhashNearDupPairs(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.simhashNearDupPairs(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    val gotPairs = got.map(t => (t._1, t._2))
+    assert(gotPairs.contains((srcId, plantA._1)),
+      s"planted hamming-3 near-dup not found: $got")
+    assert(got.contains((srcId, plantA._1, 3L)))
+    assert(!gotPairs.exists(p => p._1 == plantB._1 || p._2 == plantB._1),
+      s"hamming-4 plant survived the verification filter: $got")
+    // the plants perturb nothing else: everything except pairs
+    // touching the plants is exactly the unplanted result
+    val untouched = gotPairs.filterNot(p =>
+      Set(plantA._1, plantB._1).exists(id => p._1 == id || p._2 == id))
+    assert(untouched == baseline)
+  }
+
   test("LSH ANN equals exact brute-force cosine top-k") {
     val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
