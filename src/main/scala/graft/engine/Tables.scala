@@ -51,6 +51,11 @@ object Tables {
       // default. Read nanos as long, then convert losslessly to a
       // microsecond timestamp (the data carries no sub-us precision;
       // integer `div` — double division would lose bits above 2^53).
+      // `div` TRUNCATES toward zero while the DuckDB oracles' `//`
+      // FLOORS: identical for the post-epoch data this corpus
+      // guarantees, one microsecond apart for a pre-1970 ts off a
+      // 1000 ns boundary — if this loader ever meets pre-epoch data,
+      // switch to floor(ts / 1000) semantics here first.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(path(sfDir, table))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -135,6 +135,14 @@ object Extended {
       |       f AS (PARTITION BY user_id ORDER BY ts_us, event_id
       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // Round-tie caveat (x10 mavg3, x11 p*): Spark's round() on DOUBLE
+  // is HALF_UP on the decimal string while DuckDB rounds half away
+  // from zero on the binary double — they can differ when a value
+  // sits EXACTLY on a .00005 tie. No current value does (ties at 4
+  // decimal places require the quotient to be exactly representable,
+  // and these quotients/interpolations never are); if a gate ever
+  // flakes on a single ulp, align by rounding through DECIMAL on
+  // both engines instead.
   // x11 oracle: exact interpolated per-stratum percentiles (DuckDB
   // quantile_cont ≡ Spark percentile: both interpolate at p*(n-1)).
   private val x11Sql =

@@ -52,7 +52,36 @@ object IngestDedupStream {
     * itself and report every doc as its own duplicate.
     */
   def probeBatch(newDocs: DataFrame, histBanded: DataFrame,
-                 histSets: DataFrame, tau: Double = 0.8): DataFrame = {
+                 histSets: DataFrame, tau: Double = 0.8): DataFrame =
+    probeBatchTracked(newDocs, histBanded, histSets, tau)._1
+
+  /** The checkpointed block-holding RDDs reachable from `df`'s
+    * physical plan — for an eagerly localCheckpointed frame that is
+    * exactly its own checkpoint RDD (lineage is truncated, so the
+    * walk cannot reach persists belonging to other datasets). Used to
+    * free a trigger's blocks WITHOUT diffing the context-global
+    * persistent-RDD set, which would unpersist frames a concurrent
+    * query or the caller's sink persisted during the trigger (for a
+    * localCheckpointed frame those blocks are the only copy). */
+  private def persistedRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] = {
+    val seen = scala.collection.mutable.Set[Int]()
+    def walk(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+      if (!seen.add(r.id)) Nil
+      else {
+        val here =
+          if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+            Seq(r) else Nil
+        here ++ r.dependencies.flatMap(d => walk(d.rdd))
+      }
+    walk(df.queryExecution.toRdd)
+  }
+
+  /** [[probeBatch]] plus the trigger-scoped checkpoint RDDs the caller
+    * must unpersist once the result is consumed. */
+  private[graft] def probeBatchTracked(
+      newDocs: DataFrame, histBanded: DataFrame,
+      histSets: DataFrame, tau: Double = 0.8)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val newSets = Dedup.shingleSetsOf(newDocs).localCheckpoint(true)
     val newEx = newSets.select(col("doc_id"), explode(col("hs")).as("h"))
     val newBanded = Dedup.bandedSignatures(newEx, cache = false)
@@ -71,7 +100,7 @@ object IngestDedupStream {
       // verifiedPairs' joins into duplicated output rows
       .join(newSets.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    Dedup.verifiedPairs(newSets.union(touched), cand, tau)
+    val result = Dedup.verifiedPairs(newSets.union(touched), cand, tau)
       .withColumnRenamed("a_id", "new_id")
       .withColumnRenamed("b_id", "hist_id")
       // output contract: one row per (new, hist) pair even if the
@@ -79,6 +108,7 @@ object IngestDedupStream {
       // doc_id rows in histSets fan the verify joins); the result is
       // probe-sized, so this dedup shuffle is negligible
       .dropDuplicates("new_id", "hist_id")
+    (result, Seq(newSets, cand, touched).flatMap(persistedRdds))
   }
 
   /** Wire a parquet document stream through [[probeBatch]], handing
@@ -102,13 +132,12 @@ object IngestDedupStream {
         // consumed the result: in a long-running ProcessingTime
         // service the ContextCleaner (GC-driven) may not run for
         // hours, and per-trigger blocks would otherwise accumulate.
-        // The history index's persists predate the probe and survive.
-        val sc = batch.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet
-        try sink(probeBatch(batch, histBanded, histSets))
-        finally sc.getPersistentRDDs
-          .filter { case (id, _) => !before.contains(id) }
-          .values.foreach(_.unpersist(blocking = false))
+        // Only the probe's OWN checkpoint RDDs are unpersisted —
+        // never a context-global diff, which would drop caches a
+        // concurrent query or the sink itself created this trigger.
+        val (result, ckpts) = probeBatchTracked(batch, histBanded, histSets)
+        try sink(result)
+        finally ckpts.foreach(_.unpersist(blocking = false))
       }
       .trigger(trigger)
       .start()
