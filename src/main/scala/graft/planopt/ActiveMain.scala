@@ -28,10 +28,12 @@ import graft.workload.{Harvester, WorkloadGen}
 object ActiveMain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
-    val poolSize = args.lift(1).map(_.toInt).getOrElse(45)
-    val budget = args.lift(2).map(_.toInt).getOrElse(16)
+    // pool scaled with StableMain's r7 workload (was 45/16): a bigger
+    // unlabeled pool separates the acquisition arms more clearly
+    val poolSize = args.lift(1).map(_.toInt).getOrElse(100)
+    val budget = args.lift(2).map(_.toInt).getOrElse(24)
     val epochs = args.lift(3).map(_.toInt).getOrElse(60)
-    val outDir = args.lift(4).getOrElse("results/r6_active")
+    val outDir = args.lift(4).getOrElse("results/r7_active")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

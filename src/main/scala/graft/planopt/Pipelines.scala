@@ -237,7 +237,8 @@ object Pipelines {
     * (`plans.PlanChoice.install`). */
   final case class StableArtifacts(result: EvalResult, fg: FeatureGenerator,
                                    model: LeroModelPairWise,
-                                   testLabeled: Seq[LabeledQuery])
+                                   testLabeled: Seq[LabeledQuery],
+                                   trainLabeled: Seq[LabeledQuery])
 
   /** M30 stable pipeline (`stable.py:13-30`): label, train on the
     * train split, evaluate on the test split. */
@@ -261,7 +262,30 @@ object Pipelines {
     log.info(s"ranking loss: ${res.rankingLoss}")
     log.info(f"total latency: selected=${res.selectedTotalSec}%.3fs " +
       f"default=${res.defaultTotalSec}%.3fs")
-    StableArtifacts(res, fg, model, testLabeled)
+    StableArtifacts(res, fg, model, testLabeled, trainLabeled)
+  }
+
+  /** k-fold CV over an already-labeled corpus (labels are the
+    * expensive part — execution — so folds only re-train/re-score):
+    * per-fold held-out Spearman ranking losses. A single split's loss
+    * is seed-cherry-pickable (r3 verdict: ±0.24 swing on 182
+    * queries); the fold mean±sd is the split-independent number. */
+  def cvRankingLosses(labeled: Seq[LabeledQuery], folds: Int = 5,
+                      epochs: Int = 100, seed: Long = 17L,
+                      log: Logger = new Logger(None)): Seq[Double] = {
+    val eligible = new scala.util.Random(seed)
+      .shuffle(labeled.filter(_.plans.length >= 2))
+    val blocks = eligible.zipWithIndex.groupBy(_._2 % folds)
+      .toSeq.sortBy(_._1).map(_._2.map(_._1))
+    blocks.indices.map { i =>
+      val (ffg, fm) = train(blocks.indices.filter(_ != i).flatMap(blocks),
+        epochs, seed)
+      val r = evaluate(ffg, fm, blocks(i))
+      val loss = r.rankingLoss.getOrElse(Double.NaN)
+      log.info(f"cv fold $i%d: held-out loss=$loss%.4f " +
+        f"(test=${blocks(i).size}%d queries)")
+      loss
+    }
   }
 
   /** M30 deployment/dynamic loop (`deployment.py:20-43`,

@@ -220,6 +220,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("PushedFilters: [IsNotNull(lang"), plan)
   }
 
+  test("partitioned read opens only the pruned partition's files (scan metrics)") {
+    // plan-text PartitionFilters (previous test) proves intent; this
+    // proves EFFECT: after execution, the scan's numFiles metric must
+    // equal the file count under lang=en/ alone — directory pruning
+    // asserted on what was actually listed, not on plan strings.
+    val df = graft.pipeline.CorpusIO.partitionedRead(spark, sf)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the executed plan"))
+    val root = new java.io.File(
+      scan.relation.location.rootPaths.head.toUri.getPath)
+    def parquetsUnder(d: java.io.File): Int = {
+      val kids = Option(d.listFiles).getOrElse(Array.empty)
+      kids.count(f => f.isFile && f.getName.endsWith(".parquet")) +
+        kids.filter(_.isDirectory).map(parquetsUnder).sum
+    }
+    val enFiles = parquetsUnder(new java.io.File(root, "lang=en"))
+    val allFiles = parquetsUnder(root)
+    assert(enFiles > 0 && enFiles < allFiles,
+      s"fixture degenerate: en=$enFiles all=$allFiles")
+    assert(scan.metrics("numFiles").value == enFiles,
+      s"scan listed ${scan.metrics("numFiles").value} files, " +
+        s"lang=en/ holds $enFiles of $allFiles")
+  }
+
   test("dc1 gram stream keeps the HOF explode generator-inlined") {
     // Regression pin for the 15x dc1 slowdown: the n-gram transform
     // must be evaluated INSIDE Generate's generator, not projected
