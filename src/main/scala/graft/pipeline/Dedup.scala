@@ -363,12 +363,17 @@ object Dedup {
     * flaky executors, swap for reliable `checkpoint()` to a
     * checkpoint dir — same plan shape, durable blocks.
     */
-  /** Rounds between convergence-sum actions: the sum is a full extra
-    * job per round, and labels are MONOTONE (each node's label only
-    * decreases), so an unchanged sum across k rounds proves no node
-    * changed in ANY of them — checking every 3rd round is exact, not
-    * approximate, and cuts per-round driver synchronization by ~1/3.
-    * Overshot propagation rounds past the fixpoint are no-ops. */
+  /** Rounds between convergence-sum actions once past the early
+    * rounds: the sum is a full extra job per round, and labels are
+    * MONOTONE (each node's label only decreases), so an unchanged sum
+    * across k rounds proves no node changed in ANY of them — spot
+    * checks are exact, not approximate. The first [[CcCheckEvery]]
+    * rounds are still checked individually: near-dup cluster graphs
+    * are usually SHALLOW (cliques converge in 1-2 rounds), and a
+    * skipped check there costs a full overshoot propagation round
+    * (two edge-set joins + checkpoint) to save one scalar sum — a
+    * bad trade that measurably slowed dd8. Deep graphs (long paths)
+    * amortize the spot-checking automatically. */
   private val CcCheckEvery = 3
 
   private[graft] def connectedComponents(pairs: DataFrame,
@@ -422,7 +427,8 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val next = step(labels)
       iter += 1
-      if (iter % CcCheckEvery == 0 || iter == maxIters) {
+      if (iter <= CcCheckEvery || iter % CcCheckEvery == 0 ||
+          iter == maxIters) {
         val nextSum = labelSum(next)
         converged = nextSum == prevSum
         prevSum = nextSum
