@@ -96,12 +96,13 @@ object CorpusIO {
     try {
       val writer = docs.write.mode("overwrite")
       (format match {
-        case "json" => writer
+        case "json" | "orc" => writer
         case "csv" => writer.options(csvDialect)
       }).format(format).save(dir)
       val reader = spark.read.schema(docs.schema)
       val back = format match {
         case "json" => reader.json(dir)
+        case "orc" => reader.orc(dir)
         case "csv" => reader.options(csvDialect)
           .option("multiLine", "true").csv(dir)
       }
@@ -138,6 +139,9 @@ object CorpusIO {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io1_json_roundtrip" -> ((spark, sfDir) => roundTrip(spark, sfDir, "json")),
     "io2_csv_roundtrip" -> ((spark, sfDir) => roundTrip(spark, sfDir, "csv")),
+    // ORC: the second columnar interchange format next to parquet —
+    // typed, so no dialect pinning needed; same fingerprint gate.
+    "io4_orc_roundtrip" -> ((spark, sfDir) => roundTrip(spark, sfDir, "orc")),
     "io3_partitioned_prune" -> ((spark, sfDir) => {
       val (slice, dir) = partitionedReadWithDir(spark, sfDir)
       try eager(fingerprint(slice))
@@ -161,5 +165,6 @@ object CorpusIO {
   val oracle: Map[String, String] = Map(
     "io1_json_roundtrip" -> fingerprintSql(""),
     "io2_csv_roundtrip" -> fingerprintSql(""),
+    "io4_orc_roundtrip" -> fingerprintSql(""),
     "io3_partitioned_prune" -> fingerprintSql(" WHERE lang = 'en'"))
 }

@@ -141,6 +141,32 @@ object TextAnalysis {
           round(lit(1) - sum(col("ndb")).cast("double") /
             nullif(sum(col("nb")), lit(0)).cast("double"), 6)
             .as("dup_bigram_ratio"))),
+    // txt6: per-language top-k bigram vocabulary — the corpus-stats
+    // verb behind vocab inspection / contamination spot-checks ("what
+    // dominates each language slice"). One shuffle on (lang, gram)
+    // for the count, then the rank<=k filter compiles to
+    // WindowGroupLimit: each task truncates to its local top-k per
+    // lang BEFORE the per-lang exchange, so the second shuffle
+    // carries O(langs·k), never the gram vocabulary. Ties broken by
+    // gram text (both engines compare UTF-8 bytes), so top-k is
+    // deterministic cross-engine.
+    "txt6_ngram_topk" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(spark, sfDir)
+        .select(col("lang"), wordsCol.as("w"))
+        .select(col("lang"), explode(expr(
+          """if(size(w) < 2, array(),
+            |  transform(sequence(0, size(w) - 2),
+            |    i -> concat_ws(' ', w[i], w[i+1])))""".stripMargin)).as("gram"))
+        .groupBy(col("lang"), col("gram"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("n_occurrences").desc, col("gram"))))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk").cast("long").as("rnk"),
+          col("gram"), col("n_occurrences"))
+    }),
     // the composed training-data pipeline, end to end in ONE plan:
     // quality gate → exact dedup by fingerprint (deterministic
     // representative = lowest doc_id) → per-source corpus stats.
@@ -293,6 +319,25 @@ object TextAnalysis {
         |  round(1 - sum(ndw) * 1.0 / sum(nw), 6) AS dup_word_ratio,
         |  round(1 - sum(ndb) * 1.0 / sum(nb), 6) AS dup_bigram_ratio
         |FROM m GROUP BY source""".stripMargin,
+    // txt6: DuckDB range(1, len(w)) walks bigram start positions
+    // 1..len-1 (1-based lists), mirroring Spark's 0-based
+    // sequence(0, size(w)-2); single-token docs produce an empty
+    // range on both engines.
+    "txt6_ngram_topk" ->
+      """WITH g AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i + 1])) AS gram
+        |  FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM documents)
+        |),
+        |c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |      FROM g GROUP BY 1, 2)
+        |SELECT lang, rnk, gram, n_occurrences FROM (
+        |  SELECT lang, gram, n_occurrences,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_occurrences DESC, gram) AS BIGINT) AS rnk
+        |  FROM c
+        |) WHERE rnk <= 5""".stripMargin,
     "pipe1_clean_corpus" ->
       """SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_kept,

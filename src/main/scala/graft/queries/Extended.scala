@@ -153,6 +153,20 @@ object Extended {
       |  round(quantile_cont(n_chars, 0.95), 4) AS p95
       |FROM documents GROUP BY lang""".stripMargin
 
+  // NOTE: must precede `defs` — `sql(x13Sql)` evaluates it eagerly at
+  // map construction (unlike the deferred closures), and object vals
+  // initialize in declaration order.
+  private val x13Sql =
+    """SELECT
+      |  CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL'
+      |       ELSE l_returnflag END AS rflag,
+      |  CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL'
+      |       ELSE l_linestatus END AS lstatus,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_left_outer_join" -> sql(x1),
     "x2_semi_join" -> sql(x2),
@@ -286,7 +300,14 @@ object Extended {
         .groupBy(col("source"))
         .pivot("lang", PivotLangs)
         .agg(count(lit(1)))
-        .na.fill(0, PivotLangs)))
+        .na.fill(0, PivotLangs)),
+    // x13: CUBE — all 2^d grouping sets in one pass, the other
+    // grouping-set shape next to x9's ROLLUP. Physically identical
+    // machinery: Expand fans each row to its 4 grouping sets, then
+    // ONE partial/final hash-agg — subtotals cost fan-out rows, not
+    // extra shuffles. SQL text shared with the oracle (both engines
+    // parse ANSI CUBE + grouping()), so the two sides cannot drift.
+    "x13_cube" -> sql(x13Sql))
 
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
 
@@ -311,5 +332,6 @@ object Extended {
     "x9_rollup_agg" -> x9Sql,
     "x10_window_analytics" -> x10Sql,
     "x11_percentiles" -> x11Sql,
-    "x12_pivot" -> x12Sql)
+    "x12_pivot" -> x12Sql,
+    "x13_cube" -> x13Sql)
 }
