@@ -1,0 +1,90 @@
+package graft.planopt
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.Tables
+import graft.workload.{Harvester, WorkloadGen}
+
+/** End-to-end dynamic/deployment-loop driver — the reference's
+  * `Lero/dynamic.py:23-53` / `Lero/deployment.py:16-46` entry point,
+  * Spark-native: a query stream arrives in BATCHES over time; for
+  * each consecutive (batch i, batch i+1) pair the comparator is
+  * retrained FROM SCRATCH on batch i's labeled plans and evaluated on
+  * batch i+1 — the drift-tolerant deployment mode (no accumulating
+  * training set, so a workload shift ages out after one batch).
+  * Reports the reference's lero_latency_list (per-batch selected-plan
+  * totals) plus the per-batch default totals and ranking losses the
+  * reference logs separately.
+  *
+  * Usage: runMain graft.planopt.DynamicMain [sfDir] [numGenerated]
+  *        [batchSize] [epochs] [outDir]
+  */
+object DynamicMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val numGen = args.lift(1).map(_.toInt).getOrElse(60)
+    val batchSize = args.lift(2).map(_.toInt).getOrElse(12)
+    val epochs = args.lift(3).map(_.toInt).getOrElse(60)
+    val outDir = args.lift(4).getOrElse("results/r7_dynamic")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val log = new Pipelines.Logger(Some(s"$outDir/log.txt"))
+    Tables.registerAll(spark, sfDir)
+
+    // same seed-workload family as StableMain; a DIFFERENT generator
+    // seed so the dynamic stream is not the stable pipeline's corpus
+    val seedSql = Seq(
+      """SELECT count(*) FROM orders o, customer c
+        |WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'""".stripMargin,
+      """SELECT count(*) FROM lineitem l, orders o, customer c, supplier s, nation n
+        |WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        |  AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+        |  AND c.c_acctbal > 0 AND l.l_quantity < 30""".stripMargin)
+    val h = WorkloadGen.harvest(spark, seedSql)
+    val rd = Harvester.rangeDict(spark, sfDir)
+    val generated = WorkloadGen.generateRandomSql(
+      h, rd, Harvester.revAliasMap, numSql = numGen, seed = 123L)
+    val queries: Seq[(String, SparkSession => DataFrame)] =
+      generated.zipWithIndex.map { case (q, i) =>
+        s"dyn$i" -> ((s: SparkSession) => s.sql(q.stripSuffix(";")))
+      }
+    val batches = queries.grouped(batchSize).toSeq
+    log.info(s"dynamic stream: ${queries.length} queries in " +
+      s"${batches.length} batches of $batchSize; epochs=$epochs")
+
+    // label every batch once (candidate enumeration + timed execution
+    // — the expensive step, paid per batch exactly once, as in the
+    // reference where each batch's plans run against PG once)
+    val labeled = batches.zipWithIndex.map { case (b, i) =>
+      log.info(s"labeling batch $i (${b.length} queries)")
+      Pipelines.labelWorkload(spark, b, log)
+    }
+    val results = Pipelines.deploymentLoopResults(labeled, epochs,
+      seed = 17L, log = log)
+
+    results.zipWithIndex.foreach { case (r, i) =>
+      log.info(f"batch ${i + 1}: loss=${r.rankingLoss.getOrElse(Double.NaN)}%.4f " +
+        f"selected=${r.selectedTotalSec}%.3fs default=${r.defaultTotalSec}%.3fs")
+    }
+    val latencyList = results.map(r => f"${r.selectedTotalSec}%.6f")
+      .mkString("[", ", ", "]")
+    val defaultList = results.map(r => f"${r.defaultTotalSec}%.6f")
+      .mkString("[", ", ", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/lero_latency_list.json"),
+      s"""{"lero_latency_list": $latencyList,
+         | "default_latency_list": $defaultList}
+         |""".stripMargin)
+    log.info(f"totals: selected=${results.map(_.selectedTotalSec).sum}%.3fs " +
+      f"default=${results.map(_.defaultTotalSec).sum}%.3fs " +
+      s"over ${results.length} evaluation batches")
+    log.close()
+    spark.stop()
+  }
+}

@@ -295,10 +295,19 @@ object Pipelines {
   def deploymentLoop(batches: Seq[Seq[LabeledQuery]], epochs: Int = 100,
                      seed: Long = 17L,
                      log: Logger = new Logger(None)): Seq[Double] =
+    deploymentLoopResults(batches, epochs, seed, log).map(_.selectedTotalSec)
+
+  /** [[deploymentLoop]] with the full per-batch evaluations (loss and
+    * default totals alongside the selected totals) — what an E2E
+    * driver reports; the reference's lero_latency_list keeps only the
+    * selected sums. */
+  def deploymentLoopResults(batches: Seq[Seq[LabeledQuery]],
+                            epochs: Int = 100, seed: Long = 17L,
+                            log: Logger = new Logger(None)): Seq[EvalResult] =
     batches.sliding(2).collect { case Seq(trainBatch, validBatch) =>
       val (fg, model) = train(trainBatch, epochs, seed)
       val res = evaluate(fg, model, validBatch)
       log.info(f"batch eval: loss=${res.rankingLoss} sum=${res.selectedTotalSec}%.3fs")
-      res.selectedTotalSec
+      res
     }.toSeq
 }
