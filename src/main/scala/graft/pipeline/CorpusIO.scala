@@ -136,6 +136,46 @@ object CorpusIO {
                                      sfDir: String): DataFrame =
     partitionedReadWithDir(spark, sfDir)._1
 
+  /** Write orders and lineitem as BUCKETED tables — 16 buckets on
+    * the join key — so the fact-to-fact join reads bucket-to-bucket
+    * with ZERO join-side shuffle (spec-pinned with broadcast
+    * disabled: no ShuffleExchange feeds the join). This is the
+    * pre-partitioning story the 100 TB plan depends on: a recurring
+    * orders⋈lineitem pipeline pays the layout shuffle ONCE at write
+    * time, and every subsequent join/aggregation on the bucket key
+    * is co-located. The revenue term stays in the DECIMAL domain
+    * through the sum (q2's cross-engine discipline) and the final
+    * column is DOUBLE, never DECIMAL (OutputTypeSpec). */
+  private[graft] def bucketedJoin(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    Tables.load(spark, sfDir, "orders").write.mode("overwrite")
+      .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable("graft_bkt_orders")
+    Tables.load(spark, sfDir, "lineitem").write.mode("overwrite")
+      .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable("graft_bkt_lineitem")
+    val revTerm = (col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+      .cast("decimal(18,4)")
+    spark.table("graft_bkt_orders")
+      .join(spark.table("graft_bkt_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(revTerm).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private def bucketedJoinGate(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    val res = eager(bucketedJoin(spark, sfDir))
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    res
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io1_json_roundtrip" -> ((spark, sfDir) => roundTrip(spark, sfDir, "json")),
     "io2_csv_roundtrip" -> ((spark, sfDir) => roundTrip(spark, sfDir, "csv")),
@@ -146,7 +186,8 @@ object CorpusIO {
       val (slice, dir) = partitionedReadWithDir(spark, sfDir)
       try eager(fingerprint(slice))
       finally deleteRec(new java.io.File(dir))
-    }))
+    }),
+    "io5_bucketed_join" -> bucketedJoinGate _)
 
   private def fingerprintSql(where: String): String =
     s"""WITH f AS (
@@ -166,5 +207,14 @@ object CorpusIO {
     "io1_json_roundtrip" -> fingerprintSql(""),
     "io2_csv_roundtrip" -> fingerprintSql(""),
     "io4_orc_roundtrip" -> fingerprintSql(""),
-    "io3_partitioned_prune" -> fingerprintSql(" WHERE lang = 'en'"))
+    "io3_partitioned_prune" -> fingerprintSql(" WHERE lang = 'en'"),
+    // the bucketed layout must not change the join's RESULT — the
+    // oracle is the plain join over the original parquet
+    "io5_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders, lineitem WHERE o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

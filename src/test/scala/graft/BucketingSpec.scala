@@ -79,6 +79,26 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("io5 gate joins bucket-to-bucket: no exchange feeds the join") {
+    try {
+      Candidates.withConfs(spark, Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")) {
+        val j = graft.pipeline.CorpusIO.bucketedJoin(spark, sf)
+        val plan = j.queryExecution.executedPlan
+        val smj = plan.collect { case s: SortMergeJoinExec => s }
+        assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
+        val exchangesUnderJoin = smj.head.collect { case e: ShuffleExchangeExec => e }
+        assert(exchangesUnderJoin.isEmpty,
+          s"io5 bucketed join still shuffles:\n${smj.head}")
+        assert(j.count() > 0)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    }
+  }
+
   test("partition-pruned scan touches only the matching partition's files") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
