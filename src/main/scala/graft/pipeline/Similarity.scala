@@ -53,6 +53,8 @@ object Similarity {
   private val IvfIters = 5
   private val IvfProbes = 12 // random 64-d data clusters weakly; recall@top-10 needs wide probing
   private val KnnK = 5
+  /** emb2's target dimensionality (64-d input → 8-d JL sign-sketch). */
+  private val RpDims = 8
 
   // --- clustered fixture (sim5): the synthetic embeddings are
   //     structureless (max pair cos ~0.5 over ~0 background), the one
@@ -365,6 +367,43 @@ object Similarity {
         round(sum(when(col("rel") < 1e-4, 1L).otherwise(0L))
           .cast("double") / count(lit(1)), 6).as("frac_ok"))
     }),
+    // Random-projection (Johnson–Lindenstrauss sign-sketch) dim
+    // reduction: 64-d float vectors down to RpDims dims via a ±1
+    // matrix derived from md5(j,k) — both engines regenerate the SAME
+    // matrix from the hash, so the oracle is value-exact with no
+    // side-channel for the projection. The gate reports per-(label,k)
+    // first/second moments of the projected coordinate. Numeric
+    // discipline: each signed term is exact (±x, no product rounding),
+    // rounded to 9 decimals into DECIMAL so the per-vector sum and
+    // the cross-vector sums are associative/order-free; DOUBLE only
+    // at the output boundary. Scale shape: the projection is pure
+    // map-side (higher-order aggregate per row — no explode of the
+    // vector through a shuffle); the only exchange carries the tiny
+    // (label,k) partial aggregates. At 100 TB the md5-derived matrix
+    // would be precomputed once and broadcast; deriving it inline
+    // keeps the cross-engine oracle closed-form.
+    "emb2_rand_proj" -> ((spark, sfDir) => {
+      val e = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val proj = e
+        .select(col("label"), col("v"),
+          explode(expr(s"sequence(0L, ${RpDims - 1}L)")).as("k"))
+        .withColumn("p", expr(
+          """aggregate(
+            |  transform(v, (x, j) -> cast(round(
+            |    x * (case when cast(conv(substring(
+            |           md5(concat('rp', j, '_', k)), 1, 4), 16, 10) as int)
+            |           % 2 = 0 then 1.0d else -1.0d end), 9) as decimal(18,9))),
+            |  cast(0 as decimal(28,9)),
+            |  (acc, t) -> cast(acc + t as decimal(28,9)))""".stripMargin))
+      proj.groupBy(col("label"), col("k"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("p")).cast("double").as("proj_sum"),
+          sum(expr("cast(round(cast(p as double) * cast(p as double), 6)" +
+            " as decimal(28,6))")).cast("double").as("proj_sq_sum"))
+        .orderBy(col("label"), col("k"))
+    }),
     "sim1_cosine_topk" -> ((spark, sfDir) =>
       topK(cosineToProbe(spark, sfDir))),
     "sim4_knn_join" -> ((spark, sfDir) =>
@@ -557,6 +596,30 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "emb1_quantize" -> emb1OracleSql,
+    // same md5-derived ±1 matrix regenerated in DuckDB (0x-prefix
+    // hex cast ≡ Spark's conv(...,16,10) — the io-gate equivalence);
+    // generate_subscripts is 1-based, hence j-1
+    "emb2_rand_proj" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    generate_subscripts(embedding, 1) - 1 AS j,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings
+         |), t AS (
+         |  SELECT e.*, k.k FROM e,
+         |    (SELECT unnest(range(${RpDims})) AS k) k
+         |), p AS (
+         |  SELECT vec_id, label, k,
+         |    sum(CAST(round(x * (CASE WHEN CAST('0x' ||
+         |      substr(md5('rp' || j || '_' || k), 1, 4) AS BIGINT) % 2 = 0
+         |      THEN 1.0 ELSE -1.0 END), 9) AS DECIMAL(18,9))) AS p
+         |  FROM t GROUP BY vec_id, label, k
+         |)
+         |SELECT label, k, count(*) AS n_vecs,
+         |  CAST(sum(p) AS DOUBLE) AS proj_sum,
+         |  CAST(sum(CAST(round(CAST(p AS DOUBLE) * CAST(p AS DOUBLE), 6)
+         |    AS DECIMAL(28,6))) AS DOUBLE) AS proj_sq_sum
+         |FROM p GROUP BY label, k ORDER BY label, k""".stripMargin,
     "sim1_cosine_topk" -> topkOracleSql,
     "sim4_knn_join" -> knnOracleSql,
     // the blocked ANN-join path vs exact kNN on the clustered fixture:

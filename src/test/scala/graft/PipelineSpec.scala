@@ -246,6 +246,23 @@ class PipelineSpec extends AnyFunSuite {
         s"lang=en/ holds $enFiles of $allFiles")
   }
 
+  test("emb2 projection is map-side: only the moment agg and sort shuffle") {
+    // the per-vector JL projection must happen inside a higher-order
+    // aggregate (no per-element explode through an exchange); the
+    // plan's only exchanges carry the tiny (label,k) partial
+    // aggregates and the 80-row final sort
+    val df = SparkEntry.queries("emb2_rand_proj")(spark, sf)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 2,
+      s"emb2 shuffles ${exchanges.size}x — projection left the map side")
+    val rows = df.collect()
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs * 8,
+      "every vector must contribute to every projected dim")
+  }
+
   test("dc1 gram stream keeps the HOF explode generator-inlined") {
     // Regression pin for the 15x dc1 slowdown: the n-gram transform
     // must be evaluated INSIDE Generate's generator, not projected
