@@ -150,10 +150,17 @@ object CorpusIO {
                                   sfDir: String): DataFrame = {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
-    Tables.load(spark, sfDir, "orders").write.mode("overwrite")
+    // project before the layout write: the gate buckets the columns
+    // the downstream join needs (a production table would carry all
+    // of them — the layout property is identical either way)
+    Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
       .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
       .format("parquet").saveAsTable("graft_bkt_orders")
-    Tables.load(spark, sfDir, "lineitem").write.mode("overwrite")
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite")
       .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
       .format("parquet").saveAsTable("graft_bkt_lineitem")
     val revTerm = (col("l_extendedprice").cast("decimal(18,4)") *

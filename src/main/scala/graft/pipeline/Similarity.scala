@@ -56,6 +56,23 @@ object Similarity {
   /** emb2's target dimensionality (64-d input → 8-d JL sign-sketch). */
   private val RpDims = 8
 
+  /** emb2's sign matrix as an `array(array(...))` SQL literal,
+    * outer-indexed by k (1-based via element_at), inner by j. Sign =
+    * parity of the first 4 hex digits of md5("rp<j>_<k>") — the
+    * EXACT formula the DuckDB oracle re-derives in SQL, evaluated
+    * here once on the driver instead of once per (row, j, k). */
+  private def rpSignsSql(dim: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, k: Int): String = {
+      val hex = md.digest(s"rp${j}_$k".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex, 16) % 2 == 0) "1.0D" else "-1.0D"
+    }
+    (0 until RpDims).map(k =>
+      (0 until dim).map(j => sign(j, k)).mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+  }
+
   // --- clustered fixture (sim5): the synthetic embeddings are
   //     structureless (max pair cos ~0.5 over ~0 background), the one
   //     regime where NO sublinear ANN can beat exact search — so the
@@ -376,27 +393,28 @@ object Similarity {
     // discipline: each signed term is exact (±x, no product rounding),
     // rounded to 9 decimals into DECIMAL so the per-vector sum and
     // the cross-vector sums are associative/order-free; DOUBLE only
-    // at the output boundary. Scale shape: the projection is pure
-    // map-side (higher-order aggregate per row — no explode of the
-    // vector through a shuffle); the only exchange carries the tiny
-    // (label,k) partial aggregates. At 100 TB the md5-derived matrix
-    // would be precomputed once and broadcast; deriving it inline
-    // keeps the cross-engine oracle closed-form.
+    // at the output boundary. Scale shape: the sign matrix is
+    // PRECOMPUTED once driver-side (rpSigns — the "build the
+    // projection once and broadcast it" discipline; deriving it per
+    // row cost 2.5M md5 calls at sf0.1) and inlined as a literal;
+    // the projection itself is a per-row higher-order aggregate (no
+    // explode of the vector through a shuffle), so the only
+    // exchange carries the tiny (label,k) partial aggregates. The
+    // DuckDB oracle re-derives the same matrix from md5 in SQL.
     "emb2_rand_proj" -> ((spark, sfDir) => {
       val e = Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val dim = e.select(expr("size(v)")).head().getInt(0)
       val proj = e
         .select(col("label"), col("v"),
           explode(expr(s"sequence(0L, ${RpDims - 1}L)")).as("k"))
         .withColumn("p", expr(
-          """aggregate(
-            |  transform(v, (x, j) -> cast(round(
-            |    x * (case when cast(conv(substring(
-            |           md5(concat('rp', j, '_', k)), 1, 4), 16, 10) as int)
-            |           % 2 = 0 then 1.0d else -1.0d end), 9) as decimal(18,9))),
-            |  cast(0 as decimal(28,9)),
-            |  (acc, t) -> cast(acc + t as decimal(28,9)))""".stripMargin))
+          s"""aggregate(
+             |  zip_with(v, element_at(${rpSignsSql(dim)}, cast(k + 1 as int)),
+             |    (x, s) -> cast(round(x * s, 9) as decimal(18,9))),
+             |  cast(0 as decimal(28,9)),
+             |  (acc, t) -> cast(acc + t as decimal(28,9)))""".stripMargin))
       proj.groupBy(col("label"), col("k"))
         .agg(count(lit(1)).as("n_vecs"),
           sum(col("p")).cast("double").as("proj_sum"),
