@@ -92,6 +92,66 @@ object EventStreams {
         .agg(count(lit(1)).as("n_events"),
           sum(col("k")).cast("long").as("k_sum"),
           max(col("k")).as("k_max"))),
+    // Ordered-funnel analysis: how many users had a view, then a
+    // click AFTER that first view, then a purchase AFTER that click.
+    // One shuffle: events (filtered to the 3 funnel stages map-side)
+    // group to per-user time-sorted sequences and a higher-order
+    // aggregate runs the greedy stage machine — equivalent to the
+    // oracle's stage-wise min-timestamp formulation because taking
+    // the EARLIEST event at each stage dominates. Per-user state is
+    // bounded by that user's funnel-event count (the sessionizer's
+    // caveat applies: a bot user with millions of events would get a
+    // per-(user, day) pre-funnel before this plan at 100 TB). The
+    // corpus has no equal-timestamp (user, ts) pairs at any SF —
+    // checked down to the microsecond — so Spark's micros and the
+    // oracle's nanos order identically and strict '>' is safe.
+    "evt4_funnel" -> ((spark, sfDir) => {
+      val staged = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"),
+          when(col("event_type") === "view", 1)
+            .when(col("event_type") === "click", 2)
+            .when(col("event_type") === "purchase", 3).as("code"))
+        .filter(col("code").isNotNull)
+      staged
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("code"))))
+          .as("seq"))
+        .withColumn("stage", expr(
+          """aggregate(seq, 0, (st, e) -> case
+            |  when st = 0 and e.code = 1 then 1
+            |  when st = 1 and e.code = 2 then 2
+            |  when st = 2 and e.code = 3 then 3
+            |  else st end)""".stripMargin))
+        .agg(sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("reached_view"),
+          sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("reached_click"),
+          sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("reached_purchase"))
+    }),
+    // Last-touch attribution: each purchase credits the most recent
+    // PRECEDING view/click of the same user. The preceding-touch
+    // timestamp comes from a running conditional max over the
+    // user-ordered window (one shuffle on user_id); resolving the
+    // touch's channel is an equi-join on (user_id, src_ts) — exact
+    // because (user, ts) is unique in this corpus. The oracle is
+    // independently formulated (per-purchase LATERAL top-1 lookup),
+    // so the window formulation is genuinely cross-checked.
+    "evt5_attribution" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(spark, sfDir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val purchases = e
+        .withColumn("src_ts",
+          max(when(col("event_type").isin("view", "click"), col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("src_ts"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts").as("src_ts"),
+          col("event_type").as("channel"))
+      purchases.join(touches, Seq("user_id", "src_ts"), "left")
+        .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy(col("channel"))
+    }),
     // gap-based sessionization: a new session starts after >30 min of
     // user inactivity; top-20 users by session count
     "evt3_sessions" -> ((spark, sfDir) =>
@@ -110,6 +170,38 @@ object EventStreams {
   )
 
   val oracle: Map[String, String] = Map(
+    // stage-wise earliest-timestamp formulation (equivalent to the
+    // greedy stage machine — earliest-at-each-stage dominates)
+    "evt4_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT count(*) FROM s1) AS reached_view,
+        |  (SELECT count(*) FROM s2) AS reached_click,
+        |  (SELECT count(*) FROM s3) AS reached_purchase""".stripMargin,
+    // independently formulated: per-purchase LATERAL top-1 lookup of
+    // the latest preceding view/click
+    "evt5_attribution" ->
+      """SELECT coalesce(src.event_type, 'none') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_type FROM events e
+        |  WHERE e.user_id = p.user_id AND e.ts < p.ts
+        |    AND e.event_type IN ('view', 'click')
+        |  ORDER BY e.ts DESC LIMIT 1) src ON true
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt1_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |  event_type, CAST(count(*) AS BIGINT) AS n_events,

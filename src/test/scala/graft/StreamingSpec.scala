@@ -73,6 +73,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(closedSessions > 0)
   }
 
+  test("stateful streaming funnel equals the batch funnel counts") {
+    import graft.streaming.FunnelStream
+    val batch = SparkEntry.queries("evt4_funnel")(spark, sf).head()
+    val dir = java.nio.file.Files.createTempDirectory("evt_funnel_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = FunnelStream.funnel(spark, sf, dir.toString)
+      .writeStream.format("memory").queryName("funnel_stream_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    // stage is monotone per user — max() is the final stage even if
+    // several triggers emitted intermediate rows
+    val streamed = spark.sql(
+      """SELECT sum(CASE WHEN st >= 1 THEN 1 ELSE 0 END),
+        |       sum(CASE WHEN st >= 2 THEN 1 ELSE 0 END),
+        |       sum(CASE WHEN st >= 3 THEN 1 ELSE 0 END)
+        |FROM (SELECT max(stage) AS st FROM funnel_stream_test
+        |      GROUP BY user_id)""".stripMargin).head()
+    assert(streamed.getLong(0) == batch.getAs[Long]("reached_view"))
+    assert(streamed.getLong(1) == batch.getAs[Long]("reached_click"))
+    assert(streamed.getLong(2) == batch.getAs[Long]("reached_purchase"))
+    assert(streamed.getLong(2) > 0, "fixture has no full-funnel user")
+  }
+
   test("streaming dedup removes exact duplicates within the watermark") {
     // stage TWO copies of the events file: every event is duplicated
     val dir = java.nio.file.Files.createTempDirectory("evt_dedup_in")
