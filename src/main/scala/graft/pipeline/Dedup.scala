@@ -473,8 +473,8 @@ object Dedup {
 
   /** Benchmark-decontamination eval-set rate: doc_id % DecontamMod == 0
     * plays the "held-out benchmark" role. */
-  private val DecontamMod = 20
-  private val DecontamN = 8
+  private[graft] val DecontamMod = 20
+  private[graft] val DecontamN = 8
 
   /** Per-doc distinct word-8-gram hashes, exploded (the
     * decontamination unit — 8-grams are the common

@@ -195,6 +195,61 @@ object TextAnalysis {
           sum(col("n_tok")).cast("long").as("tokens_kept"),
           sum(col("n_char")).cast("long").as("chars_kept"))
     }),
+    // The full training-mix build, composed end to end: training
+    // split (eval docs held out) → quality gate → exact dedup by
+    // normalized fingerprint (representative = lowest doc_id) →
+    // benchmark DECONTAMINATION (drop any doc sharing an 8-gram with
+    // the eval split — dc1's machinery) → per-source stratified
+    // sample quota (hash-ordered, deterministic) → token-budget shard
+    // packing. One composed plan, reported per (source, shard).
+    // Scale shape: the quality gate is a scan predicate; dedup is one
+    // window over fp; the contamination set is doc-id-sized and
+    // broadcast into a LEFT ANTI join; sampling and packing shuffle
+    // once each on source with WindowGroupLimit/bounded per-key
+    // sorts. The oracle re-derives every stage in DuckDB, so the gate
+    // pins the COMPOSITION (each stage feeding the next), not just
+    // the pieces.
+    "pipe2_training_mix" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nWords = size(wordsCol)
+      val avgWordLen =
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          nWords.cast("double")
+      val pass = nWords >= 50 && nWords <= 1000 &&
+        avgWordLen >= 3.0 && avgWordLen <= 8.0
+      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      val isEval = col("doc_id") % Dedup.DecontamMod === 0
+      // contaminated training doc_ids (dc1's gram machinery: per-doc
+      // distinct 8-grams, eval side DISTINCT+broadcast)
+      val g = Dedup.decontamGrams(spark, sfDir)
+      val ev = g.filter(col("doc_id") % Dedup.DecontamMod === 0)
+        .select(col("g")).distinct()
+      val contaminated = g.filter(col("doc_id") % Dedup.DecontamMod =!= 0)
+        .join(broadcast(ev), "g").select(col("doc_id")).distinct()
+      docs(spark, sfDir)
+        .filter(!isEval)
+        .filter(pass)
+        .select(col("doc_id"), col("source"), col("text"), fp.as("fp"),
+          nWords.cast("long").as("n_tok"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("srn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(md5(col("text").cast("binary")), col("doc_id"))))
+        .filter(col("srn") <= MixQuota)
+        .withColumn("cum", sum(col("n_tok")).over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("source"),
+          expr(s"(cum - n_tok) div $ShardTokenBudget").as("shard_id"),
+          col("n_tok"))
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("shard_tokens"))
+        .orderBy(col("source"), col("shard_id"))
+    }),
     // deterministic rate sampling: keep a doc iff the first hex digit
     // of md5(text) < '4' (a 4/16 = 25% expected rate). Reproducible
     // across engines, runs, and cluster sizes — the auditability
@@ -252,6 +307,59 @@ object TextAnalysis {
 
   /** Token budget per packed training shard (pack1). */
   private val ShardTokenBudget = 4096
+
+  /** Per-source sample quota in the composed training mix (pipe2). */
+  private val MixQuota = 50
+
+  /** pipe2's oracle: every stage of the composed mix re-derived in
+    * DuckDB — 1-based `range` walks gram starts exactly like dc1's
+    * oracle; the 'g' regexp flag mirrors Spark's replace-all. */
+  private def pipe2OracleSql: String = {
+    val gramConcat = (0 until Dedup.DecontamN)
+      .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString("||' '||")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(w) - ${Dedup.DecontamN - 2}),
+       |    i -> $gramConcat))) AS g
+       |  FROM t),
+       |ev AS (SELECT DISTINCT g FROM grams
+       |       WHERE doc_id % ${Dedup.DecontamMod} = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT c.doc_id FROM grams c JOIN ev ON c.g = ev.g
+       |  WHERE c.doc_id % ${Dedup.DecontamMod} <> 0),
+       |q AS (
+       |  SELECT doc_id, source, text, len(w) AS n_tok,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM t
+       |  WHERE doc_id % ${Dedup.DecontamMod} <> 0
+       |    AND len(w) BETWEEN 50 AND 1000
+       |    AND length(replace(text, ' ', '')) * 1.0 / len(w) >= 3.0
+       |    AND length(replace(text, ' ', '')) * 1.0 / len(w) <= 8.0),
+       |d AS (
+       |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |  FROM q),
+       |s AS (
+       |  SELECT doc_id, source, n_tok,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(text), doc_id) AS srn
+       |  FROM d
+       |  WHERE rn = 1
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |p AS (
+       |  SELECT source, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM s WHERE srn <= $MixQuota)
+       |SELECT source,
+       |  CAST((cum - n_tok) // $ShardTokenBudget AS BIGINT) AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   private def markerListSql(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -360,6 +468,7 @@ object TextAnalysis {
         |  )
         |) WHERE rn = 1
         |GROUP BY source""".stripMargin,
+    "pipe2_training_mix" -> pipe2OracleSql,
     "samp1_hash_sample" ->
       """SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_sampled,
