@@ -146,10 +146,11 @@ object CorpusIO {
     * is co-located. The revenue term stays in the DECIMAL domain
     * through the sum (q2's cross-engine discipline) and the final
     * column is DOUBLE, never DECIMAL (OutputTypeSpec). */
-  private[graft] def bucketedJoin(spark: SparkSession,
-                                  sfDir: String): DataFrame = {
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+  private[graft] def bucketedJoin(spark: SparkSession, sfDir: String,
+                                  tag: String): DataFrame = {
+    val ot = s"graft_bkt_orders_$tag"
+    val lt = s"graft_bkt_lineitem_$tag"
+    dropBucketTables(spark, tag)
     // project before the layout write: the gate buckets the columns
     // the downstream join needs (a production table would carry all
     // of them — the layout property is identical either way)
@@ -157,30 +158,37 @@ object CorpusIO {
       .select(col("o_orderkey"), col("o_orderpriority"))
       .write.mode("overwrite")
       .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
-      .format("parquet").saveAsTable("graft_bkt_orders")
+      .format("parquet").saveAsTable(ot)
     Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .write.mode("overwrite")
       .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
-      .format("parquet").saveAsTable("graft_bkt_lineitem")
+      .format("parquet").saveAsTable(lt)
     val revTerm = (col("l_extendedprice").cast("decimal(18,4)") *
       (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
       .cast("decimal(18,4)")
-    spark.table("graft_bkt_orders")
-      .join(spark.table("graft_bkt_lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
+    spark.table(ot)
+      .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         sum(revTerm).cast("double").as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
 
+  private[graft] def dropBucketTables(spark: SparkSession, tag: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt_lineitem_$tag")
+    ()
+  }
+
   private def bucketedJoinGate(spark: SparkSession,
                                sfDir: String): DataFrame = {
-    val res = eager(bucketedJoin(spark, sfDir))
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
-    res
+    // per-invocation table names: two JVMs sharing one warehouse dir
+    // (a verify and a bench run overlapping) must not clobber each
+    // other's managed-table files mid-query
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    try eager(bucketedJoin(spark, sfDir, tag))
+    finally dropBucketTables(spark, tag)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -20,7 +20,9 @@ import graft.engine.Tables
   * loop), x9 → ROLLUP subtotals (Expand + single hash-agg), x10 →
   * per-partition window analytics (lag + sliding frame, one
   * shuffle), x11 → exact interpolated percentiles (group-local
-  * sort; approx_percentile is the sketch path at scale).
+  * sort; approx_percentile is the sketch path at scale), x14/x15 →
+  * INTERSECT/EXCEPT (LeftSemi/LeftAnti + distinct hash-agg), x16 →
+  * correlated scalar subquery (de-correlated into a join).
   */
 object Extended {
 
@@ -167,7 +169,40 @@ object Extended {
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
+  // x14/x15: set INTERSECT/EXCEPT (distinct semantics both engines);
+  // Spark compiles them to LeftSemi/LeftAnti + HashAggregate — the
+  // distributed shape is two pruned scans + one key-sized shuffle.
+  private val x14Sql =
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nk""".stripMargin
+
+  // customer nations outside region 0 — the subtracted side is a
+  // selective dim scan, so the result is NON-EMPTY at every SF (a
+  // same-domain EXCEPT like customer-minus-supplier nations goes
+  // empty once both cover all 25 nations, making the gate trivial)
+  private val x15Sql =
+    """SELECT c_nationkey AS nk FROM customer
+      |EXCEPT
+      |SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+      |ORDER BY nk""".stripMargin
+
+  // x16: correlated SCALAR subquery — Catalyst de-correlates it into
+  // a join (no per-row re-execution); the comparison is between two
+  // STORED doubles, so the gate cannot flake on aggregate association
+  // order. A missing customer yields NULL > semantics, filtered
+  // identically by both engines.
+  private val x16Sql =
+    """SELECT count(*) AS cnt FROM orders o
+      |WHERE o_totalprice >
+      |  (SELECT c_acctbal FROM customer c
+      |   WHERE c.c_custkey = o.o_custkey)""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_intersect" -> sql(x14Sql),
+    "x15_except" -> sql(x15Sql),
+    "x16_scalar_subquery" -> sql(x16Sql),
     "x1_left_outer_join" -> sql(x1),
     "x2_semi_join" -> sql(x2),
     "x3_anti_join" -> sql(x3),
@@ -333,5 +368,8 @@ object Extended {
     "x10_window_analytics" -> x10Sql,
     "x11_percentiles" -> x11Sql,
     "x12_pivot" -> x12Sql,
-    "x13_cube" -> x13Sql)
+    "x13_cube" -> x13Sql,
+    "x14_intersect" -> x14Sql,
+    "x15_except" -> x15Sql,
+    "x16_scalar_subquery" -> x16Sql)
 }

@@ -80,11 +80,12 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("io5 gate joins bucket-to-bucket: no exchange feeds the join") {
+    val tag = "spec"
     try {
       Candidates.withConfs(spark, Seq(
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.enabled" -> "false")) {
-        val j = graft.pipeline.CorpusIO.bucketedJoin(spark, sf)
+        val j = graft.pipeline.CorpusIO.bucketedJoin(spark, sf, tag)
         val plan = j.queryExecution.executedPlan
         val smj = plan.collect { case s: SortMergeJoinExec => s }
         assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
@@ -93,10 +94,7 @@ class BucketingSpec extends AnyFunSuite {
           s"io5 bucketed join still shuffles:\n${smj.head}")
         assert(j.count() > 0)
       }
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
-    }
+    } finally graft.pipeline.CorpusIO.dropBucketTables(spark, tag)
   }
 
   test("partition-pruned scan touches only the matching partition's files") {
