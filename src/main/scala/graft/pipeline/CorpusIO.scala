@@ -175,6 +175,36 @@ object CorpusIO {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Dynamic partition pruning: customer written partitioned by
+    * `c_nationkey` (the join key), then joined to `nation` filtered
+    * to one region. Catalyst injects the dim side's key set as a
+    * runtime partition filter on the fact scan (reusing the
+    * broadcast), so only 5 of 25 `c_nationkey=…/` directories are
+    * ever read — io3 proves STATIC pruning from a literal
+    * predicate; this proves pruning from a runtime JOIN, the
+    * mechanism that makes star-schema fact scans affordable at
+    * 100 TB where the pruning predicate only exists after the dim
+    * filter runs. Spec-pinned on the scan's `dynamicpruning`
+    * partition filter; the oracle is the plain join over the
+    * original parquet. */
+  private[graft] def dppJoin(spark: SparkSession, sfDir: String,
+                             factDir: String): DataFrame = {
+    val nation = Tables.load(spark, sfDir, "nation")
+      .filter(col("n_regionkey") === 0)
+    spark.read.parquet(factDir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("acctbal_total"))
+      .orderBy(col("n_name"))
+  }
+
+  private[graft] def writeDppFact(spark: SparkSession, sfDir: String,
+                                  dir: String): Unit =
+    Tables.load(spark, sfDir, "customer")
+      .write.mode("overwrite").partitionBy("c_nationkey").parquet(dir)
+
   private[graft] def dropBucketTables(spark: SparkSession, tag: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$tag")
     spark.sql(s"DROP TABLE IF EXISTS graft_bkt_lineitem_$tag")
@@ -202,7 +232,14 @@ object CorpusIO {
       try eager(fingerprint(slice))
       finally deleteRec(new java.io.File(dir))
     }),
-    "io5_bucketed_join" -> bucketedJoinGate _)
+    "io5_bucketed_join" -> bucketedJoinGate _,
+    "io6_dpp_join" -> ((spark, sfDir) => {
+      val dir = tempDir("graft_io_dpp")
+      try {
+        writeDppFact(spark, sfDir, dir)
+        eager(dppJoin(spark, sfDir, dir))
+      } finally deleteRec(new java.io.File(dir))
+    }))
 
   private def fingerprintSql(where: String): String =
     s"""WITH f AS (
@@ -223,6 +260,15 @@ object CorpusIO {
     "io2_csv_roundtrip" -> fingerprintSql(""),
     "io4_orc_roundtrip" -> fingerprintSql(""),
     "io3_partitioned_prune" -> fingerprintSql(" WHERE lang = 'en'"),
+    // the partitioned layout must not change the join's RESULT — the
+    // oracle is the plain join over the original parquet
+    "io6_dpp_join" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS acctbal_total
+        |FROM customer, nation
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = 0
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // the bucketed layout must not change the join's RESULT — the
     // oracle is the plain join over the original parquet
     "io5_bucketed_join" ->

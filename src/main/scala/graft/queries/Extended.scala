@@ -199,7 +199,31 @@ object Extended {
       |  (SELECT c_acctbal FROM customer c
       |   WHERE c.c_custkey = o.o_custkey)""".stripMargin
 
+  // x17: FULL OUTER join — the one join-preservation mode x1/x2/x3
+  // don't cover. Keyed on custkey with two sides that each hold keys
+  // the other lacks AT EVERY SF (BUILDING is a per-customer 1-in-5
+  // segment; ~1/3 of custkeys never appear in orders), then rolled
+  // up by presence pattern so the gate exercises null-preservation
+  // on both sides with a 3-row result. The aggregated right side
+  // stays under the broadcast threshold ONLY at toy scale — at
+  // 100 TB this is a shuffled full-outer SMJ on the join key, which
+  // is the plan local[32] picks too once AQE sees the real sizes.
+  private val x17Sql =
+    """SELECT CASE WHEN c.c_custkey IS NULL THEN 'orders_only'
+      |            WHEN o.custkey IS NULL THEN 'customer_only'
+      |            ELSE 'both' END AS side,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(coalesce(o.n_orders, 0)) AS BIGINT) AS orders_total
+      |FROM (SELECT c_custkey FROM customer
+      |      WHERE c_mktsegment = 'BUILDING') c
+      |FULL OUTER JOIN (SELECT o_custkey AS custkey,
+      |                   count(*) AS n_orders
+      |                 FROM orders GROUP BY o_custkey) o
+      |  ON c.c_custkey = o.custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_full_outer_join" -> sql(x17Sql),
     "x14_intersect" -> sql(x14Sql),
     "x15_except" -> sql(x15Sql),
     "x16_scalar_subquery" -> sql(x16Sql),
@@ -371,5 +395,6 @@ object Extended {
     "x13_cube" -> x13Sql,
     "x14_intersect" -> x14Sql,
     "x15_except" -> x15Sql,
-    "x16_scalar_subquery" -> x16Sql)
+    "x16_scalar_subquery" -> x16Sql,
+    "x17_full_outer_join" -> x17Sql)
 }

@@ -79,10 +79,66 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
   }
 
+  /** View→click interval join: every (click, preceding view within
+    * 10 min, same user) pair. Batch shape of the stream-stream join
+    * below; one shuffle per side on user_id, the range condition is
+    * a post-join filter inside the same sort-merge join. */
+  def viewClickPairs(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    clicks.join(views, col("user_id") === col("v_user") &&
+      col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("v_ts") < col("c_ts"))
+  }
+
+  /** Stream-stream inner interval join — the Structured Streaming
+    * surface the other twins don't cover. Both sides carry a
+    * watermark AND the join condition bounds event-time distance, so
+    * Spark can evict view state older than watermark−10 min and
+    * click state at the watermark: state is bounded by the lateness
+    * horizon, not the stream length — the property that makes a
+    * stream-stream join survive an unbounded 100 TB/day feed. */
+  def streamingViewClickJoin(spark: SparkSession, sfDir: String,
+                             eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val rawSchema = org.apache.spark.sql.types.StructType(schema.map { f =>
+      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f
+    })
+    def src(): DataFrame = spark.readStream.schema(rawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 hours")
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "2 hours")
+    clicks.join(views, expr(
+      "c_user = v_user AND v_ts >= c_ts - INTERVAL 10 MINUTES AND v_ts < c_ts"))
+      .select(col("c_id"), col("v_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling-window aggregate (batch flavor of the streaming shape)
     "evt1_window_agg" -> ((spark, sfDir) =>
       windowedAgg(Tables.load(spark, sfDir, "events"))),
+    // view→click interval join rolled up per click hour (batch
+    // flavor of the stream-stream join; sub-microsecond boundary
+    // ties are the same accepted risk as evt3's 30-min gap — the
+    // corpus has none at any SF)
+    "evt6_view_click_join" -> ((spark, sfDir) =>
+      viewClickPairs(Tables.load(spark, sfDir, "events"))
+        .groupBy(unix_timestamp(date_trunc("hour", col("c_ts")))
+          .as("click_hour"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_id")).as("n_clicks"))
+        .orderBy(col("click_hour"))),
     // typed property extraction from the JSON-ish props column
     "evt2_props_extract" -> ((spark, sfDir) =>
       Tables.load(spark, sfDir, "events")
@@ -201,6 +257,15 @@ object EventStreams {
         |  WHERE e.user_id = p.user_id AND e.ts < p.ts
         |    AND e.event_type IN ('view', 'click')
         |  ORDER BY e.ts DESC LIMIT 1) src ON true
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "evt6_view_click_join" ->
+      """SELECT CAST(epoch(date_trunc('hour', c.ts)) AS BIGINT) AS click_hour,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT c.event_id) AS BIGINT) AS n_clicks
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts >= c.ts - INTERVAL 10 MINUTES AND v.ts < c.ts
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "evt1_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,

@@ -122,4 +122,48 @@ class BucketingSpec extends AnyFunSuite {
         s"no pruning: $filesPruned of $filesAll files")
     } finally deleteRecursively(dir)
   }
+
+  test("io6 fact scan is pruned by a DYNAMIC (join-derived) partition filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    try {
+      graft.pipeline.CorpusIO.writeDppFact(spark, sf, dir)
+      val df = graft.pipeline.CorpusIO.dppJoin(spark, sf, dir)
+      df.collect() // run so the scan's partition metrics are populated
+      // collect across AQE shells and materialized query stages
+      // (QueryStageExec is a leaf to TreeNode.collect)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+      // column pruning leaves only (c_acctbal, c_nationkey) on the
+      // fact scan — identify it by its partition column
+      val scan = scans(df.queryExecution.executedPlan)
+        .filter(_.output.exists(_.name == "c_nationkey")).head
+      // the pruning predicate on c_nationkey only exists at RUNTIME
+      // (it is the filtered dim's key set), so it must surface as a
+      // DynamicPruningExpression partition filter, not a data filter
+      assert(scan.partitionFilters.exists(
+        _.find(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.DynamicPruning]).isDefined),
+        s"no dynamic pruning filter on the fact scan:\n$scan")
+      // partitions actually read must equal the dirs whose nation is
+      // in region 0 AND present in customer — strictly fewer than the
+      // total layout dirs
+      val expected = Tables.load(spark, sf, "customer")
+        .join(Tables.load(spark, sf, "nation")
+          .filter(col("n_regionkey") === 0),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_nationkey")).distinct().count()
+      val total = Tables.load(spark, sf, "customer")
+        .select(col("c_nationkey")).distinct().count()
+      val read = scan.metrics("numPartitions").value
+      assert(read == expected && read < total,
+        s"expected $expected of $total partitions read, got $read")
+    } finally deleteRecursively(dir)
+  }
 }

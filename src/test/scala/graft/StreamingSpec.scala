@@ -101,6 +101,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.getLong(2) > 0, "fixture has no full-funnel user")
   }
 
+  test("stream-stream interval join emits exactly the batch pair set") {
+    val batch = EventStreams
+      .viewClickPairs(graft.engine.Tables.load(spark, sf, "events"))
+      .select("c_id", "v_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("evt_join_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.streamingViewClickJoin(spark, sf, dir.toString)
+      .writeStream.format("memory").queryName("vc_join_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = spark.sql("SELECT c_id, v_id FROM vc_join_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture has no view->click pair")
+    assert(streamed == batch)
+  }
+
   test("streaming dedup removes exact duplicates within the watermark") {
     // stage TWO copies of the events file: every event is duplicated
     val dir = java.nio.file.Files.createTempDirectory("evt_dedup_in")
