@@ -205,6 +205,31 @@ object CorpusIO {
     Tables.load(spark, sfDir, "customer")
       .write.mode("overwrite").partitionBy("c_nationkey").parquet(dir)
 
+  /** Small-files compaction: the corpus lands as an over-fragmented
+    * ingest directory (64 files here; at 100 TB, millions of
+    * per-trigger micro-batch files), and the compactor rewrites it
+    * into size-targeted files — ceil(bytes / target) output files
+    * via ONE round-robin repartition (no key skew possible), the
+    * standard maintenance pass that keeps scan task counts and
+    * NameNode/listing pressure bounded. The gate fingerprints the
+    * compacted copy against the original table, so compaction is
+    * proven content-lossless; the spec pins the file counts
+    * (64 → ceil). */
+  private[graft] def compactTargetBytes: Long = 32L * 1024 * 1024
+
+  private[graft] def compactedRead(spark: SparkSession, sfDir: String,
+                                   smallDir: String, outDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(smallDir)
+    val small = spark.read.parquet(smallDir)
+    val bytes = new java.io.File(smallDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val nOut = math.max(1L,
+      (bytes + compactTargetBytes - 1) / compactTargetBytes).toInt
+    small.repartition(nOut).write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
   private[graft] def dropBucketTables(spark: SparkSession, tag: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$tag")
     spark.sql(s"DROP TABLE IF EXISTS graft_bkt_lineitem_$tag")
@@ -239,6 +264,15 @@ object CorpusIO {
         writeDppFact(spark, sfDir, dir)
         eager(dppJoin(spark, sfDir, dir))
       } finally deleteRec(new java.io.File(dir))
+    }),
+    "io7_compaction" -> ((spark, sfDir) => {
+      val smallDir = tempDir("graft_io_small")
+      val outDir = tempDir("graft_io_compact")
+      try eager(fingerprint(compactedRead(spark, sfDir, smallDir, outDir)))
+      finally {
+        deleteRec(new java.io.File(smallDir))
+        deleteRec(new java.io.File(outDir))
+      }
     }))
 
   private def fingerprintSql(where: String): String =
@@ -260,6 +294,7 @@ object CorpusIO {
     "io2_csv_roundtrip" -> fingerprintSql(""),
     "io4_orc_roundtrip" -> fingerprintSql(""),
     "io3_partitioned_prune" -> fingerprintSql(" WHERE lang = 'en'"),
+    "io7_compaction" -> fingerprintSql(""),
     // the partitioned layout must not change the join's RESULT — the
     // oracle is the plain join over the original parquet
     "io6_dpp_join" ->

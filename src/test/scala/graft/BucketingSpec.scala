@@ -166,4 +166,26 @@ class BucketingSpec extends AnyFunSuite {
         s"expected $expected of $total partitions read, got $read")
     } finally deleteRecursively(dir)
   }
+
+  test("io7 compaction consolidates 64 ingest files into the size-targeted count") {
+    import graft.pipeline.CorpusIO
+    val smallDir = java.nio.file.Files.createTempDirectory("graft_small").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    def parquetFiles(d: String): Array[java.io.File] =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+    try {
+      val out = CorpusIO.compactedRead(spark, sf, smallDir, outDir)
+      val bytes = parquetFiles(smallDir).map(_.length()).sum
+      val expected = math.max(1L,
+        (bytes + CorpusIO.compactTargetBytes - 1) / CorpusIO.compactTargetBytes)
+      assert(parquetFiles(smallDir).length == 64, "ingest fixture not fragmented")
+      assert(parquetFiles(outDir).length == expected,
+        s"expected $expected compacted files, got ${parquetFiles(outDir).length}")
+      assert(out.count() ==
+        Tables.load(spark, sf, "documents").count(), "compaction lost rows")
+    } finally {
+      deleteRecursively(smallDir)
+      deleteRecursively(outDir)
+    }
+  }
 }
