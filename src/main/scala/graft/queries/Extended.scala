@@ -222,7 +222,37 @@ object Extended {
       |  ON c.c_custkey = o.custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // x18/x19: the approximate aggregates that REPLACE exact
+  // distinct/percentile at 100 TB (HLL++ and a rank-error-bounded
+  // quantile sketch — both partial-aggregable, so they map-side
+  // combine where the exact forms shuffle raw values or sort
+  // groups). Gated by a tolerance CONTRACT: Spark emits the exact
+  // value plus a 0/1 within-tolerance flag for the sketch; the
+  // oracle recomputes the exact value and emits literal 1 — the
+  // hash compare fails iff the sketch drifts out of tolerance.
+  // Both sketches are deterministic for fixed input (no RNG in
+  // HLL++ registers or percentile summaries), so the gate cannot
+  // flake.
+  private val x18Sql =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_cnt,
+      |  CAST(abs(approx_count_distinct(l_partkey, 0.02) -
+      |           count(DISTINCT l_partkey))
+      |       <= 0.05 * count(DISTINCT l_partkey) AS BIGINT) AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val x19Sql =
+    """SELECT l_returnflag,
+      |  round(percentile(l_extendedprice, 0.5), 4) AS p50_exact,
+      |  CAST(abs(approx_percentile(l_extendedprice, 0.5, 10000) -
+      |           percentile(l_extendedprice, 0.5))
+      |       <= 0.01 * percentile(l_extendedprice, 0.5) AS BIGINT)
+      |    AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_approx_distinct" -> sql(x18Sql),
+    "x19_approx_percentile" -> sql(x19Sql),
     "x17_full_outer_join" -> sql(x17Sql),
     "x14_intersect" -> sql(x14Sql),
     "x15_except" -> sql(x15Sql),
@@ -396,5 +426,19 @@ object Extended {
     "x14_intersect" -> x14Sql,
     "x15_except" -> x15Sql,
     "x16_scalar_subquery" -> x16Sql,
-    "x17_full_outer_join" -> x17Sql)
+    "x17_full_outer_join" -> x17Sql,
+    // tolerance-contract oracles: exact value recomputed, literal 1
+    // for the within-tolerance flag (see x18Sql note)
+    "x18_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_cnt,
+        |  CAST(1 AS BIGINT) AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "x19_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  CAST(1 AS BIGINT) AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
 }
