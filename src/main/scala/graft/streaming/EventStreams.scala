@@ -102,15 +102,20 @@ object EventStreams {
     * horizon, not the stream length — the property that makes a
     * stream-stream join survive an unbounded 100 TB/day feed. */
   def streamingViewClickJoin(spark: SparkSession, sfDir: String,
-                             eventsDir: String): DataFrame = {
+                             eventsDir: String,
+                             joinType: String = "inner",
+                             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.load(spark, sfDir, "events").schema
     val rawSchema = org.apache.spark.sql.types.StructType(schema.map { f =>
       if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f
     })
-    def src(): DataFrame = spark.readStream.schema(rawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src(): DataFrame = {
+      val r = spark.readStream.schema(rawSchema)
+      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.parquet(eventsDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
     val clicks = src().filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
@@ -119,8 +124,14 @@ object EventStreams {
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("v_id"))
       .withWatermark("v_ts", "2 hours")
+    // LEFT OUTER adds the state-EVICTION semantics: a click with no
+    // view in its window emits (c_id, null) once the watermark
+    // passes the point where a matching view can no longer arrive —
+    // the same horizon that bounds the state, so unmatched-side
+    // output is as watermark-driven as the cleanup.
     clicks.join(views, expr(
-      "c_user = v_user AND v_ts >= c_ts - INTERVAL 10 MINUTES AND v_ts < c_ts"))
+      "c_user = v_user AND v_ts >= c_ts - INTERVAL 10 MINUTES AND v_ts < c_ts"),
+      joinType)
       .select(col("c_id"), col("v_id"))
   }
 

@@ -123,6 +123,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("left-outer stream-stream join flushes expired unmatched clicks") {
+    import org.apache.spark.sql.functions._
+    val e = graft.engine.Tables.load(spark, sf, "events")
+    // batch truth
+    val pairs = EventStreams.viewClickPairs(e)
+      .select("c_id", "v_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matchedClicks = pairs.map(_._1)
+    val allClicks = e.filter(col("event_type") === "click")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val unmatchedClicks = allClicks -- matchedClicks
+    // stage TWO time-split chunks so the second micro-batch carries a
+    // watermark past most of the first chunk's clicks and flushes
+    // their unmatched state (one chunk = one batch = watermark never
+    // applied to anything)
+    val Array(tMin, tMax) = e.agg(min(col("ts")).cast("long"),
+      max(col("ts")).cast("long")).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val tSplit = tMin + ((tMax - tMin) * 0.8).toLong
+    val dir = java.nio.file.Files.createTempDirectory("evt_louter_in")
+    val rawNanos = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sf/events.parquet")
+    }
+    def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = dir.resolve(s"tmp_$name")
+      rawNanos.filter(cond).coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(s"$name.parquet"))
+    }
+    // micros→nanos bound: raw file is nanos
+    stage(col("ts") <= tSplit * 1000, "batch_0")
+    stage(col("ts") > tSplit * 1000, "batch_1")
+    dir.resolve("batch_1.parquet").toFile.setLastModified(
+      dir.resolve("batch_0.parquet").toFile.lastModified() + 60000)
+    val q = EventStreams.streamingViewClickJoin(spark, sf, dir.toString,
+      joinType = "leftOuter", maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("vc_louter_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    q.stop()
+    val rows = spark.sql("SELECT c_id, v_id FROM vc_louter_test").collect()
+    val streamedMatched = rows.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamedNulls = rows.filter(_.isNullAt(1)).map(_.getLong(0))
+    // every match emits eagerly, independent of the watermark
+    assert(streamedMatched == pairs)
+    // flushed rows must be REAL unmatched clicks, each at most once;
+    // clicks still inside the final watermark horizon legitimately
+    // stay in state, so subset (not equality) is the contract
+    assert(streamedNulls.toSet.subsetOf(unmatchedClicks),
+      "a flushed click had a matching view")
+    assert(streamedNulls.length == streamedNulls.toSet.size,
+      "an unmatched click flushed twice")
+    assert(streamedNulls.nonEmpty,
+      "watermark advance across batches flushed nothing")
+  }
+
   test("streaming dedup removes exact duplicates within the watermark") {
     // stage TWO copies of the events file: every event is duplicated
     val dir = java.nio.file.Files.createTempDirectory("evt_dedup_in")
