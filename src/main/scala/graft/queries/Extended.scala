@@ -22,7 +22,9 @@ import graft.engine.Tables
   * shuffle), x11 → exact interpolated percentiles (group-local
   * sort; approx_percentile is the sketch path at scale), x14/x15 →
   * INTERSECT/EXCEPT (LeftSemi/LeftAnti + distinct hash-agg), x16 →
-  * correlated scalar subquery (de-correlated into a join).
+  * correlated scalar subquery (de-correlated into a join), x20 →
+  * UNION DISTINCT (Union + distinct hash-agg; partial distinct
+  * before the exchange).
   */
 object Extended {
 
@@ -250,7 +252,20 @@ object Extended {
       |    AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // x20: UNION (DISTINCT) — completes the set-op family: x4 is the
+  // bag union (UNION ALL, zero-shuffle concatenation), x14/x15 are
+  // INTERSECT/EXCEPT; this is the set union. Physically Union +
+  // distinct hash-agg — ONE shuffle on the value, with partial
+  // (map-side) distinct before the exchange, so duplicated inputs
+  // shrink before they move.
+  private val x20Sql =
+    """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+      |UNION
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+      |ORDER BY nk""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_union_distinct" -> sql(x20Sql),
     "x18_approx_distinct" -> sql(x18Sql),
     "x19_approx_percentile" -> sql(x19Sql),
     "x17_full_outer_join" -> sql(x17Sql),
@@ -440,5 +455,6 @@ object Extended {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
         |  CAST(1 AS BIGINT) AS approx_ok
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+    "x20_union_distinct" -> x20Sql)
 }
