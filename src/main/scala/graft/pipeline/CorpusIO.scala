@@ -230,6 +230,42 @@ object CorpusIO {
     spark.read.parquet(outDir)
   }
 
+  /** CDC upsert (merge-on-write): the corpus receives a change batch
+    * — revised text for every doc_id ≡ 0 (mod 7) and brand-new docs
+    * (re-keyed +1_000_000, lang 'xx') for doc_id ≡ 0 (mod 11) — and
+    * the maintenance pass rewrites the lake copy as
+    * (base ANTI-JOIN update-keys) ∪ updates ∪ inserts. The scale
+    * property is in the anti-join build side: the CDC batch is
+    * batch-sized, so its key set broadcasts and the 100 TB base scan
+    * streams map-side through a BroadcastHashJoin LeftAnti — the
+    * corpus itself NEVER shuffles to apply a day's worth of edits
+    * (spec-pinned). The gate fingerprints the merged copy read back
+    * from disk; the oracle recomputes the same merge in SQL over the
+    * original parquet, so the whole update/insert/rewrite chain must
+    * be content-exact. */
+  private[graft] def upsertMergePlan(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val updates = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("n_chars", col("n_chars") + lit(5))
+      .withColumn("text", concat(col("text"), lit("+rev2")))
+    val inserts = docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("lang", lit("xx"))
+    docs.join(broadcast(updates.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      .unionByName(updates)
+      .unionByName(inserts)
+  }
+
+  private def upsertMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft_io_upsert")
+    try {
+      upsertMergePlan(spark, sfDir).write.mode("overwrite").parquet(dir)
+      eager(fingerprint(spark.read.parquet(dir)))
+    } finally deleteRec(new java.io.File(dir))
+  }
+
   private[graft] def dropBucketTables(spark: SparkSession, tag: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$tag")
     spark.sql(s"DROP TABLE IF EXISTS graft_bkt_lineitem_$tag")
@@ -258,6 +294,7 @@ object CorpusIO {
       finally deleteRec(new java.io.File(dir))
     }),
     "io5_bucketed_join" -> bucketedJoinGate _,
+    "io8_upsert_merge" -> upsertMerged _,
     "io6_dpp_join" -> ((spark, sfDir) => {
       val dir = tempDir("graft_io_dpp")
       try {
@@ -276,11 +313,16 @@ object CorpusIO {
     }))
 
   private def fingerprintSql(where: String): String =
-    s"""WITH f AS (
+    fingerprintSqlOver(s"documents$where", "")
+
+  /** Same rollup over an arbitrary relation, with optional leading
+    * CTEs spliced into the WITH chain. */
+  private def fingerprintSqlOver(relation: String, ctes: String): String =
+    s"""WITH $ctes f AS (
        |  SELECT source,
        |    md5(concat_ws('|', doc_id, lang, source, n_chars, text)) AS h,
        |    length(text) AS len
-       |  FROM documents$where)
+       |  FROM $relation)
        |SELECT source,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
@@ -295,6 +337,24 @@ object CorpusIO {
     "io4_orc_roundtrip" -> fingerprintSql(""),
     "io3_partitioned_prune" -> fingerprintSql(" WHERE lang = 'en'"),
     "io7_compaction" -> fingerprintSql(""),
+    // the SQL re-derivation of the merge: base minus updated keys,
+    // plus the update and insert batches (column lists explicit —
+    // UNION ALL matches by position)
+    "io8_upsert_merge" -> fingerprintSqlOver("merged",
+      """upd AS (
+        |  SELECT doc_id, text || '+rev2' AS text, lang, source,
+        |    n_chars + 5 AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |ins AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text, 'xx' AS lang,
+        |    source, n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |merged AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+        |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM upd
+        |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins),
+        |""".stripMargin),
     // the partitioned layout must not change the join's RESULT — the
     // oracle is the plain join over the original parquet
     "io6_dpp_join" ->

@@ -246,6 +246,24 @@ class PipelineSpec extends AnyFunSuite {
         s"lang=en/ holds $enFiles of $allFiles")
   }
 
+  test("upsert merge applies CDC without shuffling the corpus") {
+    val merged = graft.pipeline.CorpusIO.upsertMergePlan(spark, sf)
+    val plan = merged.queryExecution.executedPlan.toString
+    // the CDC key set broadcasts; the base never moves
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"anti-join did not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"corpus shuffled to apply a batch of edits:\n$plan")
+    // row accounting: base keeps non-updated rows; updates replace
+    // 1:1; inserts are net-new
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+    val base = docs.count()
+    val nIns = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 11 === 0).count()
+    assert(merged.count() == base + nIns)
+  }
+
   test("emb2 projection is map-side: only the moment agg and sort shuffle") {
     // the per-vector JL projection must happen inside a higher-order
     // aggregate (no per-element explode through an exchange); the
