@@ -376,6 +376,65 @@ object Dedup {
     * amortize the spot-checking automatically. */
   private val CcCheckEvery = 3
 
+  /** dd9: segment width (words) and the corpus document-frequency at
+    * which a segment counts as boilerplate. Mirrors the C4 cleanup
+    * rule ("drop any line occurring >= 3 times in the corpus") with
+    * fixed 4-word chunks standing in for lines — the test corpus has
+    * no newlines, and the pipeline shape (segment explode → df
+    * hash-agg → heavy-hitter removal → ordered reassembly) is
+    * identical either way. */
+  private val SegWords = 4
+  private val BoilerMinDf = 3
+
+  /** dd9: corpus-wide boilerplate removal. Every document is split
+    * into non-overlapping [[SegWords]]-word segments; a segment seen
+    * in >= [[BoilerMinDf]] distinct documents is boilerplate (nav
+    * bars, license headers, cookie banners at web scale) and is
+    * stripped from EVERY document; the survivors are reassembled in
+    * order and fingerprinted per source.
+    *
+    * Scale shape (100 TB): segmentation is map-side and bounded by
+    * document length; the df count is one partial-aggregated shuffle
+    * on segment text; the boilerplate set is by definition the
+    * heavy-hitter tail (df >= 3), orders of magnitude smaller than
+    * the segment stream, so it broadcasts and the removal pass is a
+    * map-side BroadcastHashJoin; reassembly is one shuffle on doc_id
+    * with per-doc bounded sort. Two shuffles total, both hash
+    * equi-exchanges — no all-pairs anything. */
+  private def boilerplateCleaned(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = docsWide(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"""transform(sequence(0, (size(w)-1) div $SegWords),
+           |  i -> concat_ws(' ', slice(w, i*$SegWords+1, $SegWords)))""".stripMargin)))
+      .toDF("doc_id", "source", "idx", "seg")
+    val boiler = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerMinDf)
+      .select(col("seg"), lit(1).as("is_boiler"))
+    segs.join(broadcast(boiler), Seq("seg"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        // collect_list drops the NULLed-out boilerplate slots; the
+        // array_sort on (idx, seg) structs restores document order
+        concat_ws(" ", expr(
+          """transform(array_sort(collect_list(
+            |  CASE WHEN is_boiler IS NULL THEN struct(idx, seg) END)),
+            |  x -> x.seg)""".stripMargin)).as("ctext"),
+        count(col("is_boiler")).as("n_removed"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_removed")).cast("long").as("segs_removed"),
+        count(when(col("n_removed") > 0, 1)).as("docs_touched"),
+        // same exactness discipline as the io fingerprints: the
+        // 48-bit md5-prefix sum exceeds 2^53 at scale, so it is
+        // summed as DECIMAL and emitted as STRING, never DOUBLE
+        sum(expr("CAST(conv(substr(md5(ctext), 1, 12), 16, 10) AS DECIMAL(38,0))"))
+          .cast("string").as("clean_hash_sum"),
+        sum(length(col("ctext"))).cast("long").as("chars_kept"))
+  }
+
   private[graft] def connectedComponents(pairs: DataFrame,
                                          maxIters: Int = MaxCcIters): DataFrame = {
     // symmetrize in ONE pass over the pair stream (explode of the two
@@ -590,7 +649,10 @@ object Dedup {
     // oracle (engine-specific xxhash64) → rows-only gate + ScalaTest
     // against the planted near-dups.
     "dd4_simhash" -> ((spark, sfDir) =>
-      simhashNearDupPairs(simhashes(spark, sfDir)))
+      simhashNearDupPairs(simhashes(spark, sfDir))),
+    // Boilerplate removal (C4-style): corpus-frequent segments are
+    // stripped from every document — see [[boilerplateCleaned]].
+    "dd9_boilerplate" -> ((spark, sfDir) => boilerplateCleaned(spark, sfDir))
   )
 
   /** dd4's candidate generation + verification over a (doc_id,
@@ -710,8 +772,47 @@ object Dedup {
        |GROUP BY c.doc_id""".stripMargin
   }
 
+  /** dd9's oracle re-derives segmentation (DuckDB lists are 1-based;
+    * slice bounds clamp at the list end, so the final partial chunk
+    * falls out), the df>=3 boilerplate set, NULL-skipping ordered
+    * reassembly (string_agg skips the CASE's NULLs the way Spark's
+    * collect_list does), and the string-typed DECIMAL hash sum. */
+  private val dd9OracleSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    regexp_split_to_array(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |segs AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range((len(w) + ${SegWords - 1}) // $SegWords),
+       |      i -> struct_pack(idx := i,
+       |        seg := array_to_string(
+       |          w[i*$SegWords+1 : i*$SegWords+$SegWords], ' ')))) AS s
+       |  FROM toks),
+       |segs2 AS (
+       |  SELECT doc_id, source, s.idx AS idx, s.seg AS seg FROM segs),
+       |boiler AS (
+       |  SELECT seg FROM segs2 GROUP BY seg
+       |  HAVING count(DISTINCT doc_id) >= $BoilerMinDf),
+       |cleaned AS (
+       |  SELECT s.doc_id, s.source,
+       |    string_agg(CASE WHEN b.seg IS NULL THEN s.seg END,
+       |      ' ' ORDER BY s.idx) AS ctext,
+       |    count(b.seg) AS n_removed
+       |  FROM segs2 s LEFT JOIN boiler b ON s.seg = b.seg
+       |  GROUP BY s.doc_id, s.source)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_removed) AS BIGINT) AS segs_removed,
+       |  CAST(count(CASE WHEN n_removed > 0 THEN 1 END) AS BIGINT)
+       |    AS docs_touched,
+       |  CAST(sum(CAST(CAST('0x' || substr(md5(coalesce(ctext, '')), 1, 12)
+       |    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS clean_hash_sum,
+       |  CAST(sum(length(coalesce(ctext, ''))) AS BIGINT) AS chars_kept
+       |FROM cleaned GROUP BY source""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dc1_decontaminate" -> dc1OracleSql,
+    "dd9_boilerplate" -> dd9OracleSql,
     "dd1_exact_dedup" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique

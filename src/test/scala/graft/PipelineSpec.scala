@@ -605,6 +605,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.forall(_.content.length <= 64))
   }
 
+  test("dd9 boilerplate removal matches an in-memory recomputation") {
+    // recompute the whole pipeline in plain Scala: 4-word segments,
+    // df >= 3 boilerplate set, ordered reassembly — then compare the
+    // per-source counting columns (the hash column is the driver
+    // oracle's job; here we pin the semantics independently)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def segsOf(text: String): Seq[String] =
+      text.trim.split("\\s+").grouped(4).map(_.mkString(" ")).toSeq
+    val df = docs.flatMap { case (id, _, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    val boiler = df.collect { case (s, n) if n >= 3 => s }.toSet
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val cleanedSegs = ds.map { case (_, _, t) => segsOf(t).filterNot(boiler) }
+      val removed = ds.map { case (_, _, t) => segsOf(t).count(boiler) }
+      (src, ds.length.toLong, removed.map(_.toLong).sum,
+        removed.count(_ > 0).toLong,
+        cleanedSegs.map(_.mkString(" ").length.toLong).sum)
+    }
+    val got = SparkEntry.queries("dd9_boilerplate")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5))).toSet
+    assert(got.exists(_._3 > 0), "gate must bite: some boilerplate removed")
+    assert(got == expected.toSet)
+  }
+
+  test("dd9 plan: boilerplate set broadcasts; no cartesian product") {
+    val plan = SparkEntry.queries("dd9_boilerplate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the removal pass must be a map-side broadcast join — the
+    // boilerplate set is the heavy-hitter tail, never corpus-sized
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("exact dedup counts unique within source") {
     val rows = SparkEntry.queries("dd1_exact_dedup")(spark, sf).collect()
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
