@@ -67,9 +67,16 @@ object CorpusIO {
 
   /** All-column row hash + per-source rollup shared by the gates and
     * (textually mirrored) their oracle. */
-  private def fingerprint(docs: DataFrame): DataFrame = {
-    val h = md5(concat_ws("|", col("doc_id"), col("lang"), col("source"),
-      col("n_chars"), col("text")))
+  private def fingerprint(docs: DataFrame): DataFrame =
+    fingerprintWith(docs, Nil)
+
+  /** [[fingerprint]] with extra hashed columns appended (io9 folds
+    * the evolved column in; NULLs are made visible via coalesce
+    * because concat_ws SKIPS null arguments on both engines). */
+  private def fingerprintWith(docs: DataFrame,
+                              extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val h = md5(concat_ws("|", Seq(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), col("text")) ++ extra: _*))
     docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(h).as("n_unique"),
@@ -256,6 +263,45 @@ object CorpusIO {
         Seq("doc_id"), "left_anti")
       .unionByName(updates)
       .unionByName(inserts)
+  }
+
+  /** Schema evolution across ingest generations: batch A lands with
+    * the original five columns; batch B (a later crawl) carries an
+    * additional BIGINT `quality` score. A `mergeSchema` parquet read
+    * over both generations must reconstruct the union schema with
+    * NULL backfill for the legacy rows — the exact situation a
+    * multi-year 100 TB corpus is permanently in (schemas only ever
+    * accrete; rewriting history to add a column is off the table).
+    * The quality value is a deterministic function of n_chars so the
+    * oracle regenerates it; NULL backfill is made hash-visible via
+    * coalesce(quality, -1) because concat_ws skips NULL arguments on
+    * both engines. Scale shape: both generations scan in parallel,
+    * footer schema union is metadata-only, and the fingerprint is the
+    * same one partial/final hash-agg as io1/io2/io4. */
+  private[graft] def schemaEvolvedRead(spark: SparkSession, sfDir: String,
+                                       dir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/gen=a")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .withColumn("quality", (col("n_chars") % 100).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/gen=b")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/gen=a", s"$dir/gen=b")
+  }
+
+  private def schemaEvolutionGate(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    val dir = tempDir("graft_io_evolve")
+    try {
+      val merged = schemaEvolvedRead(spark, sfDir, dir)
+      eager(fingerprintWith(merged, Seq(coalesce(col("quality"), lit(-1L))))
+        // count(quality) pins the NULL-backfill split exactly: only
+        // generation-B rows may carry a score
+        .join(merged.groupBy(col("source"))
+            .agg(count(col("quality")).as("n_scored")),
+          Seq("source")))
+    } finally deleteRec(new java.io.File(dir))
   }
 
   private def upsertMerged(spark: SparkSession, sfDir: String): DataFrame = {
