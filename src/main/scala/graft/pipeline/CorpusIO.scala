@@ -153,6 +153,22 @@ object CorpusIO {
     * is co-located. The revenue term stays in the DECIMAL domain
     * through the sum (q2's cross-engine discipline) and the final
     * column is DOUBLE, never DECIMAL (OutputTypeSpec). */
+  /** The orders⋈lineitem revenue rollup shared by the bucketed gate
+    * (over the bucketed tables) and the lazy schema shape (over the
+    * plain parquet). */
+  private def ordersLineitemRollup(orders: DataFrame,
+                                   lineitem: DataFrame): DataFrame = {
+    val revTerm = (col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+      .cast("decimal(18,4)")
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(revTerm).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   private[graft] def bucketedJoin(spark: SparkSession, sfDir: String,
                                   tag: String): DataFrame = {
     val ot = s"graft_bkt_orders_$tag"
@@ -171,15 +187,7 @@ object CorpusIO {
       .write.mode("overwrite")
       .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
       .format("parquet").saveAsTable(lt)
-    val revTerm = (col("l_extendedprice").cast("decimal(18,4)") *
-      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-      .cast("decimal(18,4)")
-    spark.table(ot)
-      .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(revTerm).cast("double").as("revenue"))
-      .orderBy(col("o_orderpriority"))
+    ordersLineitemRollup(spark.table(ot), spark.table(lt))
   }
 
   /** Dynamic partition pruning: customer written partitioned by
@@ -195,10 +203,16 @@ object CorpusIO {
     * partition filter; the oracle is the plain join over the
     * original parquet. */
   private[graft] def dppJoin(spark: SparkSession, sfDir: String,
-                             factDir: String): DataFrame = {
+                             factDir: String): DataFrame =
+    dppRollup(spark, sfDir, spark.read.parquet(factDir))
+
+  /** The customer⋈nation rollup shared by the DPP gate (over the
+    * partitioned fact copy) and the lazy schema shape (plain load). */
+  private def dppRollup(spark: SparkSession, sfDir: String,
+                        fact: DataFrame): DataFrame = {
     val nation = Tables.load(spark, sfDir, "nation")
       .filter(col("n_regionkey") === 0)
-    spark.read.parquet(factDir)
+    fact
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
@@ -290,18 +304,21 @@ object CorpusIO {
       .parquet(s"$dir/gen=a", s"$dir/gen=b")
   }
 
+  /** Fingerprint + NULL-backfill rollup over the merged two-generation
+    * frame, shared by the gate and the lazy schema shape. */
+  private def evolutionRollup(merged: DataFrame): DataFrame =
+    fingerprintWith(merged, Seq(coalesce(col("quality"), lit(-1L))))
+      // count(quality) pins the NULL-backfill split exactly: only
+      // generation-B rows may carry a score
+      .join(merged.groupBy(col("source"))
+          .agg(count(col("quality")).as("n_scored")),
+        Seq("source"))
+
   private def schemaEvolutionGate(spark: SparkSession,
                                   sfDir: String): DataFrame = {
     val dir = tempDir("graft_io_evolve")
-    try {
-      val merged = schemaEvolvedRead(spark, sfDir, dir)
-      eager(fingerprintWith(merged, Seq(coalesce(col("quality"), lit(-1L))))
-        // count(quality) pins the NULL-backfill split exactly: only
-        // generation-B rows may carry a score
-        .join(merged.groupBy(col("source"))
-            .agg(count(col("quality")).as("n_scored")),
-          Seq("source")))
-    } finally deleteRec(new java.io.File(dir))
+    try eager(evolutionRollup(schemaEvolvedRead(spark, sfDir, dir)))
+    finally deleteRec(new java.io.File(dir))
   }
 
   private def upsertMerged(spark: SparkSession, sfDir: String): DataFrame = {
@@ -356,7 +373,42 @@ object CorpusIO {
         deleteRec(new java.io.File(smallDir))
         deleteRec(new java.io.File(outDir))
       }
-    }))
+    }),
+    "io9_schema_evolution" -> schemaEvolutionGate _)
+
+  /** Schema-identical LAZY plans for the eager gates above: every io
+    * gate exports a corpus copy when invoked, so structural specs that
+    * only need output SCHEMAS (OutputTypeSpec) read these instead of
+    * paying ~9 full round-trip exports per run. Each shape is built
+    * from the same final projection/rollup code path as its gate
+    * (shared helpers), so a schema drift in the gate shows up here. */
+  private[graft] val lazyShapes: Map[String, (SparkSession, String) => DataFrame] = {
+    def docsFp(spark: SparkSession, sfDir: String): DataFrame =
+      fingerprint(Tables.load(spark, sfDir, "documents"))
+    Map(
+      "io1_json_roundtrip" -> (docsFp _),
+      "io2_csv_roundtrip" -> (docsFp _),
+      "io4_orc_roundtrip" -> (docsFp _),
+      "io7_compaction" -> (docsFp _),
+      "io3_partitioned_prune" -> ((spark, sfDir) =>
+        fingerprint(Tables.load(spark, sfDir, "documents")
+          .filter(col("lang") === "en"))),
+      "io8_upsert_merge" -> ((spark, sfDir) =>
+        fingerprint(upsertMergePlan(spark, sfDir))),
+      "io5_bucketed_join" -> ((spark, sfDir) =>
+        ordersLineitemRollup(
+          Tables.load(spark, sfDir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          Tables.load(spark, sfDir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              col("l_discount")))),
+      "io6_dpp_join" -> ((spark, sfDir) =>
+        dppRollup(spark, sfDir, Tables.load(spark, sfDir, "customer"))),
+      "io9_schema_evolution" -> ((spark, sfDir) =>
+        evolutionRollup(Tables.load(spark, sfDir, "documents")
+          .withColumn("quality", when(col("doc_id") % 2 =!= 0,
+            (col("n_chars") % 100).cast("long"))))))
+  }
 
   private def fingerprintSql(where: String): String =
     fingerprintSqlOver(s"documents$where", "")
@@ -401,6 +453,31 @@ object CorpusIO {
         |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM upd
         |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins),
         |""".stripMargin),
+    // the oracle regenerates generation B's deterministic quality
+    // score (odd doc_ids get n_chars % 100, generation A backfills
+    // NULL) and re-derives the same NULL-visible fingerprint; the
+    // gate passes only if the mergeSchema read reconstructed the
+    // union schema and backfill exactly
+    "io9_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, source, n_chars, text,
+        |    CASE WHEN doc_id % 2 <> 0
+        |      THEN CAST(n_chars % 100 AS BIGINT) END AS quality
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, quality,
+        |    md5(concat_ws('|', doc_id, lang, source, n_chars, text,
+        |      coalesce(quality, -1))) AS h,
+        |    length(text) AS len
+        |  FROM m)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+        |  CAST(sum(CAST(CAST('0x' || substr(h, 1, 12) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS VARCHAR) AS hash_sum,
+        |  CAST(sum(len) AS BIGINT) AS len_total,
+        |  CAST(count(quality) AS BIGINT) AS n_scored
+        |FROM f GROUP BY source""".stripMargin,
     // the partitioned layout must not change the join's RESULT — the
     // oracle is the plain join over the original parquet
     "io6_dpp_join" ->

@@ -401,14 +401,36 @@ object Dedup {
     * map-side BroadcastHashJoin; reassembly is one shuffle on doc_id
     * with per-doc bounded sort. Two shuffles total, both hash
     * equi-exchanges — no all-pairs anything. */
-  private def boilerplateCleaned(spark: SparkSession, sfDir: String): DataFrame = {
-    val segs = docsWide(spark, sfDir)
+  /** The segment stream (tokenize + non-overlapping chunk explode) —
+    * the heaviest map-side pass of dd9, consumed twice (df aggregate,
+    * removal join). */
+  private def segments(spark: SparkSession, sfDir: String): DataFrame =
+    docsWide(spark, sfDir)
       .select(col("doc_id"), col("source"),
         split(trim(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), col("source"), posexplode(expr(
         s"""transform(sequence(0, (size(w)-1) div $SegWords),
            |  i -> concat_ws(' ', slice(w, i*$SegWords+1, $SegWords)))""".stripMargin)))
       .toDF("doc_id", "source", "idx", "seg")
+
+  /** The eager dd9 gate: `segs` feeds both the document-frequency
+    * aggregate and the removal join, so it is persisted for the two
+    * consumers and released once the tiny per-source rollup is
+    * materialized. At 100 TB you would flip the persist to a re-scan
+    * (two cheap map passes beat caching a corpus-sized segment stream);
+    * at bench/test scale the cache halves the heaviest pass. */
+  private def boilerplateCleaned(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = segments(spark, sfDir).persist()
+    try {
+      val plan = boilerplateRollup(segs)
+      spark.createDataFrame(
+        java.util.Arrays.asList(plan.collect(): _*), plan.schema)
+    } finally { segs.unpersist(false); () }
+  }
+
+  /** Lazy dd9 plan over an arbitrary segment stream (the gate persists
+    * it; schema-only callers pass it uncached). */
+  private[graft] def boilerplateRollup(segs: DataFrame): DataFrame = {
     val boiler = segs.groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= BoilerMinDf)
@@ -654,6 +676,13 @@ object Dedup {
     // stripped from every document — see [[boilerplateCleaned]].
     "dd9_boilerplate" -> ((spark, sfDir) => boilerplateCleaned(spark, sfDir))
   )
+
+  /** Schema-identical lazy plans for the eager gates (the CorpusIO
+    * pattern) — OutputTypeSpec reads schemas here instead of running
+    * the full corpus pass. */
+  private[graft] val lazyShapes: Map[String, (SparkSession, String) => DataFrame] =
+    Map("dd9_boilerplate" -> ((spark, sfDir) =>
+      boilerplateRollup(segments(spark, sfDir))))
 
   /** dd4's candidate generation + verification over a (doc_id,
     * simhash) frame: banded on 16-bit chunks (pigeonhole: any pair at

@@ -7,6 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import scala.util.control.NonFatal
+
 import graft.engine.Tables
 import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBands}
 
@@ -133,6 +135,15 @@ object Similarity {
           size() > MaxIndexCache
       })
 
+  /** Index load/save failures degrade to a refit, which is correct
+    * but expensive — surface each one so a persistently broken index
+    * dir is visible instead of a silent per-session refit. Fatal
+    * errors (OOM, interrupts) propagate: only NonFatal is caught at
+    * the call sites. */
+  private def warnIndexIo(what: String, dir: String, e: Throwable): Unit =
+    System.err.println(
+      s"[graft] $what failed under $dir (falling back to refit): $e")
+
   private val ivfCache = lruCache[KMeansModel]()
 
   /** On-disk home of the persisted coarse quantizer — the "index
@@ -164,12 +175,13 @@ object Similarity {
           if (new java.io.File(dir, "metadata").exists)
             Some(KMeansModel.load(dir))
           else None
-        } catch { case _: Throwable => None }
+        } catch { case NonFatal(e) => warnIndexIo("ivf load", dir, e); None }
       onDisk.getOrElse {
         val m = new KMeans().setK(IvfCells).setSeed(IvfSeed).setMaxIter(IvfIters)
           .setFeaturesCol("features").setPredictionCol("cell")
           .fit(e)
-        try m.write.overwrite().save(dir) catch { case _: Throwable => () }
+        try m.write.overwrite().save(dir)
+        catch { case NonFatal(e) => warnIndexIo("ivf save", dir, e) }
         m
       }
     })
@@ -207,14 +219,15 @@ object Similarity {
           if (new java.io.File(dir, "metadata").exists)
             Some(BucketedRandomProjectionLSHModel.load(dir))
           else None
-        } catch { case _: Throwable => None }
+        } catch { case NonFatal(e) => warnIndexIo("lsh load", dir, e); None }
       onDisk.getOrElse {
         val m = new BucketedRandomProjectionLSH()
           .setInputCol("features").setOutputCol("hashes")
           .setNumHashTables(LshTables).setBucketLength(LshBucketLen)
           .setSeed(LshSeed)
           .fit(e)
-        try m.write.overwrite().save(dir) catch { case _: Throwable => () }
+        try m.write.overwrite().save(dir)
+        catch { case NonFatal(e) => warnIndexIo("lsh save", dir, e) }
         m
       }
     })

@@ -65,8 +65,11 @@ object DynamicMain {
       log.info(s"labeling batch $i (${b.length} queries)")
       Pipelines.labelWorkload(spark, b, log)
     }
+    // bootstrap = the reference's model_0 entry (dynamic.py:28-38):
+    // a 1-query model evaluated on batch 0, so the latency list has
+    // one entry PER BATCH like lero_dynamic_latency_list
     val results = Pipelines.deploymentLoopResults(labeled, epochs,
-      seed = 17L, log = log)
+      seed = 17L, log = log, bootstrap = true)
 
     results.zipWithIndex.foreach { case (r, i) =>
       log.info(f"batch ${i + 1}: loss=${r.rankingLoss.getOrElse(Double.NaN)}%.4f " +

@@ -300,14 +300,33 @@ object Pipelines {
   /** [[deploymentLoop]] with the full per-batch evaluations (loss and
     * default totals alongside the selected totals) — what an E2E
     * driver reports; the reference's lero_latency_list keeps only the
-    * selected sums. */
+    * selected sums.
+    *
+    * With `bootstrap = true` (the dynamic mode, `Lero/dynamic.py:27-38`)
+    * the list additionally starts with a model_0 entry: a model trained
+    * on ONLY THE FIRST labeled query of batch 0 (the reference writes
+    * the first LINE of the first plan file as `train_0`) evaluated on
+    * batch 0 itself — so the emitted list has exactly `batches.length`
+    * entries and is shape-comparable with the reference's
+    * `lero_dynamic_latency_list` artifact. The deployment mode
+    * (`Lero/deployment.py:16-46`) has no bootstrap and emits
+    * `batches.length - 1` entries. */
   def deploymentLoopResults(batches: Seq[Seq[LabeledQuery]],
                             epochs: Int = 100, seed: Long = 17L,
-                            log: Logger = new Logger(None)): Seq[EvalResult] =
-    batches.sliding(2).collect { case Seq(trainBatch, validBatch) =>
+                            log: Logger = new Logger(None),
+                            bootstrap: Boolean = false): Seq[EvalResult] = {
+    val boot = if (bootstrap && batches.nonEmpty && batches.head.nonEmpty) {
+      val (fg0, model0) = train(batches.head.take(1), epochs, seed)
+      val res0 = evaluate(fg0, model0, batches.head)
+      log.info(f"bootstrap model_0 (1-query train) eval on batch 0: " +
+        f"loss=${res0.rankingLoss} sum=${res0.selectedTotalSec}%.3fs")
+      Seq(res0)
+    } else Nil
+    boot ++ batches.sliding(2).collect { case Seq(trainBatch, validBatch) =>
       val (fg, model) = train(trainBatch, epochs, seed)
       val res = evaluate(fg, model, validBatch)
       log.info(f"batch eval: loss=${res.rankingLoss} sum=${res.selectedTotalSec}%.3fs")
       res
     }.toSeq
+  }
 }

@@ -33,12 +33,24 @@ class OutputTypeSpec extends AnyFunSuite {
     }
 
   test("no gated query emits a DecimalType column (driver-hash safety)") {
+    // the io/dd9 gates run their full corpus export EAGERLY on
+    // invocation; for this structural lint use their schema-identical
+    // lazy shapes (built from the same shared final-projection code)
+    val shapes = graft.pipeline.CorpusIO.lazyShapes ++
+      graft.pipeline.Dedup.lazyShapes
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        decimalLeaves(fn(spark, sf).schema, name)
+        decimalLeaves(shapes.getOrElse(name, fn)(spark, sf).schema, name)
     }
     assert(offenders.isEmpty,
       s"DECIMAL in gated output schemas: ${offenders.mkString(", ")} — " +
         "cast final columns to BIGINT/DOUBLE/STRING")
+  }
+
+  test("lazy shapes cover exactly the eager gates and match the gate keys") {
+    val shapes = graft.pipeline.CorpusIO.lazyShapes ++
+      graft.pipeline.Dedup.lazyShapes
+    val unknown = shapes.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"lazy shapes for unregistered gates: $unknown")
   }
 }

@@ -155,9 +155,11 @@ class StreamingSpec extends AnyFunSuite {
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(part.toPath, dir.resolve(s"$name.parquet"))
     }
-    // micros→nanos bound: raw file is nanos
-    stage(col("ts") <= tSplit * 1000, "batch_0")
-    stage(col("ts") > tSplit * 1000, "batch_1")
+    // tSplit is epoch SECONDS (cast(timestamp as long)); the raw file
+    // column is epoch NANOS, so scale by 1e9 — a smaller factor puts
+    // every row in batch_1 and the split never happens
+    stage(col("ts") <= tSplit * 1000000000L, "batch_0")
+    stage(col("ts") > tSplit * 1000000000L, "batch_1")
     dir.resolve("batch_1.parquet").toFile.setLastModified(
       dir.resolve("batch_0.parquet").toFile.lastModified() + 60000)
     val q = EventStreams.streamingViewClickJoin(spark, sf, dir.toString,
