@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up derivation tool: replicate a driver-generated testdata
+  * directory K× with disjoint key spaces, producing an sf≈K×source
+  * dataset for scale-cliff testing (the round-8 sf1 run: K=10 over
+  * sf0.1). NOT used by any gate — the driver's sf0.01 correctness and
+  * sf0.1 bench contracts are untouched; this exists so the full gate
+  * suite and bench can be exercised at 10× bench scale locally.
+  *
+  * Derivation rules (everything is a deterministic function of the
+  * source data + replica index k, so results are reproducible):
+  *  - every key/foreign-key column is offset by k*1e10 (1e10 is
+  *    divisible by the mod-N splits the pipeline gates use, so
+  *    replica membership in e.g. the decontamination eval split is
+  *    preserved);
+  *  - `nation`/`region` are TPC-H-style fixed dimensions — copied
+  *    once, referenced by all replicas;
+  *  - `documents.text` goes through a k-rotated alphabet substitution
+  *    (length-preserving, so `n_chars` stays consistent): replicas of
+  *    a document are NOT near-duplicates of each other, keeping the
+  *    dedup pair-graph density realistic instead of planting a
+  *    10-clique on every document;
+  *  - `events.ts` shifts by k seconds (distinct sessions, preserved
+  *    ordering); embeddings keep their vectors (ANN index volume is
+  *    what scale testing needs, not vector novelty).
+  */
+object ScaleUp {
+  private val KeyOffset = 10000000000L // 1e10
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private def rotAlpha(k: Int): (String, String) = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val r = k % 26
+    val rl = lower.drop(r) + lower.take(r)
+    val ru = upper.drop(r) + upper.take(r)
+    (lower + upper, rl + ru)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp srcDir destDir [factor]")
+    val (src, dest) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // events.ts is parquet TIMESTAMP(NANOS); read it as a raw long and
+    // keep it int64 in the output (Tables.load handles both identically
+    // once nanosAsLong is set)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // match Tables.load's read-side setting so ms timestamps round-trip
+    // as LTZ rather than being re-inferred NTZ
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    new java.io.File(dest).mkdirs()
+
+    def replica(df: DataFrame, table: String, k: Int): DataFrame = {
+      var out = df
+      keyCols.getOrElse(table, Nil).foreach { c =>
+        out = out.withColumn(c, col(c) + lit(k * KeyOffset))
+      }
+      if (table == "documents" && k > 0) {
+        val (from, to) = rotAlpha(k)
+        out = out.withColumn("text", translate(col("text"), from, to))
+      }
+      if (table == "events" && k > 0)
+        // ts is read as raw epoch-NANOS long (nanosAsLong, matching
+        // Tables.load's contract) and stays int64 in the output —
+        // shift each replica by k seconds
+        out = out.withColumn("ts", col("ts") + lit(k * 1000000000L))
+      out
+    }
+
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val scaled =
+        if (t == "region" || t == "nation") base
+        else (0 until factor).map(k => replica(base, t, k))
+          .reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      println(s"[scaleup] $t: ${spark.read.parquet(s"$dest/$t.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}

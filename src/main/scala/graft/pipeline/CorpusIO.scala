@@ -86,13 +86,24 @@ object CorpusIO {
   }
 
   // Lossless CSV dialect, pinned identically on writer and reader:
-  // explicit quote/escape, no whitespace trimming, and DISTINCT
-  // null/empty sentinels (nullValue "\\N", emptyValue "") so a NULL
-  // text cell and an empty-string text cell survive the round trip
-  // as different values instead of collapsing into one.
-  private val csvDialect: Map[String, String] = Map(
+  // explicit quote/escape, no whitespace trimming, and a null
+  // sentinel ("\\N", the COPY convention) distinct from empty. The
+  // writer's emptyValue is deliberately NOT overridden: Spark's
+  // default writes an empty string as the QUOTED token `""` (and the
+  // reader's default maps that token back to empty), which is what
+  // keeps NULL (-> unquoted \N) and empty (-> "") distinguishable —
+  // overriding emptyValue to "" writes an EMPTY field, which every
+  // CSV reader parses as null (pinned by the ScalaCheck round-trip
+  // property in PipelineSpec).
+  //
+  // Contract limit, also property-pinned: a data string EQUAL to the
+  // sentinel ("\N") is indistinguishable from NULL after parsing —
+  // sentinel-based CSV null encoding reserves that one token. Corpora
+  // that could contain it must escape it upstream or use a
+  // self-describing format (io1 JSON / io4 ORC round-trips).
+  private[graft] val csvDialect: Map[String, String] = Map(
     "header" -> "true", "quote" -> "\"", "escape" -> "\"",
-    "nullValue" -> "\\N", "emptyValue" -> "",
+    "nullValue" -> "\\N",
     "ignoreLeadingWhiteSpace" -> "false",
     "ignoreTrailingWhiteSpace" -> "false")
 

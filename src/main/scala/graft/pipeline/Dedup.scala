@@ -457,6 +457,20 @@ object Dedup {
         sum(length(col("ctext"))).cast("long").as("chars_kept"))
   }
 
+  /** Lineage-truncating snapshot for the CC loop. Default is
+    * `localCheckpoint` (blocks on executor local storage — fast, but an
+    * executor loss forfeits the blocks and fails the job, acceptable in
+    * local mode where executor==driver). On a real cluster set
+    * `spark.graft.cc.reliableCheckpoint=true` AND a
+    * `sparkContext.setCheckpointDir` on durable storage: snapshots then
+    * go through reliable `checkpoint()` and survive executor loss at
+    * the cost of one distributed write per round. */
+  private def ccSnapshot(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+          .getOption("spark.graft.cc.reliableCheckpoint").exists(_.toBoolean))
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   private[graft] def connectedComponents(pairs: DataFrame,
                                          maxIters: Int = MaxCcIters): DataFrame = {
     // symmetrize in ONE pass over the pair stream (explode of the two
@@ -467,8 +481,8 @@ object Dedup {
         struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
-    // one hash-to-min + pointer-jump round; each snapshot is
-    // localCheckpointed to truncate lineage. Superseded snapshots:
+    // one hash-to-min + pointer-jump round; each snapshot goes through
+    // ccSnapshot to truncate lineage. Superseded snapshots:
     // Dataset.unpersist would be a no-op (localCheckpoint stores RDD
     // blocks directly, not CacheManager entries) — blocks are
     // reclaimed by the ContextCleaner once unreferenced, each bounded
@@ -484,16 +498,14 @@ object Dedup {
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       // pointer jump: follow my label to ITS current label (labels are
       // node ids, so the label-holder is always present in `stepped`)
-      stepped
+      ccSnapshot(stepped
         .join(stepped.select(col("node").as("comp"), col("comp").as("pc")),
           Seq("comp"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("pc"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("comp"), coalesce(col("pc"), col("comp"))).as("comp")))
     }
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint(true)
+    var labels = ccSnapshot(sym.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node")))
     // convergence = the monotone label sum is unchanged since the
     // previous check. Summed in DECIMAL(38,0): a Long sum overflows at
     // ~1e10 nodes with 64-bit ids (ANSI would abort; wraparound could

@@ -24,11 +24,17 @@ import graft.engine.Tables
   *    partition exactly like a Pandas-UDF batch would;
   *  - downstream of the decode it's columnar aggregates again.
   *
-  * The VIDEO path (frame sampling) remains a declared stub — the JDK
-  * ships no video codec — but its byte-conservation contract is
-  * oracle-checked. mm1/mm2 run over `documents.text`'s UTF-8 bytes
-  * standing in for opaque blobs; the byte-count aggregates are
-  * oracle-checked against DuckDB's `octet_length(encode(text))`.
+  * The VIDEO path is real over a deterministic container: the JDK
+  * ships no video codec, so "video" is defined as concatenated
+  * length-prefixed PNG frames (4-byte big-endian length + codec
+  * bytes per frame — the moral shape of an MP4's sample table,
+  * reduced to its essence). Frame SAMPLING is genuine: the sampler
+  * walks the length prefixes and slices out only the sampled frames
+  * (unsampled frames are never decoded — the property that matters
+  * when a frame is megabytes), and per-frame stats decode the
+  * sampled PNGs with the same `javax.imageio` codec as the image
+  * path. Frame geometry/fill are closed-form in (doc_id, frame_idx),
+  * so mm1/mm2 are content-exact oracles like mm3/mm4.
   */
 object Multimodal {
 
@@ -156,71 +162,165 @@ object Multimodal {
     }
   }
 
-  /** One sampled frame of a media blob (the video-style schema). */
+  /** One sampled frame of a media blob (the video-style schema).
+    * `frame_idx` is the frame's ORIGINAL index in the container, not
+    * its rank among the sampled frames. */
   case class MediaFrame(media_id: Long, source: String, frame_idx: Int,
                         frame: Array[Byte])
 
-  /** STUB frame sampler: splits the blob into `n` contiguous chunks
-    * (a real implementation decodes and samples actual frames). The
-    * chunks partition the payload exactly, so byte totals are
-    * conserved — which is what the oracle checks. */
-  private def frameSampleStub(n: Int)(it: Iterator[MediaRecord]): Iterator[MediaFrame] =
-    it.flatMap { r =>
-      val len = r.content.length
-      (0 until n).iterator.map { i =>
-        val from = (len.toLong * i / n).toInt
-        val until = (len.toLong * (i + 1) / n).toInt
-        MediaFrame(r.media_id, r.source, i, java.util.Arrays.copyOfRange(r.content, from, until))
-      }
-    }
+  /** Decoded per-frame features (the post-sample schema). */
+  case class FrameFeature(media_id: Long, source: String, frame_idx: Int,
+                          width: Int, height: Int, px_sum: Long)
 
-  /** STUB resize: deterministic stride subsampling of the payload to
-    * at most `target` bytes (a real implementation rescales pixels).
-    */
-  private def resizeStub(target: Int)(it: Iterator[MediaRecord]): Iterator[MediaRecord] =
-    it.map { r =>
-      if (r.content.length <= target) r
-      else {
-        val stride = r.content.length.toDouble / target
-        val out = new Array[Byte](target)
-        var i = 0
-        while (i < target) { out(i) = r.content((i * stride).toInt); i += 1 }
-        r.copy(content = out)
-      }
-    }
-
-  private val FramesPerMedia = 4
-  private val ResizeTarget = 64
+  private val FramesPerVideo = 4
+  private val SampledFrames = 2 // stride sampling: original indices 0, 2
   private val ResizeW = 16
   private val ResizeH = 12
+  private val VideoMime = "video/x-graft-frames"
+
+  /** Closed-form frame geometry/fill in (doc_id, frame_idx) — the
+    * contract shared by the Spark-side generator and the DuckDB
+    * oracle (the video twin of pngWidth/pngHeight/pngRgb). */
+  private def frameWidth(id: Long, f: Int): Int = (6 + (id + 3L * f) % 12).toInt
+  private def frameHeight(id: Long, f: Int): Int = (6 + (7L * id + 5L * f) % 12).toInt
+  private def frameRgb(id: Long, f: Int): (Int, Int, Int) =
+    (((id + f) % 256).toInt,
+     ((31L * id + 7L * f) % 256).toInt,
+     ((101L * id + 13L * f) % 256).toInt)
+
+  /** One constant-fill PNG through the real codec. */
+  private def pngBytes(w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb._1, rgb._2, rgb._3))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Video ingest: one container of [[FramesPerVideo]] length-prefixed
+    * REAL PNG frames per document. */
+  private def encodeVideo(it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    it.map { r =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      (0 until FramesPerVideo).foreach { f =>
+        val png = pngBytes(frameWidth(r.media_id, f),
+          frameHeight(r.media_id, f), frameRgb(r.media_id, f))
+        out.writeInt(png.length)
+        out.write(png)
+      }
+      r.copy(mime = VideoMime, content = bos.toByteArray)
+    }
+  }
+
+  private[graft] def videoRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaRecords(spark, sfDir).mapPartitions(encodeVideo)
+  }
+
+  /** Walk the container's length prefixes → (offset, length) per
+    * frame, WITHOUT copying or decoding any frame. A container that
+    * does not end exactly on a frame boundary is corrupt — fail
+    * loudly rather than emit partial frames. */
+  private def frameSlices(content: Array[Byte]): IndexedSeq[(Int, Int)] = {
+    val bb = java.nio.ByteBuffer.wrap(content)
+    val slices = IndexedSeq.newBuilder[(Int, Int)]
+    while (bb.remaining() > 0) {
+      if (bb.remaining() < 4) throw new IllegalStateException(
+        s"corrupt frame container: ${bb.remaining()} trailing bytes")
+      val len = bb.getInt()
+      if (len < 0 || len > bb.remaining()) throw new IllegalStateException(
+        s"corrupt frame container: frame length $len exceeds remaining ${bb.remaining()}")
+      slices += ((bb.position(), len))
+      bb.position(bb.position() + len)
+    }
+    slices.result()
+  }
+
+  /** REAL frame sampling: stride-sample `n` of the container's frames
+    * (original indices `i * F / n`), slicing out ONLY the sampled
+    * frames — unsampled frames are never copied or decoded, which is
+    * the property that matters when one frame is megabytes. */
+  private def frameSample(n: Int)(it: Iterator[MediaRecord]): Iterator[MediaFrame] =
+    it.flatMap { r =>
+      val slices = frameSlices(r.content)
+      val total = slices.length
+      (0 until n).iterator.map(i => i * total / n).distinct.map { idx =>
+        val (off, len) = slices(idx)
+        MediaFrame(r.media_id, r.source, idx,
+          java.util.Arrays.copyOfRange(r.content, off, off + len))
+      }
+    }
+
+  /** Decode sampled frames with the same imageio codec as the image
+    * path. Frames in this pipeline are genuine codec output, so an
+    * undecodable frame is a pipeline bug — fail loudly. */
+  private def decodeFrames(it: Iterator[MediaFrame]): Iterator[FrameFeature] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    it.map { fr =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fr.frame))
+      if (img == null) throw new IllegalStateException(
+        s"undecodable frame ${fr.frame_idx} of media ${fr.media_id}")
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      FrameFeature(fr.media_id, fr.source, fr.frame_idx,
+        img.getWidth, img.getHeight, sum)
+    }
+  }
 
   private[graft] def mediaFrames(spark: SparkSession, sfDir: String): Dataset[MediaFrame] = {
     import spark.implicits._
-    mediaRecords(spark, sfDir).mapPartitions(frameSampleStub(FramesPerMedia))
+    videoRecords(spark, sfDir).mapPartitions(frameSample(SampledFrames))
   }
 
-  private[graft] def resizedMedia(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+  /** ALL frames decoded (the per-video rollup path of mm1). */
+  private[graft] def allFrameFeatures(spark: SparkSession, sfDir: String): Dataset[FrameFeature] = {
     import spark.implicits._
-    mediaRecords(spark, sfDir).mapPartitions(resizeStub(ResizeTarget))
+    videoRecords(spark, sfDir)
+      .mapPartitions(frameSample(FramesPerVideo))
+      .mapPartitions(decodeFrames)
+  }
+
+  private[graft] def sampledFrameFeatures(spark: SparkSession, sfDir: String): Dataset[FrameFeature] = {
+    import spark.implicits._
+    mediaFrames(spark, sfDir).mapPartitions(decodeFrames)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // byte accounting through the BINARY + mapPartitions path; the
-    // aggregate is what the oracle can check (dims/checksum are
-    // stub-defined and covered by MultimodalSpec instead)
+    // CONTENT-EXACT video rollup: build the frame container, walk its
+    // length prefixes, decode EVERY frame through imageio, report
+    // per-source video/frame counts + the decoded pixel-channel total.
+    // The oracle restates the closed-form frame contract in SQL — a
+    // sampler that miscounted frames or a decoder that fabricated
+    // rasters would hash-fail.
     "mm1_media_bytes" -> ((spark, sfDir) =>
-      mediaFeatures(spark, sfDir).toDF()
+      allFrameFeatures(spark, sfDir).toDF()
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_media"),
-          sum(col("n_bytes")).cast("long").as("total_bytes"))),
-    // frame sampling conserves bytes: n frames per media, chunk sizes
-    // summing to the original payload — the oracle-checkable property
-    // of the (stubbed) video path
+        .agg(countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_frames"),
+          sum(col("px_sum")).cast("long").as("px_total"))),
+    // CONTENT-EXACT per-frame stats over REAL stride sampling: only
+    // the sampled frames (original indices 0, 2) are sliced out and
+    // decoded; output is per (media, frame) decoded dims + pixel sum.
     "mm2_frame_stats" -> ((spark, sfDir) =>
-      mediaFrames(spark, sfDir).toDF()
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_frames"),
-          sum(octet_length(col("frame"))).cast("long").as("frame_bytes"))),
+      sampledFrameFeatures(spark, sfDir).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          col("width"), col("height"), col("px_sum"))),
     // REAL codec round-trip: encode a per-doc PNG, decode it with
     // javax.imageio, report decoded raster dims + pixel-channel sum.
     // The oracle states the closed-form expected values — a decoder
@@ -246,14 +346,29 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // the frame generator contract (frameWidth/frameHeight/frameRgb)
+    // in SQL, over ALL frame indices — the Spark side must reproduce
+    // it via real container walk + PNG decode
     "mm1_media_bytes" ->
-      """SELECT source, CAST(count(*) AS BIGINT) AS n_media,
-        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY source""".stripMargin,
+      s"""SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_media,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum((6 + (doc_id + 3*f.i) % 12) * (6 + (7*doc_id + 5*f.i) % 12) *
+         |    ((doc_id + f.i) % 256 + (31*doc_id + 7*f.i) % 256 +
+         |     (101*doc_id + 13*f.i) % 256)) AS BIGINT) AS px_total
+         |FROM documents
+         |CROSS JOIN (VALUES (0),(1),(2),(3)) AS f(i)
+         |GROUP BY source""".stripMargin,
+    // same contract restricted to the sampled indices (stride
+    // sampling of 2 from 4: original indices 0 and 2)
     "mm2_frame_stats" ->
-      s"""SELECT source, CAST(count(*) * $FramesPerMedia AS BIGINT) AS n_frames,
-         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS frame_bytes
-         |FROM documents GROUP BY source""".stripMargin,
+      s"""SELECT doc_id AS media_id, CAST(f.i AS INT) AS frame_idx,
+         |  CAST(6 + (doc_id + 3*f.i) % 12 AS INT) AS width,
+         |  CAST(6 + (7*doc_id + 5*f.i) % 12 AS INT) AS height,
+         |  CAST((6 + (doc_id + 3*f.i) % 12) * (6 + (7*doc_id + 5*f.i) % 12) *
+         |    ((doc_id + f.i) % 256 + (31*doc_id + 7*f.i) % 256 +
+         |     (101*doc_id + 13*f.i) % 256) AS BIGINT) AS px_sum
+         |FROM documents
+         |CROSS JOIN (VALUES (0),(2)) AS f(i)""".stripMargin,
     // the generator contract (pngWidth/pngHeight/pngRgb) in SQL: the
     // Spark side must reproduce these via a REAL PNG encode→decode
     "mm3_png_decode" ->

@@ -15,7 +15,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, Logi
   * `Lero/lero_test.py:15-23`, plan variants produced by PG cardinality
   * scaling); this is the Spark-native equivalent: rewrite the plan's
   * topmost inner-join region into alternative CONNECTED left-deep
-  * orders, and let the comparator score those trees too.
+  * orders AND bushy splits (two independently-built halves joined at
+  * the root — a shape Catalyst's left-deep-biased ReorderJoin never
+  * emits), and let the comparator score those trees too.
   *
   * Mechanics: flatten consecutive `Inner` joins (no hints) into (base
   * relations, join conditions); enumerate connected orders greedily
@@ -116,13 +118,88 @@ object JoinOrders {
     remaining.foldLeft(cur)((p, c) => Filter(c, p))
   }
 
+  /** Greedy connected re-sequencing of an index SUBSET (BFS from its
+    * first element, using only conditions fully inside the subset).
+    * None when the subset is not internally connected. */
+  private def connectedSeq(bases: Seq[LogicalPlan], conds: Seq[Expression],
+                           idxs: Seq[Int]): Option[Seq[Int]] = {
+    if (idxs.size <= 1) return Some(idxs)
+    val used = mutable.Set(idxs.head)
+    val seq = mutable.ArrayBuffer(idxs.head)
+    var acc = bases(idxs.head).outputSet
+    while (seq.size < idxs.size) {
+      idxs.find { i =>
+        !used(i) && conds.exists { c =>
+          val bi = bases(i).outputSet
+          c.references.subsetOf(acc ++ bi) &&
+            c.references.intersect(bi).nonEmpty &&
+            c.references.intersect(acc).nonEmpty
+        }
+      } match {
+        case Some(i) => used += i; seq += i; acc = acc ++ bases(i).outputSet
+        case None => return None
+      }
+    }
+    Some(seq.toSeq)
+  }
+
+  /** BUSHY rebuild: split a connected order into two internally
+    * connected halves at the most balanced feasible point, build each
+    * half left-deep, and join the halves at the root (the connecting
+    * conditions land there — connectivity of the whole region
+    * guarantees at least one, so no cross product). None when no
+    * split yields an internally connected right half with >=2 bases
+    * on each side (e.g. a pure star where every dimension touches
+    * only the fact table and the fact sits at the order's head).
+    *
+    * Why bushy matters at scale: a left-deep chain forces each join
+    * to wait on the previous one and drags the full intermediate row
+    * width through every exchange; a bushy tree joins two REDUCED
+    * subtrees (e.g. dim⋈dim and fact⋈dim shrink independently before
+    * meeting), which can cut the dominant shuffle's row count — the
+    * exact choice dimension the learned comparator is meant to score,
+    * and one Catalyst's default left-deep-biased ReorderJoin never
+    * offers it. */
+  private def rebuildBushy(bases: Seq[LogicalPlan], order: Seq[Int],
+                           conds: Seq[Expression]): Option[LogicalPlan] = {
+    val n = order.size
+    if (n < 4) return None
+    val splits = (2 to n - 2).sortBy(k => math.abs(n - 2 * k))
+    splits.iterator.flatMap { k =>
+      for {
+        lo <- connectedSeq(bases, conds, order.take(k))
+        ro <- connectedSeq(bases, conds, order.drop(k))
+      } yield (lo, ro)
+    }.nextOption().map { case (lo, ro) =>
+      var remaining = conds
+      def buildHalf(ord: Seq[Int]): LogicalPlan = {
+        var cur = bases(ord.head)
+        ord.tail.foreach { i =>
+          val nxt = bases(i)
+          val scope = AttributeSet(cur.output ++ nxt.output)
+          val (app, rest) = remaining.partition(_.references.subsetOf(scope))
+          remaining = rest
+          cur = Join(cur, nxt, Inner, app.reduceOption(And), JoinHint.NONE)
+        }
+        cur
+      }
+      val left = buildHalf(lo)
+      val right = buildHalf(ro)
+      val (app, rest) = remaining.partition(
+        _.references.subsetOf(AttributeSet(left.output ++ right.output)))
+      val joined: LogicalPlan =
+        Join(left, right, Inner, app.reduceOption(And), JoinHint.NONE)
+      rest.foldLeft(joined)((p, c) => Filter(c, p))
+    }
+  }
+
   /** Join-order variants of an optimized query plan. Index 0 is always
     * the original plan; later entries rewrite the topmost inner-join
     * region into a different connected order (output order pinned by a
     * Project). Queries with fewer than 3 inner-joined bases return
     * only the original. Deterministic, so a cached choice can be
     * reconstructed by index. */
-  def variants(query: LogicalPlan, maxVariants: Int = 3): Seq[LogicalPlan] = {
+  def variants(query: LogicalPlan, maxVariants: Int = 4): Seq[LogicalPlan] = {
     val topJoin = query.collectFirst {
       case j @ Join(_, _, Inner, _, JoinHint.NONE) => j
     }
@@ -136,9 +213,29 @@ object JoinOrders {
         // shape for left-deep plans; for bushy originals it is still a
         // genuine variant, and canonical dedupe downstream is the
         // final arbiter either way)
-        val rebuilt = orders.filterNot(_ == bases.indices.toSeq).map { ord =>
+        val leftDeep = orders.filterNot(_ == bases.indices.toSeq)
+          .map(ord => rebuild(bases, ord, conds))
+        // bushy shapes: one per enumerated order (incl. the original
+        // in-order — its bushy split differs from the original tree
+        // even when the left-deep rebuild would not)
+        val bushy = orders.flatMap(ord => rebuildBushy(bases, ord, conds))
+        // interleave so a small maxVariants still carries both a
+        // reordered left-deep AND a bushy tree; dedupe canonically
+        // (two orders can bushy-split into the same tree)
+        val interleaved = {
+          val buf = mutable.ArrayBuffer[LogicalPlan]()
+          val it1 = leftDeep.iterator
+          val it2 = bushy.iterator
+          while (it1.hasNext || it2.hasNext) {
+            if (it1.hasNext) buf += it1.next()
+            if (it2.hasNext) buf += it2.next()
+          }
+          buf.toSeq
+        }
+        val seen = mutable.Set(j.canonicalized)
+        val rebuilt = interleaved.filter(t => seen.add(t.canonicalized)).map { t =>
           query.transformDown {
-            case node if node eq j => Project(j.output, rebuild(bases, ord, conds))
+            case node if node eq j => Project(j.output, t)
           }
         }
         (query +: rebuilt).take(maxVariants)

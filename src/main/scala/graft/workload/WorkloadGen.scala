@@ -210,36 +210,127 @@ object WorkloadGen {
 
   private val RefreshOps = Seq("=", "!=", "LIKE", "IN")
   private val RefreshWeights = Seq(1, 13, 13, 13) // generate_imdb_sql.py:255
+  // num_conditions ~ {2..6} weighted 1:3:3:2:1 (generate_imdb_sql.py:351)
+  private val RefreshCounts = Seq(2, 3, 4, 5, 6)
+  private val RefreshCountWeights = Seq(1, 3, 3, 2, 1)
+
+  /** One IMDB-mode filter on `aliasCol` (`generate_imdb_sql.py:240-275`
+    * multi-alias branch, `:296-331` fallback branch). Numeric ops are
+    * UNIFORM over =/!=/>/</>=/<= (unlike the STATS generator's 1:7:…
+    * weights); string ops are =/!=/LIKE/IN weighted 1:13:13:13.
+    *
+    * `capMinusOne` selects the multi-alias branch's IN shape: a
+    * 2-value domain degrades IN to `=` (`:248-251`) and the sample
+    * size caps at `len(col_info)-1` (`:253`) — the fallback branch
+    * caps at `len(col_info)` with no degrade (`:302`). */
+  private def imdbFilter(aliasCol: String, range: ColRange, rnd: Random,
+                         capMinusOne: Boolean): Option[String] =
+    range match {
+      case StrValues(vs) if vs.nonEmpty =>
+        weightedChoice(RefreshOps, RefreshWeights, rnd) match {
+          case "IN" if capMinusOne && vs.length <= 2 =>
+            Some(s"$aliasCol = '${escapeQuotes(vs(rnd.nextInt(vs.length)))}'")
+          case "IN" =>
+            val cap = if (capMinusOne) math.min(7, vs.length - 1)
+                      else math.min(7, vs.length)
+            // randint(2, cap) inclusive; cap >= 2 is guaranteed by the
+            // degrade above (capMinusOne) or nonEmpty+fallback (len>=2
+            // required for any 2-sample; a 1-value domain yields '=')
+            if (cap < 2)
+              Some(s"$aliasCol = '${escapeQuotes(vs(rnd.nextInt(vs.length)))}'")
+            else {
+              val k = 2 + rnd.nextInt(cap - 1)
+              val picked = rnd.shuffle(vs).take(k).map(v => s"'${escapeQuotes(v)}'")
+              Some(s"$aliasCol IN (${picked.mkString(", ")})")
+            }
+          case "LIKE" =>
+            val v = vs(rnd.nextInt(vs.length))
+            Some(s"$aliasCol LIKE '%${escapeQuotes(v.take(2))}%'")
+          case op => Some(s"$aliasCol $op '${escapeQuotes(vs(rnd.nextInt(vs.length)))}'")
+        }
+      case NumRange(lo, hi, integral) =>
+        val op = NumericOps(rnd.nextInt(NumericOps.length)) // uniform, :243
+        val v =
+          if (integral && lo != hi)
+            (lo.toLong + math.abs(rnd.nextLong()) % math.max(1, (hi - lo).toLong + 1)).toString
+          else BigDecimal(lo + rnd.nextDouble() * (hi - lo))
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+        Some(s"$aliasCol $op $v")
+      case rg => randomFilter(aliasCol, rg, rnd) // TsRange etc.
+    }
 
   /** Regenerate a template's filters, keeping its joins and SELECT
-    * (`generate_imdb_sql.py:196-332`): 2–6 filters, ops weighted
-    * 1:13:13:13 (LIKE patterns from the first 2 chars of a harvested
-    * value, IN lists of 2–7 sampled values). */
+    * (`generate_imdb_sql.py:196-332`): 2–6 filters (weighted 1:3:3:2:1),
+    * ops weighted 1:13:13:13 (LIKE patterns from the first 2 chars of a
+    * harvested value, IN lists of 2–7 sampled values).
+    *
+    * Tables appearing under MULTIPLE aliases are handled first
+    * (`:214-279`): one shared filter column is drawn per such table and
+    * a per-alias condition is generated on it for EVERY alias — the
+    * correlated-alias shape that makes JOB-style self-alias templates
+    * (`movie_info` under mi1/mi2) selective. Remaining slots fall back
+    * to random columns from the template (`:281-332`).
+    *
+    * @param filterColumns harvested per-TABLE filter columns (the
+    *   reference's `filter_columns` infos file); when empty, derived
+    *   from the template's own filter columns via its alias map. */
   def refreshTemplateFilters(spark: SparkSession, templateSql: String,
                              rangeDict: Map[String, Map[String, ColRange]],
-                             rnd: Random): String = {
+                             rnd: Random,
+                             filterColumns: Map[String, Seq[String]] = Map.empty): String = {
     val (joins, _) = Harvester.separateConditions(spark, templateSql)
     val comp = extractComponents(spark, templateSql)
     val whereMatch = "(?i)\\bWHERE\\b".r.findFirstMatchIn(templateSql)
     require(whereMatch.isDefined, "template needs WHERE")
     val head = templateSql.substring(0, whereMatch.get.start).trim
-    val candidateCols = comp.filterColumns.toSeq.sorted
-    val numFilters = 2 + rnd.nextInt(5)
-    val filters = rnd.shuffle(candidateCols).take(numFilters).flatMap { fc =>
-      val Array(alias, colName) = fc.split("\\.")
-      rangeDict.get(alias).flatMap(_.get(colName)).flatMap {
-        case StrValues(vs) if vs.nonEmpty =>
-          weightedChoice(RefreshOps, RefreshWeights, rnd) match {
-            case "LIKE" =>
-              val v = vs(rnd.nextInt(vs.length))
-              Some(s"$fc LIKE '%${escapeQuotes(v.take(2))}%'")
-            case "IN" =>
-              val k = 2 + rnd.nextInt(math.min(6, vs.length))
-              val picked = rnd.shuffle(vs).take(k).map(v => s"'${escapeQuotes(v)}'")
-              Some(s"$fc IN (${picked.mkString(", ")})")
-            case op => Some(s"$fc $op '${escapeQuotes(vs(rnd.nextInt(vs.length)))}'")
+    val aliasToTable = comp.fromTables.map { case (t, a) => a -> t }.toMap
+    // per-table filter columns: harvested if given, else the template's
+    // own filter columns grouped through its alias map
+    val fcolsByTable: Map[String, Seq[String]] =
+      if (filterColumns.nonEmpty) filterColumns
+      else comp.filterColumns.toSeq.sorted.flatMap { fc =>
+        val Array(a, c) = fc.split("\\.", 2)
+        aliasToTable.get(a).map(_ -> c)
+      }.groupMap(_._1)(_._2)
+    val numFilters = weightedChoice(RefreshCounts, RefreshCountWeights, rnd)
+    val filters = scala.collection.mutable.ArrayBuffer[String]()
+    val used = scala.collection.mutable.Set[String]()
+
+    // Phase 1 (generate_imdb_sql.py:214-279): per-alias conditions on
+    // one shared column for each table with multiple aliases.
+    val tableAliases: Seq[(String, Seq[String])] = comp.fromTables
+      .groupMap(_._1)(_._2).toSeq.sortBy(_._1)
+    tableAliases.filter(_._2.length > 1).foreach { case (table, aliases) =>
+      if (filters.length < numFilters) {
+        val shared = fcolsByTable.getOrElse(table, Nil).distinct
+        if (shared.nonEmpty) {
+          val sharedCol = shared(rnd.nextInt(shared.length))
+          aliases.foreach { alias =>
+            val column = s"$alias.$sharedCol"
+            if (filters.length < numFilters && !used(column)) {
+              rangeDict.get(alias).flatMap(_.get(sharedCol))
+                .flatMap(rg => imdbFilter(column, rg, rnd, capMinusOne = true))
+                .foreach { c => filters += c; used += column }
+            }
           }
-        case rg => randomFilter(fc, rg, rnd)
+        }
+      }
+    }
+
+    // Phase 2 (generate_imdb_sql.py:281-332): remaining slots from
+    // random unused template columns.
+    val available = rnd.shuffle(comp.filterColumns.toSeq.sorted)
+    available.foreach { fc =>
+      if (filters.length < numFilters && !used(fc)) {
+        val Array(alias, colName) = fc.split("\\.", 2)
+        val inHarvest = aliasToTable.get(alias).forall { t =>
+          fcolsByTable.getOrElse(t, Nil).contains(colName)
+        }
+        if (inHarvest) {
+          rangeDict.get(alias).flatMap(_.get(colName))
+            .flatMap(rg => imdbFilter(fc, rg, rnd, capMinusOne = false))
+            .foreach { c => filters += c; used += fc }
+        }
       }
     }
     val conds = joins.map(j => j.replace("(", "").replace(")", "")) ++ filters
@@ -249,18 +340,32 @@ object WorkloadGen {
   // --- M28: template structural matching ------------------------------
 
   /** Structural signature (`sql_template.py:5-54`): tables, select
-    * list, join set, filter columns. */
+    * list, join set, filter columns, plus the ordered (table, alias)
+    * FROM pairs (the reference's `components['from_tables']`,
+    * needed by the multi-alias refresh phase). */
   final case class Components(tables: Set[String], select: Seq[String],
-                              joins: Set[String], filterColumns: Set[String])
+                              joins: Set[String], filterColumns: Set[String],
+                              fromTables: Seq[(String, String)] = Nil)
 
   def extractComponents(spark: SparkSession, sql: String): Components = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
     val tables = plan.collect {
       case SubqueryAlias(id, _: UnresolvedRelation) => id.name.toLowerCase
       case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
     }.toSet
+    // ordered (table, alias) pairs; an unaliased relation is its own
+    // alias (matches the reference's from_tables)
+    def fromPairs(p: LogicalPlan): Seq[(String, String)] = p match {
+      case SubqueryAlias(id, r: UnresolvedRelation) =>
+        Seq((r.multipartIdentifier.last.toLowerCase, id.name.toLowerCase))
+      case r: UnresolvedRelation =>
+        val t = r.multipartIdentifier.last.toLowerCase
+        Seq((t, t))
+      case other => other.children.flatMap(fromPairs)
+    }
+    val fromTables = fromPairs(plan)
     val select = plan.collectFirst {
       case p: Project => p.projectList.map(_.sql)
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
@@ -271,7 +376,8 @@ object WorkloadGen {
       "\\b([a-z]\\w*)\\.(\\w+)".r.findAllMatchIn(fsql.toLowerCase)
         .map(m => s"${m.group(1)}.${m.group(2)}")
     }.toSet
-    Components(tables, select, joins.map(_.toLowerCase.replace(" ", "")).toSet, filterCols)
+    Components(tables, select, joins.map(_.toLowerCase.replace(" ", "")).toSet,
+      filterCols, fromTables)
   }
 
   /** `compare_queries` (`sql_template.py:153-175`): (structure match,

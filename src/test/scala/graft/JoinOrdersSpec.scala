@@ -59,6 +59,27 @@ class JoinOrdersSpec extends AnyFunSuite {
     }
   }
 
+  test("7-way joins carry >=3 distinct trees including a BUSHY shape") {
+    val q = optimized("j1_join_7way")
+    val vs = JoinOrders.variants(q)
+    // >=3 genuinely distinct join trees (original + rewrites)
+    assert(vs.size >= 3)
+    assert(vs.map(_.canonicalized).distinct.size == vs.size,
+      "variants must be canonically distinct")
+    // at least one variant is bushy: some join's RIGHT child contains
+    // another join (left-deep trees only ever nest on the left)
+    def isBushy(p: LogicalPlan): Boolean =
+      joinsOf(p).exists(j => j.right.collectFirst { case jj: Join => jj }.isDefined)
+    assert(!isBushy(q) || vs.size >= 3, "baseline sanity")
+    assert(vs.tail.exists(isBushy),
+      "no bushy variant among the 7-way rewrites")
+    // bushy variants stay connected: every join has a condition
+    vs.tail.filter(isBushy).foreach { v =>
+      joinsOf(v).foreach(j => assert(j.condition.isDefined,
+        s"bushy rewrite introduced a cross product:\n${j.simpleString(3)}"))
+    }
+  }
+
   test("variant generation is deterministic (cache reconstruction contract)") {
     val q = optimized("j1_join_5way")
     val a = JoinOrders.variants(q).map(_.canonicalized.toString)

@@ -312,6 +312,30 @@ class PipelineSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
   }
 
+  test("connected components honor the reliable-checkpoint flag") {
+    import spark.implicits._
+    // spark.graft.cc.reliableCheckpoint=true routes CC snapshots
+    // through reliable checkpoint() (cluster-safe, survives executor
+    // loss) instead of localCheckpoint — identical labels either way
+    val edges = ((0L until 20L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L))).toDF("a_id", "b_id")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ck")
+    val prevCk = Option(spark.sparkContext.getCheckpointDir.orNull)
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    spark.conf.set("spark.graft.cc.reliableCheckpoint", "true")
+    try {
+      val labels = Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L to 20L).forall(labels(_) == 0L))
+      assert(labels(100L) == 100L && labels(101L) == 100L)
+      // reliable checkpoints actually landed in the configured dir
+      assert(new java.io.File(ckDir.toString).listFiles().nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.cc.reliableCheckpoint")
+      prevCk.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
+
   test("connected components match a union-find oracle on random graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(20260813L)
@@ -592,17 +616,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("frame sampling partitions payloads; resize bounds them") {
+  test("video containers hold real length-prefixed PNG frames; sampling slices the right ones") {
+    // every video is 4 length-prefixed frames; the sampler extracts
+    // original indices 0 and 2 WITHOUT decoding the others, and each
+    // sampled slice is a genuine PNG (magic bytes + imageio decode)
+    val videos = Multimodal.videoRecords(spark, sf).head(3)
+    videos.foreach { v =>
+      val bb = java.nio.ByteBuffer.wrap(v.content)
+      var n = 0
+      while (bb.remaining() > 0) {
+        val len = bb.getInt()
+        assert(len > 0 && len <= bb.remaining(), "frame boundary corrupt")
+        assert(v.content(bb.position()) == 0x89.toByte &&
+          v.content(bb.position() + 1) == 'P'.toByte, "frame is not a PNG")
+        bb.position(bb.position() + len)
+        n += 1
+      }
+      assert(n == 4, s"expected 4 frames, found $n")
+    }
     val frames = Multimodal.mediaFrames(spark, sf).collect()
     val perMedia = frames.groupBy(_.media_id)
-    assert(perMedia.values.forall(_.length == 4))
-    // frames partition the payload byte-exactly
-    val totalFrameBytes = frames.map(_.frame.length.toLong).sum
-    val totalBytes = Multimodal.mediaRecords(spark, sf).collect()
-      .map(_.content.length.toLong).sum
-    assert(totalFrameBytes == totalBytes)
-    val resized = Multimodal.resizedMedia(spark, sf).collect()
-    assert(resized.forall(_.content.length <= 64))
+    assert(perMedia.values.forall(_.map(_.frame_idx).sorted.toSeq == Seq(0, 2)))
+    // decoded stats match the closed-form frame contract
+    val feats = SparkEntry.queries("mm2_frame_stats")(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      assert(r.getInt(2) == (6 + (id + 3L * f) % 12).toInt, s"width of ($id,$f)")
+      assert(r.getInt(3) == (6 + (7L * id + 5L * f) % 12).toInt, s"height of ($id,$f)")
+      val px = ((id + f) % 256) + ((31L * id + 7L * f) % 256) + ((101L * id + 13L * f) % 256)
+      assert(r.getLong(4) == r.getInt(2).toLong * r.getInt(3) * px, s"px_sum of ($id,$f)")
+    }
   }
 
   test("dd9 boilerplate removal matches an in-memory recomputation") {
@@ -648,6 +692,59 @@ class PipelineSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("dd1_exact_dedup")(spark, sf).collect()
     assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
   }
+
+  test("io2 CSV dialect round-trips adversarial strings (ScalaCheck property)") {
+    import org.scalacheck.Gen
+    import graft.pipeline.CorpusIO
+    // the dialect's hazard surface: quotes, embedded newlines/CRLF,
+    // delimiters, leading/trailing whitespace, unicode, empty string,
+    // and strings equal to the null/empty sentinels themselves
+    val nasty = Gen.oneOf("\"", "\"\"", "a\"b", "line1\nline2", "a\r\nb",
+      ",", "a,b,", " lead", "trail ", "  ", "", "\\N", "\\\\N", "N",
+      "\\n", "héllo wörld", "emoji 😀", "quote\"and\nnewline,x")
+    val anyStr = Gen.frequency(
+      5 -> nasty,
+      3 -> Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('"', ',', '\n',
+        '\r', ' ', '\\', 'ß', '中'))).map(_.mkString),
+      1 -> Gen.const(null: String))
+    val genRows = Gen.listOfN(40, anyStr)
+    import spark.implicits._
+    (0 until 8).foreach { trial =>
+      val strs = genRows(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(20260813L + trial)).getOrElse(Nil)
+      // always exercise the sentinel cases alongside the random draw
+      val rows = (strs ++ Seq(null, "", "\\N")).zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }
+      val df = rows.toDF("id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv_prop")
+      try {
+        df.write.mode("overwrite").options(CorpusIO.csvDialect).csv(dir.toString)
+        val back = spark.read.schema(df.schema).options(CorpusIO.csvDialect)
+          .option("multiLine", "true").csv(dir.toString)
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) null else r.getString(1))).toMap
+        rows.foreach { case (id, s) =>
+          assert(back.contains(id), s"trial $trial: row $id lost")
+          // the dialect's one reserved token: a data string equal to
+          // the null sentinel parses back as NULL (documented contract
+          // limit of sentinel-based CSV null encoding)
+          val expected = if (s == "\\N") null else s
+          assert(back(id) == expected,
+            s"trial $trial row $id: wrote ${render(s)}, read ${render(back(id))}")
+        }
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+    }
+  }
+
+  private def render(s: String): String =
+    if (s == null) "<null>" else "\"" + s.flatMap {
+      case '\n' => "\\n"; case '\r' => "\\r"; case c => c.toString
+    } + "\""
 
   test("composed clean-corpus pipeline: dedup never inflates quality counts") {
     val quality = SparkEntry.queries("txt3_quality")(spark, sf).collect()

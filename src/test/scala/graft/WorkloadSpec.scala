@@ -134,6 +134,64 @@ class WorkloadSpec extends AnyFunSuite {
     assert(spark.sql(refreshed.stripSuffix(";")).collect()(0).getLong(0) >= 0)
   }
 
+  test("multi-alias template gets per-alias conditions on one shared column") {
+    // JOB-style self-alias shape: orders under two aliases. The
+    // harvested filter_columns for orders offer exactly one string
+    // column, so the phase-1 shared-column draw is forced and its IN
+    // shape (generate_imdb_sql.py:248-253: degrade at len<=2, sample
+    // cap len(col_info)-1) is observable.
+    val template =
+      """SELECT count(*) AS cnt FROM orders o1, orders o2, customer c
+        |WHERE o1.o_custkey = c.c_custkey AND o2.o_custkey = c.c_custkey
+        |  AND o1.o_totalprice > 1000 AND c.c_acctbal > 0""".stripMargin
+    val rdBase = Harvester.rangeDict(spark, sf)
+    val prio3 = StrValues(Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+    val rd = Map(
+      "o1" -> (rdBase("o") + ("o_orderpriority" -> prio3)),
+      "o2" -> (rdBase("o") + ("o_orderpriority" -> prio3)),
+      "c" -> rdBase("c"))
+    val fcols = Map("orders" -> Seq("o_orderpriority"),
+      "customer" -> Seq("c_acctbal", "c_mktsegment"))
+    val tc = WorkloadGen.extractComponents(spark, template)
+    assert(tc.fromTables ==
+      Seq(("orders", "o1"), ("orders", "o2"), ("customer", "c")))
+    Tables.registerAll(spark, sf)
+    (0 until 40).foreach { seed =>
+      val refreshed = WorkloadGen.refreshTemplateFilters(
+        spark, template, rd, new Random(seed), fcols)
+      val rc = WorkloadGen.extractComponents(spark, refreshed)
+      assert(tc.joins == rc.joins, s"seed=$seed joins changed")
+      // both aliases carry a condition on the ONE shared column
+      Seq("o1", "o2").foreach { a =>
+        assert(rc.filterColumns.contains(s"$a.o_orderpriority"),
+          s"seed=$seed missing phase-1 condition for $a:\n$refreshed")
+      }
+      // IN lists on the shared column respect the len(col_info)-1 cap:
+      // a 3-value domain allows at most 2-value IN lists
+      "(?i)\\bo[12]\\.o_orderpriority IN \\(([^)]*)\\)".r
+        .findAllMatchIn(refreshed).foreach { m =>
+          val n = m.group(1).split(",").length
+          assert(n <= 2, s"seed=$seed IN cap violated ($n values):\n$refreshed")
+        }
+      if (seed < 5)
+        assert(spark.sql(refreshed.stripSuffix(";")).collect()(0).getLong(0) >= 0)
+    }
+    // a 2-value domain degrades IN to '=' on the multi-alias path:
+    // no IN list on the shared column can ever appear
+    val prio2 = StrValues(Seq("1-URGENT", "2-HIGH"))
+    val rd2 = Map(
+      "o1" -> (rdBase("o") + ("o_orderpriority" -> prio2)),
+      "o2" -> (rdBase("o") + ("o_orderpriority" -> prio2)),
+      "c" -> rdBase("c"))
+    (0 until 40).foreach { seed =>
+      val refreshed = WorkloadGen.refreshTemplateFilters(
+        spark, template, rd2, new Random(seed), fcols)
+      assert(!"(?i)\\bo[12]\\.o_orderpriority IN ".r
+        .findFirstIn(refreshed).isDefined,
+        s"seed=$seed 2-value domain must degrade IN to '=':\n$refreshed")
+    }
+  }
+
   test("template matcher finds the right template") {
     val templates = seedWorkload
     val rd = Harvester.rangeDict(spark, sf)
