@@ -24,8 +24,17 @@ import org.apache.spark.sql.functions._
   *    dedup pair-graph density realistic instead of planting a
   *    10-clique on every document;
   *  - `events.ts` shifts by k seconds (distinct sessions, preserved
-  *    ordering); embeddings keep their vectors (ANN index volume is
-  *    what scale testing needs, not vector novelty).
+  *    ordering);
+  *  - `embeddings.embedding` is circular-shifted by k positions — a
+  *    permutation is an orthogonal transform, so cosines WITHIN a
+  *    replica are preserved exactly (the original near-dup pair set
+  *    appears once per replica: linear growth), while cross-replica
+  *    cosines drop to background noise. The r8 sf1 run exposed why
+  *    this matters: keeping vectors identical planted a factor-sized
+  *    clique of cos=1.0 pairs on every embedding, which made the
+  *    TRUE near-dup output (and therefore every correct engine's
+  *    cost) quadratic in the factor — a fixture artifact, not an
+  *    engine cliff.
   */
 object ScaleUp {
   private val KeyOffset = 10000000000L // 1e10
@@ -84,6 +93,12 @@ object ScaleUp {
         // Tables.load's contract) and stays int64 in the output —
         // shift each replica by k seconds
         out = out.withColumn("ts", col("ts") + lit(k * 1000000000L))
+      if (table == "embeddings" && k > 0)
+        // circular shift by k: orthogonal, norm- and in-replica-
+        // cosine-preserving, cross-replica-decorrelating (see header)
+        out = out.withColumn("embedding", expr(
+          s"concat(slice(embedding, $k + 1, size(embedding) - $k), " +
+            s"slice(embedding, 1, $k))"))
       out
     }
 

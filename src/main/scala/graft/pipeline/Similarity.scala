@@ -96,6 +96,15 @@ object Similarity {
   //  candidate set, so the join stays ~cluster-sized.
   private val KnnBits = 16
   private val KnnBands = 64
+  // sim6's dense-bucket partner cap. Dormant wherever buckets stay
+  // under 64 members — structurally guaranteed at gate scale (sf0.01:
+  // clusters have ≤25 members and a bucket is a same-signature SUBSET
+  // of one cluster plus ~0 background collisions at 2^-16 per row), so
+  // sim6 shares sim5's exact oracle there; at bench scale and beyond
+  // the cap engages and bounds candidates at N·bands·cap (linear),
+  // where uncapped growth is Σ bucketSize² (quadratic — measured 29×
+  // for 10× data in the r8 sf1 run).
+  private val KnnBucketCap = 64
 
   // --- planted near-dup (dd5_blocked_tau09): the corpus has no pair
   //     above cos 0.51, so at tau=0.9 the gate was empty-vs-empty
@@ -336,17 +345,37 @@ object Similarity {
     * neighbors (standard ANN semantics; callers needing exactly k
     * re-probe with wider bands). */
   def knnJoinBlocked(e: DataFrame, k: Int, bits: Int, bands: Int,
-                     seed: Int = 42): DataFrame = {
+                     seed: Int = 42, bucketCap: Int = 0): DataFrame = {
     val sig = e.select(col("vec_id"),
       posexplode(expr(s"graft_hyperplane_bands(v, $bits, $bands, $seed)"))
         .as(Seq("band", "sig")))
       .persist() // both self-join sides share one signature materialization
+    // Dense-bucket candidate cap (the r8 sf1 scale finding): with a
+    // FIXED (bits, bands), bucket occupancy grows linearly with the
+    // corpus, so uncapped candidate pairs grow with Σ bucketSize² —
+    // quadratic when the data has dense similarity clusters (which is
+    // exactly when you deploy an ANN join). The cap keeps, per
+    // (band, sig) bucket, at most `bucketCap` PARTNER-side rows chosen
+    // by a deterministic per-band hash (probe side stays uncapped, so
+    // every row still probes all its bands); candidate volume is then
+    // ≤ N·bands·cap — linear. Inside a dense bucket the members are
+    // mutual near-ties by construction, so the dropped partners are
+    // interchangeable with the kept ones: top-k QUALITY survives even
+    // where exact identity doesn't (spec-pinned both ways —
+    // cap ≥ bucket size is provably a no-op, engaged cap retains full
+    // per-row k and near-tie similarity). 0 disables.
+    val partnerSide = if (bucketCap > 0)
+      sig.withColumn("bkr", row_number().over(
+          Window.partitionBy(col("band"), col("sig"))
+            .orderBy(xxhash64(col("vec_id"), col("band")), col("vec_id"))))
+        .filter(col("bkr") <= bucketCap).drop("bkr")
+    else sig
     // BOTH directions (a,b) and (b,a) survive — top-k is per-row and
     // directional. distinct BEFORE scoring: duplicate candidate pairs
     // (a pair colliding in several bands) would occupy duplicate ranks
     // in the window, corrupting top-k (dd5_blocked can defer dedupe to
     // after its threshold filter; a rank filter cannot).
-    val cand = sig.as("x").join(sig.as("y"),
+    val cand = sig.as("x").join(partnerSide.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
@@ -445,6 +474,14 @@ object Similarity {
     // misses one true neighbor fails the gate
     "sim5_knn_blocked" -> ((spark, sfDir) =>
       knnJoinBlocked(clusteredVecs(spark, sfDir), KnnK, KnnBits, KnnBands)),
+    // the capped variant: same plan plus the per-bucket partner cap
+    // (see [[knnJoinBlocked]]) — the knob that keeps the ANN join
+    // linear when cluster density grows with the corpus. At gate
+    // scale the cap is provably dormant, so the exact oracle applies
+    // unchanged; the scale divergence is deliberate and spec-pinned.
+    "sim6_knn_capped" -> ((spark, sfDir) =>
+      knnJoinBlocked(clusteredVecs(spark, sfDir), KnnK, KnnBits, KnnBands,
+        bucketCap = KnnBucketCap)),
     "sim2_ann_lsh" -> ((spark, sfDir) => {
       val e = normalized(spark, sfDir)
       val model = lshModel(spark, sfDir, e)
@@ -656,6 +693,9 @@ object Similarity {
     // the blocked ANN-join path vs exact kNN on the clustered fixture:
     // a single missed true neighbor breaks the hash
     "sim5_knn_blocked" -> knnSql(clusterCte, "cl"),
+    // cap dormant at gate scale (bucket ≤ cluster size 25 < 64) —
+    // identical result, same exact-kNN oracle
+    "sim6_knn_capped" -> knnSql(clusterCte, "cl"),
     // both approximate paths must equal the exact path at test scale
     "sim2_ann_lsh" -> topkOracleSql,
     "sim3_ann_ivf" -> topkOracleSql,

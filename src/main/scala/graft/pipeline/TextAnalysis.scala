@@ -302,7 +302,31 @@ object TextAnalysis {
         .groupBy(col("source"), col("shard_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).cast("long").as("shard_tokens"))
-    })
+    }),
+    // txt7: PII-style masking pass over the event property payloads
+    // (the one corpus column with digit runs): every digit run becomes
+    // <NUM>. The gate pins the masked CONTENT — an order-independent
+    // md5-prefix checksum over the redacted strings per event type —
+    // not just byte counts, so a wrong mask boundary fails the hash.
+    // Scale shape: one narrow map-side projection (two codegen'd
+    // regexp_replace calls, no UDF) feeding a 5-key hash-agg; at
+    // 100 TB this is the canonical scrub-then-reshard pass — the only
+    // shuffle is the bounded final aggregate. Both regexes are plain
+    // ASCII character classes, identical under Java regex and RE2.
+    "txt7_redact" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "events")
+        .select(col("event_type"), col("props"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("red"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(octet_length(col("props"))).cast("long").as("bytes_raw"),
+          sum(octet_length(col("red"))).cast("long").as("bytes_redacted"),
+          sum(octet_length(col("props")) -
+            octet_length(regexp_replace(col("props"), "[0-9]", "")))
+            .cast("long").as("digit_chars"),
+          sum(conv(substring(md5(col("red").cast("binary")), 1, 12), 16, 10)
+            .cast("decimal(38,0)")).cast("string").as("red_hash_sum"))
+        .orderBy(col("event_type")))
   )
 
   /** Token budget per packed training shard (pack1). */
@@ -498,6 +522,19 @@ object TextAnalysis {
          |  FROM (SELECT doc_id, source,
          |          len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
          |        FROM documents)
-         |) GROUP BY 1, 2""".stripMargin
+         |) GROUP BY 1, 2""".stripMargin,
+    // txt7: the 'g' flag mirrors Spark's replace-all default; the
+    // hugeint sum of 48-bit md5 prefixes is the same order-independent
+    // content checksum the io fingerprints use
+    "txt7_redact" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(octet_length(encode(props))) AS BIGINT) AS bytes_raw,
+        |  CAST(sum(octet_length(encode(regexp_replace(props, '[0-9]+', '<NUM>', 'g')))) AS BIGINT) AS bytes_redacted,
+        |  CAST(sum(octet_length(encode(props))
+        |    - octet_length(encode(regexp_replace(props, '[0-9]', '', 'g')))) AS BIGINT) AS digit_chars,
+        |  CAST(sum(CAST(CAST('0x' || substr(md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')), 1, 12)
+        |    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS red_hash_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

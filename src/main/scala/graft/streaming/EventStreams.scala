@@ -233,7 +233,29 @@ object EventStreams {
           |  FROM events
           |) WHERE new_session = 1
           |GROUP BY user_id
-          |ORDER BY n_sessions DESC, user_id LIMIT 20""".stripMargin))
+          |ORDER BY n_sessions DESC, user_id LIMIT 20""".stripMargin)),
+    // Weekly cohort retention — the product-analytics capstone: cohort
+    // = Monday-truncated week of each user's FIRST event; each
+    // (cohort, week-offset) cell counts distinct users active that
+    // week. Two shuffles, both user-keyed: the min-agg building
+    // cohorts (partial-aggregated map-side) and the activity join +
+    // countDistinct, which co-partition on user_id; the final
+    // (cohort, offset) agg has a weeks²-bounded key space — tiny at
+    // any corpus size. The week-offset division is exact: both
+    // operands are Monday-truncated epochs, so their difference is a
+    // multiple of 604800 and the double quotient is integral.
+    "evt7_retention" -> ((spark, sfDir) => {
+      val e = Tables.load(spark, sfDir, "events")
+      val cohorts = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      e.join(cohorts, Seq("user_id"))
+        .groupBy(unix_timestamp(col("cohort")).as("cohort_week"),
+          ((unix_timestamp(date_trunc("week", col("ts"))) -
+            unix_timestamp(col("cohort"))) / lit(604800)).cast("long")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -299,6 +321,18 @@ object EventStreams {
         |  FROM events
         |) WHERE new_session = 1
         |GROUP BY user_id
-        |ORDER BY n_sessions DESC, user_id LIMIT 20""".stripMargin
+        |ORDER BY n_sessions DESC, user_id LIMIT 20""".stripMargin,
+    // both engines truncate weeks to Monday; the offset division is
+    // exact (difference of two week-truncated epochs)
+    "evt7_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(epoch(f.cohort) AS BIGINT) AS cohort_week,
+        |  CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort))
+        |       / 604800 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

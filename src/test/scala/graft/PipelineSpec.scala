@@ -472,6 +472,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("capped kNN join: no-op when dormant, full-k near-tie results when engaged") {
+    // same planted-cluster regime as the blocked spec, denser so the
+    // cap actually engages: 8 clusters of 30 (buckets up to 30 > cap 8)
+    val rnd = new scala.util.Random(2424)
+    def unit(dim: Int): Array[Double] = {
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / nrm)
+    }
+    val rows = for {
+      c <- 0 until 8
+      center = unit(64)
+      m <- 0 until 30
+    } yield {
+      val v = center.zip(Array.fill(64)(rnd.nextGaussian() * 0.03))
+        .map { case (x, nz) => x + nz }
+      (c * 30L + m, v)
+    }
+    import spark.implicits._
+    val e = rows.toDF("vec_id", "v")
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.DotProduct.register(spark)
+    graft.functions.HyperplaneBands.register(spark)
+    // (1) cap ≥ every bucket (30 members max) is PROVABLY a no-op —
+    // byte-identical result to the uncapped path (this is the dormancy
+    // argument that lets sim6 share sim5's exact oracle at gate scale)
+    val uncapped = Similarity.knnJoinBlocked(e, 5, bits = 10, bands = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dormant = Similarity.knnJoinBlocked(e, 5, bits = 10, bands = 60,
+        bucketCap = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dormant == uncapped, "dormant cap changed the result")
+    // (2) engaged cap (8 ≪ 30-member buckets): every row still gets a
+    // FULL top-5, and every returned neighbor is a genuine near-tie
+    // (a cluster sibling, cos ≥ 0.9 over a ~0 background) — the
+    // interchangeability claim the scaladoc makes
+    val capped = Similarity.knnJoinBlocked(e, 5, bits = 10, bands = 60,
+      bucketCap = 8).collect()
+    val perRow = capped.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perRow.size == 240 && perRow.values.forall(_ == 5),
+      "engaged cap lost result rows")
+    val minCos = capped.map(_.getDouble(3)).min
+    assert(minCos >= 0.9, s"engaged cap surfaced a non-neighbor: $minCos")
+  }
+
   test("hyperplane band signatures: codegen equals interpreted eval") {
     import graft.functions.HyperplaneBands
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
