@@ -89,10 +89,17 @@ object ScaleUp {
         out = out.withColumn("text", translate(col("text"), from, to))
       }
       if (table == "events" && k > 0)
-        // ts is read as raw epoch-NANOS long (nanosAsLong, matching
-        // Tables.load's contract) and stays int64 in the output —
-        // shift each replica by k seconds
-        out = out.withColumn("ts", col("ts") + lit(k * 1000000000L))
+        // shift each replica by k seconds; ts arrives as raw
+        // epoch-NANOS long (old testdata shape under nanosAsLong) or
+        // as a native timestamp (current shape) — same adaptive
+        // branch as Tables.load, and the output keeps whichever
+        // physical shape came in (Tables.load handles both)
+        out = out.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            out.withColumn("ts", col("ts") + lit(k * 1000000000L))
+          case _ =>
+            out.withColumn("ts", col("ts") + expr(s"INTERVAL $k SECOND"))
+        }
       if (table == "embeddings" && k > 0)
         // circular shift by k: orthogonal, norm- and in-replica-
         // cosine-preserving, cross-replica-decorrelating (see header)

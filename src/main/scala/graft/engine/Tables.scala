@@ -47,20 +47,70 @@ object Tables {
     // value-identical. Read everything as LTZ.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (table == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-      // default. Read nanos as long, then convert losslessly to a
-      // microsecond timestamp (the data carries no sub-us precision;
-      // integer `div` — double division would lose bits above 2^53).
-      // `div` TRUNCATES toward zero while the DuckDB oracles' `//`
-      // FLOORS: identical for the post-epoch data this corpus
-      // guarantees, one microsecond apart for a pre-1970 ts off a
-      // 1000 ns boundary — if this loader ever meets pre-epoch data,
-      // switch to floor(ts / 1000) semantics here first.
+      // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
+      // timestamp[us] across testdata regenerations — the driver owns
+      // that file and may rewrite it any round (this exact drift cost
+      // round 8: 40 gates died on one hard-wired nanos assumption).
+      // So branch on the footer's physical type instead of assuming
+      // one. With nanosAsLong=true a NANOS column surfaces as
+      // LongType; a TIMESTAMP(MICROS) column surfaces as
+      // TimestampType (NTZ inference is disabled above, and the
+      // session tz is pinned UTC so LTZ is value-identical).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(sfDir, table))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(path(sfDir, table))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // Nanos-as-long → convert losslessly to a microsecond
+          // timestamp (the data carries no sub-us precision; integer
+          // `div` — double division would lose bits above 2^53).
+          // `div` TRUNCATES toward zero while the DuckDB oracles' `//`
+          // FLOORS: identical for the post-epoch data this corpus
+          // guarantees — if this loader ever meets pre-epoch data,
+          // switch to floor(ts / 1000) semantics here first.
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Only reachable if NTZ inference was re-enabled elsewhere;
+          // UTC session makes the cast value-identical.
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported parquet-derived type $other " +
+            s"(expected nanos-as-long, timestamp, or timestamp_ntz)")
+      }
     } else {
       spark.read.parquet(path(sfDir, table))
+    }
+  }
+
+  /** Streaming twin of the events branch of [[load]]: read a parquet
+    * events DIRECTORY as a file-source stream, adapting to either
+    * physical ts shape (nanos-as-long vs native timestamp) exactly
+    * like the batch loader — the schema a `readStream` must be handed
+    * up front is probed from the footer of the files already present
+    * (streaming tests/jobs seed the directory before starting the
+    * query, and a file source's schema is fixed per query anyway).
+    * All four streaming twins route through here so a testdata
+    * regeneration flips ONE branch, not four copies (r8 post-mortem).
+    */
+  def readEventsStream(spark: SparkSession, eventsDir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val footer = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(footer)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(eventsDir)
+    footer("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // same truncate-vs-floor caveat as the batch branch above
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => stream
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other => throw new IllegalStateException(
+        s"events stream at $eventsDir has unsupported ts type $other")
     }
   }
 
@@ -95,25 +145,49 @@ object Tables {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // Per-table containment: one unreadable/mis-typed table must fail
+    // only the queries that reference it, never the other nine (r8:
+    // an events-loader analysis exception inside this loop took down
+    // 38 queries that never touched events). A failed table is logged
+    // and skipped — its own queries then fail at resolution with a
+    // clear TABLE_OR_VIEW_NOT_FOUND, which is the correct blast
+    // radius. Registration is only memoized when ALL tables landed,
+    // so a transiently-broken table is retried on the next call.
+    var allOk = true
     names.foreach { t =>
-      if (viewOnly(t)) {
-        load(spark, sfDir, t).createOrReplaceTempView(t)
-      } else {
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        // Unmanaged (LOCATION) table: DROP never touches the read-only
-        // testdata; schema is inferred from the parquet footer.
-        spark.sql(
-          s"CREATE TABLE $t USING parquet LOCATION '${path(sfDir, t)}'")
-        // Column NDV/min/max feed CBO joinReorder; fall back to
-        // table-level stats for tables with non-analyzable columns
-        // (e.g. embeddings.embedding ARRAY<FLOAT>).
-        try spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
-        catch { case _: Exception =>
-          spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      try {
+        if (viewOnly(t)) {
+          load(spark, sfDir, t).createOrReplaceTempView(t)
+        } else {
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          // Unmanaged (LOCATION) table: DROP never touches the
+          // read-only testdata; schema comes from the parquet footer.
+          spark.sql(
+            s"CREATE TABLE $t USING parquet LOCATION '${path(sfDir, t)}'")
+          // Column NDV/min/max feed CBO joinReorder; fall back to
+          // table-level stats for tables with non-analyzable columns
+          // (e.g. embeddings.embedding ARRAY<FLOAT>).
+          try spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+          catch { case _: Exception =>
+            spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+          }
         }
+      } catch { case e: Exception =>
+        allOk = false
+        // Drop any stale registration of the failed name: a temp view
+        // left over from an earlier sfDir would silently serve WRONG
+        // data, which is worse than a loud resolution failure.
+        try {
+          if (viewOnly(t)) spark.catalog.dropTempView(t)
+          else spark.sql(s"DROP TABLE IF EXISTS $t")
+        } catch { case _: Exception => () }
+        System.err.println(
+          s"[graft] Tables.registerAll: failed to register '$t' from " +
+            s"${path(sfDir, t)} — queries on other tables continue. " +
+            s"Cause: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    registered.put(spark, sfDir)
+    if (allOk) registered.put(spark, sfDir)
   }
 
   /** Run reference-shaped SQL (comma-FROM implicit joins included —

@@ -41,22 +41,13 @@ object EventStreams {
 
   /** Streaming flavor: parquet file source (a DIRECTORY of event
     * files — the file source tails directories, not single files) →
-    * watermark → the same windowed aggregate. `ts` arrives as
-    * nanos-long (the parquet files are TIMESTAMP(NANOS)); converted
-    * exactly like `Tables.load`. */
+    * watermark → the same windowed aggregate. The ts physical shape
+    * (nanos-long vs native timestamp) is adapted by
+    * `Tables.readEventsStream`, same branch as the batch loader. */
   def streamingWindowedAgg(spark: SparkSession, sfDir: String,
-                           eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, sfDir, "events").schema // post-conversion schema
-    val rawSchema = org.apache.spark.sql.types.StructType(schema.map { f =>
-      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f
-    })
-    val stream = spark.readStream.schema(rawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "2 hours")
-    windowedAgg(stream)
-  }
+                           eventsDir: String): DataFrame =
+    windowedAgg(Tables.readEventsStream(spark, eventsDir)
+      .withWatermark("ts", "2 hours"))
 
   /** Streaming exact dedup: `dropDuplicatesWithinWatermark` on the
     * event stream — the streaming twin of dd1's hash-dedup, with
@@ -66,18 +57,10 @@ object EventStreams {
     * duplicate arriving later than the lateness bound is by contract
     * allowed through, and everything inside it is exact). */
   def streamingDedup(spark: SparkSession, sfDir: String,
-                     eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, sfDir, "events").schema
-    val rawSchema = org.apache.spark.sql.types.StructType(schema.map { f =>
-      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f
-    })
-    spark.readStream.schema(rawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+                     eventsDir: String): DataFrame =
+    Tables.readEventsStream(spark, eventsDir)
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
-  }
 
   /** View→click interval join: every (click, preceding view within
     * 10 min, same user) pair. Batch shape of the stream-stream join
@@ -105,17 +88,8 @@ object EventStreams {
                              eventsDir: String,
                              joinType: String = "inner",
                              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, sfDir, "events").schema
-    val rawSchema = org.apache.spark.sql.types.StructType(schema.map { f =>
-      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f
-    })
-    def src(): DataFrame = {
-      val r = spark.readStream.schema(rawSchema)
-      maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-      r.parquet(eventsDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    def src(): DataFrame =
+      Tables.readEventsStream(spark, eventsDir, maxFilesPerTrigger)
     val clicks = src().filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))

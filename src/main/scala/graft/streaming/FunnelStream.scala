@@ -45,19 +45,13 @@ object FunnelStream {
   }
 
   /** Streaming funnel over an events directory (parquet file source,
-    * nanos ts like `Tables.load`). Emits each user's current stage
-    * every trigger (stage is monotone, so the latest row per user is
-    * also the max). */
+    * ts shape adapted by `Tables.readEventsStream`). Emits each
+    * user's current stage every trigger (stage is monotone, so the
+    * latest row per user is also the max). */
   def funnel(spark: SparkSession, sfDir: String, eventsDir: String): Dataset[FunnelOut] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, sfDir, "events").schema
-    val rawSchema = org.apache.spark.sql.types.StructType(schema.map { f =>
-      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f
-    })
-    spark.readStream.schema(rawSchema)
-      .parquet(eventsDir)
-      .select(col("user_id"), expr("ts div 1000").as("ts"),
+    Tables.readEventsStream(spark, eventsDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"),
         when(col("event_type") === "view", 1)
           .when(col("event_type") === "click", 2)
           .when(col("event_type") === "purchase", 3).as("code"))

@@ -69,17 +69,11 @@ object SessionizeStream {
   }
 
   /** Streaming sessionizer over an events directory (parquet file
-    * source, nanos ts like `Tables.load`). Emits CLOSED sessions. */
+    * source, ts shape adapted by `Tables.readEventsStream`). Emits
+    * CLOSED sessions. */
   def sessions(spark: SparkSession, sfDir: String, eventsDir: String): Dataset[SessionOut] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, sfDir, "events").schema
-    val rawSchema = org.apache.spark.sql.types.StructType(schema.map { f =>
-      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f
-    })
-    spark.readStream.schema(rawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.readEventsStream(spark, eventsDir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"))
       .as[Event]

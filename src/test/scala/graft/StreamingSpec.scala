@@ -156,10 +156,16 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.move(part.toPath, dir.resolve(s"$name.parquet"))
     }
     // tSplit is epoch SECONDS (cast(timestamp as long)); the raw file
-    // column is epoch NANOS, so scale by 1e9 — a smaller factor puts
-    // every row in batch_1 and the split never happens
-    stage(col("ts") <= tSplit * 1000000000L, "batch_0")
-    stage(col("ts") > tSplit * 1000000000L, "batch_1")
+    // column is epoch NANOS in the old testdata shape (long under
+    // nanosAsLong) or a native timestamp in the current one — pick
+    // the comparison that matches what the footer gave us
+    val splitCond = rawNanos.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") <= tSplit * 1000000000L
+      case _ => col("ts").cast("long") <= tSplit
+    }
+    stage(splitCond, "batch_0")
+    stage(!splitCond, "batch_1")
     dir.resolve("batch_1.parquet").toFile.setLastModified(
       dir.resolve("batch_0.parquet").toFile.lastModified() + 60000)
     val q = EventStreams.streamingViewClickJoin(spark, sf, dir.toString,

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+
+/** Testdata-drift canary (r8 post-mortem, VERDICT task 3).
+  *
+  * The driver owns `/root/testdata` and may regenerate it between (or
+  * during) rounds — in r8 events.ts changed physical type from
+  * TIMESTAMP(NANOS) to timestamp[us] and a hard-wired loader
+  * assumption took down 40 of 94 gates. This spec is the tripwire:
+  * a regeneration that changes any table's *logical* contract must
+  * break exactly these named tests, not 40 downstream gates.
+  *
+  * Three guarantees:
+  *  1. every table × every sf dir loads, with the pinned logical
+  *     schema (names + types) and at least one readable row;
+  *  2. the events loader is physical-type-adaptive: a nanos-as-long
+  *     ts column and the shipped ts column both load to identical
+  *     logical schema AND identical values;
+  *  3. one broken table does not take down registration of the other
+  *     nine (registerAll containment, VERDICT task 2).
+  */
+class TestdataCanarySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val sfDirs =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  /** Pinned logical contract — what every query in the repo assumes.
+    * Types are Spark simpleString forms after Tables.load.
+    */
+  private val expectedSchemas: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string",
+      "value" -> "double", "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint",
+      "embedding" -> "array<float>", "label" -> "int")
+  )
+
+  test("canary: every table in every sf dir loads with the pinned logical schema") {
+    for (dir <- sfDirs; t <- Tables.names) {
+      val df = Tables.load(spark, dir, t)
+      val got = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+      assert(got == expectedSchemas(t),
+        s"LOGICAL SCHEMA DRIFT in $dir/$t.parquet — the driver " +
+          s"regenerated testdata with a different contract.\n  got:      " +
+          s"$got\n  expected: ${expectedSchemas(t)}")
+      assert(!df.isEmpty, s"$dir/$t.parquet has no readable rows")
+    }
+  }
+
+  test("canary: events loader is adaptive — nanos-as-long and native timestamp load identically") {
+    val sf = SparkTestSession.sf
+    val tmp = Files.createTempDirectory("graft-canary-nanos").toFile
+    tmp.deleteOnExit()
+    val nanosDir = tmp.getAbsolutePath
+    // Synthesize the OLD physical shape: ts as int64 nanoseconds.
+    // (With legacy.parquet.nanosAsLong=true, parquet TIMESTAMP(NANOS)
+    // and plain INT64 both surface as LongType, so this exercises the
+    // exact LongType branch of Tables.load.)
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+
+    val fromNanos = Tables.load(spark, nanosDir, "events")
+    val fromNative = Tables.load(spark, sf, "events")
+    assert(fromNanos.schema == fromNative.schema,
+      s"adaptive loader produced different logical schemas:\n  nanos:  " +
+        s"${fromNanos.schema}\n  native: ${fromNative.schema}")
+    // Values identical: anti-join both ways must be empty.
+    assert(fromNanos.exceptAll(fromNative).isEmpty &&
+      fromNative.exceptAll(fromNanos).isEmpty,
+      "adaptive loader produced different VALUES for nanos vs native ts")
+  }
+
+  test("canary: one broken table fails only itself — other nine still register and query") {
+    val sf = SparkTestSession.sf
+    val tmp = Files.createTempDirectory("graft-canary-poison").toFile
+    tmp.deleteOnExit()
+    val dir = tmp.getAbsolutePath
+    // Nine good tables (copy the real sf0.001 parquet files), one
+    // poisoned: events.parquet is garbage bytes, unreadable as parquet.
+    Tables.names.filterNot(_ == "events").foreach { t =>
+      Files.copy(Paths.get(s"$sf/$t.parquet"),
+        Paths.get(s"$dir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.write(Paths.get(s"$dir/events.parquet"),
+      "this is not a parquet file".getBytes)
+
+    // Must not throw despite the poisoned table...
+    Tables.registerAll(spark, dir)
+    // ...the other nine still answer SQL...
+    val n = spark.sql("SELECT count(*) AS c FROM lineitem").collect()(0).getLong(0)
+    assert(n > 0, "lineitem did not survive a broken events table")
+    val j = spark.sql(
+      "SELECT count(*) FROM orders o, customer c WHERE o.o_custkey = c.c_custkey")
+      .collect()(0).getLong(0)
+    assert(j > 0, "orders⋈customer did not survive a broken events table")
+    // ...and events itself fails LOUDLY at resolution, not silently
+    // serving stale data from a previous registration.
+    val err = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM events").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("events"), err.getMessage)
+
+    // Failed registration must NOT be memoized: re-pointing at good
+    // data recovers without a new session.
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Tables.registerAll(spark, dir)
+    val e = spark.sql("SELECT count(*) FROM events").collect()(0).getLong(0)
+    assert(e > 0, "events did not recover after the poisoned file was fixed")
+
+    // Leave the shared session registered back on the spec's sf dir
+    // so later suites in the same JVM see the standard tables.
+    Tables.registerAll(spark, sf)
+  }
+}
