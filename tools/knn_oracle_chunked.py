@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Chunked exact-kNN oracle for the quadratic similarity gates at
+LARGE scale factors.
+
+At sf0.01/sf0.1 `compare_oracle.py` runs the committed oracle SQL
+directly. At sf1 (20k vectors) the single-query form materializes the
+full 4e8-pair stream inside DuckDB's window sort and needs >80 GB of
+spill — the exact asymmetry the Spark side avoids via WindowGroupLimit
+(per-task truncation to k before any exchange). This runner computes
+the SAME oracle in a-side chunks: row_number partitions by a.vec_id,
+so restricting the probe side per chunk is result-identical while
+bounding the sort to chunk_size x N pairs. Same engine, same SQL
+semantics, bounded memory — the standard "shard the ground-truth
+computation" move for verifying an ANN system at scale.
+
+Usage: knn_oracle_chunked.py <sfDir> <verifyOutDir> <name> [chunk]
+  name in {sim4_knn_join, sim5_knn_blocked, sim6_knn_capped}
+"""
+import sys, glob, os
+import duckdb
+from decimal import Decimal
+
+ED = "ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+CL = """seeds AS (SELECT vec_id AS c, v AS cv FROM ed WHERE vec_id < 20),
+cl AS (
+  SELECT e.vec_id,
+    list_transform(list_zip(s.cv, e.v), p -> p[1] + 0.15 * p[2]) AS v
+  FROM ed e JOIN seeds s ON e.vec_id % 20 = s.c)"""
+
+BASE_OF = {"sim4_knn_join": ("ed", f"WITH {ED}"),
+           "sim5_knn_blocked": ("cl", f"WITH {ED},\n{CL}"),
+           "sim6_knn_capped": ("cl", f"WITH {ED},\n{CL}")}
+
+def chunk_sql(name, i, n_chunks, k=5):
+    # a-side restricted by vec_id MODULUS (ScaleUp's replica key
+    # offsets make the id space sparse, so range chunking would not
+    # balance); row_number partitions by a.vec_id, so any a-side
+    # restriction is result-identical on the covered partitions.
+    tbl, cte = BASE_OF[name]
+    return f"""{cte}
+SELECT a_id, CAST(rnk AS BIGINT) AS rnk, b_id, round(cos_sim, 4) AS cos_sim
+FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) *
+     sqrt(list_dot_product(b.v, b.v))) AS cos_sim,
+    row_number() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) *
+     sqrt(list_dot_product(b.v, b.v))) DESC,
+        b.vec_id) AS rnk
+  FROM {tbl} a, {tbl} b
+  WHERE a.vec_id <> b.vec_id
+    AND a.vec_id % {n_chunks} = {i})
+WHERE rnk <= {k}"""
+
+def norm(v):
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+def main():
+    sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+    n_chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+    con = duckdb.connect()
+    p = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}')")
+    orows = []
+    ocols = None
+    for i in range(n_chunks):
+        res = con.execute(chunk_sql(name, i, n_chunks))
+        ocols = [d[0] for d in res.description]
+        part = res.fetchall()
+        orows.extend(part)
+        print(f"  chunk {i + 1}/{n_chunks}: {len(part)} rows "
+              f"(total {len(orows)})", flush=True)
+    sres = con.execute(
+        f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+    scols = [d[0] for d in sres.description]
+    srows = sres.fetchall()
+    if sorted(scols) != sorted(ocols):
+        print(f"FAIL {name}: cols {sorted(scols)} vs {sorted(ocols)}")
+        sys.exit(1)
+    if len(srows) != len(orows):
+        print(f"FAIL {name}: rows {len(srows)} vs {len(orows)}")
+        sys.exit(1)
+    _, sc = canon(scols, srows)
+    _, oc = canon(ocols, orows)
+    if sc != oc:
+        bad = sum(1 for a, b in zip(sc, oc) if a != b)
+        print(f"FAIL {name}: value mismatch on {bad} of {len(sc)} rows")
+        for a, b in list(zip(sc, oc))[:5]:
+            if a != b:
+                print(f"  spark={a} oracle={b}")
+        sys.exit(1)
+    print(f"PASS {name} ({len(sc)} rows, chunked exact oracle)")
+
+if __name__ == "__main__":
+    main()
