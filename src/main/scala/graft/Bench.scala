@@ -50,7 +50,14 @@ object Bench {
     // (fresh index key) doesn't charge a one-time k-means fit to the
     // first sim2/sim3 probe.
     try graft.pipeline.Similarity.ensureAnnIndexes(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      // visible, not fatal: a failed pre-warm means the one-time index
+      // build lands back inside sim2/sim3's measured window — the
+      // reader of the numbers must be able to see why
+      System.err.println(s"[bench] ANN index pre-warm FAILED " +
+        s"(sim2/sim3 cold times will include the index build): " +
+        s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Per-query isolation (r02 verdict: 44 queries sharing one JVM let

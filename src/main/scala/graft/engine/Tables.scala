@@ -93,11 +93,35 @@ object Tables {
     * All four streaming twins route through here so a testdata
     * regeneration flips ONE branch, not four copies (r8 post-mortem).
     */
-  def readEventsStream(spark: SparkSession, eventsDir: String,
-                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+  /** Footer schema of the events files already in `eventsDir`; None
+    * when the directory is empty/not-yet-seeded (a file source may be
+    * defined before its first file lands). */
+  def eventsStreamFooter(spark: SparkSession,
+                         eventsDir: String): Option[org.apache.spark.sql.types.StructType] = {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val footer = spark.read.parquet(eventsDir).schema
+    try Some(spark.read.parquet(eventsDir).schema)
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  def readEventsStream(spark: SparkSession, eventsDir: String,
+                       maxFilesPerTrigger: Option[Int] = None,
+                       fallbackSfDir: Option[String] = None,
+                       probedFooter: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Footer from: an explicit probe the caller already paid for (a
+    // two-sided join must not probe twice — the dir could be rewritten
+    // between probes and hand the sides different ts types), else this
+    // call's probe, else — for an empty not-yet-seeded directory — the
+    // canonical table's POST-conversion schema (ts already timestamp),
+    // which lets a stream be defined before its first file arrives.
+    val footer = probedFooter
+      .orElse(eventsStreamFooter(spark, eventsDir))
+      .orElse(fallbackSfDir.map(sf => load(spark, sf, "events").schema))
+      .getOrElse(throw new IllegalStateException(
+        s"events stream at $eventsDir: no files to infer a schema from " +
+          "and no fallbackSfDir given"))
     val reader = spark.readStream.schema(footer)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(eventsDir)
@@ -188,6 +212,11 @@ object Tables {
       }
     }
     if (allOk) registered.put(spark, sfDir)
+    // Partial failure: the catalog now points (mostly) at THIS sfDir,
+    // so a stale memo naming the previous sfDir would make a later
+    // registerAll(prevSfDir) no-op and silently serve the wrong
+    // dataset. Clear it — the next call for ANY sfDir re-registers.
+    else registered.remove(spark)
   }
 
   /** Run reference-shaped SQL (comma-FROM implicit joins included —

@@ -46,7 +46,8 @@ object EventStreams {
     * `Tables.readEventsStream`, same branch as the batch loader. */
   def streamingWindowedAgg(spark: SparkSession, sfDir: String,
                            eventsDir: String): DataFrame =
-    windowedAgg(Tables.readEventsStream(spark, eventsDir)
+    windowedAgg(Tables.readEventsStream(spark, eventsDir,
+        fallbackSfDir = Some(sfDir))
       .withWatermark("ts", "2 hours"))
 
   /** Streaming exact dedup: `dropDuplicatesWithinWatermark` on the
@@ -58,7 +59,7 @@ object EventStreams {
     * allowed through, and everything inside it is exact). */
   def streamingDedup(spark: SparkSession, sfDir: String,
                      eventsDir: String): DataFrame =
-    Tables.readEventsStream(spark, eventsDir)
+    Tables.readEventsStream(spark, eventsDir, fallbackSfDir = Some(sfDir))
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
@@ -88,8 +89,13 @@ object EventStreams {
                              eventsDir: String,
                              joinType: String = "inner",
                              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // probe the footer ONCE: probing per side would read the dir twice
+    // and could hand the two join sides different ts types if the dir
+    // is rewritten between probes
+    val footer = Tables.eventsStreamFooter(spark, eventsDir)
     def src(): DataFrame =
-      Tables.readEventsStream(spark, eventsDir, maxFilesPerTrigger)
+      Tables.readEventsStream(spark, eventsDir, maxFilesPerTrigger,
+        fallbackSfDir = Some(sfDir), probedFooter = footer)
     val clicks = src().filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))

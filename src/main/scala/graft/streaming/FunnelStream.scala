@@ -50,7 +50,7 @@ object FunnelStream {
     * latest row per user is also the max). */
   def funnel(spark: SparkSession, sfDir: String, eventsDir: String): Dataset[FunnelOut] = {
     import spark.implicits._
-    Tables.readEventsStream(spark, eventsDir)
+    Tables.readEventsStream(spark, eventsDir, fallbackSfDir = Some(sfDir))
       .select(col("user_id"), unix_micros(col("ts")).as("ts"),
         when(col("event_type") === "view", 1)
           .when(col("event_type") === "click", 2)

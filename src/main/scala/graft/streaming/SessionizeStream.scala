@@ -73,7 +73,7 @@ object SessionizeStream {
     * CLOSED sessions. */
   def sessions(spark: SparkSession, sfDir: String, eventsDir: String): Dataset[SessionOut] = {
     import spark.implicits._
-    Tables.readEventsStream(spark, eventsDir)
+    Tables.readEventsStream(spark, eventsDir, fallbackSfDir = Some(sfDir))
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"))
       .as[Event]

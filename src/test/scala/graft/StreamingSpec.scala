@@ -193,6 +193,23 @@ class StreamingSpec extends AnyFunSuite {
       "watermark advance across batches flushed nothing")
   }
 
+  test("a stream can be defined on an EMPTY directory via the canonical-schema fallback") {
+    // A file source is routinely created before its first file lands;
+    // the footer probe then has nothing to read and readEventsStream
+    // must fall back to the canonical table's post-conversion schema
+    // (r9 review finding: the shared reader had dropped this).
+    val empty = java.nio.file.Files.createTempDirectory("evt_empty_in")
+    val df = EventStreams.streamingWindowedAgg(spark, sf, empty.toString)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSet ==
+      Set("hour_start", "event_type", "n_events", "total_value"))
+    // without the fallback the definition itself must fail loudly
+    val err = intercept[Exception] {
+      graft.engine.Tables.readEventsStream(spark, empty.toString)
+    }
+    assert(err.getMessage.contains("no files"), err.getMessage)
+  }
+
   test("streaming dedup removes exact duplicates within the watermark") {
     // stage TWO copies of the events file: every event is duplicated
     val dir = java.nio.file.Files.createTempDirectory("evt_dedup_in")

@@ -114,6 +114,10 @@ class TestdataCanarySpec extends AnyFunSuite {
     Files.write(Paths.get(s"$dir/events.parquet"),
       "this is not a parquet file".getBytes)
 
+    // The body re-points the SHARED session's registration at the
+    // temp dir; restore it in finally so a mid-test assertion failure
+    // cannot leave later suites querying the poisoned dataset.
+    try {
     // Must not throw despite the poisoned table...
     Tables.registerAll(spark, dir)
     // ...the other nine still answer SQL...
@@ -137,9 +141,10 @@ class TestdataCanarySpec extends AnyFunSuite {
     Tables.registerAll(spark, dir)
     val e = spark.sql("SELECT count(*) FROM events").collect()(0).getLong(0)
     assert(e > 0, "events did not recover after the poisoned file was fixed")
-
-    // Leave the shared session registered back on the spec's sf dir
-    // so later suites in the same JVM see the standard tables.
-    Tables.registerAll(spark, sf)
+    } finally {
+      // Leave the shared session registered back on the spec's sf dir
+      // so later suites in the same JVM see the standard tables.
+      Tables.registerAll(spark, sf)
+    }
   }
 }

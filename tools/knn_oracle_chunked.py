@@ -70,9 +70,40 @@ def canon(cols, rows):
     out.sort()
     return [cols[i] for i in order], out
 
+def drift_guard(out_dir, name):
+    """This tool re-derives the oracle SQL (it must inject the chunk
+    predicate, so it cannot run oracle_sql.json verbatim). Guard
+    against silent drift from the Scala-owned oracle: the committed
+    oracle text must contain the load-bearing fragments of our
+    template (fixture constants, cosine expression, tie-break). A
+    mismatch means Similarity.scala changed and this template must be
+    updated — fail LOUDLY instead of validating a stale contract."""
+    import json
+    path = os.path.join(out_dir, "oracle_sql.json")
+    committed = json.load(open(path)).get(name)
+    if committed is None:
+        sys.exit(f"DRIFT {name}: not present in {path}")
+    frags = ["list_dot_product(a.v, b.v)", "row_number() OVER",
+             "PARTITION BY a.vec_id", "b.vec_id) AS rnk",
+             "WHERE rnk <= 5", "round(cos_sim, 4)"]
+    if BASE_OF[name][0] == "cl":
+        frags += ["vec_id < 20", "0.15 * p[2]", "e.vec_id % 20 = s.c"]
+    missing = [f for f in frags if f not in committed]
+    if missing:
+        sys.exit(f"DRIFT {name}: committed oracle no longer contains "
+                 f"{missing} — update knn_oracle_chunked.py's template "
+                 f"to match Similarity.scala before trusting it")
+
 def main():
     sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
     n_chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+    drift_guard(out_dir, name)
+    if name == "sim6_knn_capped":
+        print("NOTE sim6_knn_capped: at large SF the per-bucket cap "
+              "ENGAGES and this exact oracle legitimately diverges "
+              "(near-tie slots only; see SCALE.md) — a FAIL here is "
+              "the documented engaged regime, not necessarily a bug",
+              flush=True)
     con = duckdb.connect()
     p = f"{sf_dir}/embeddings.parquet"
     if os.path.isdir(p):
