@@ -44,16 +44,18 @@ object Bench {
     // outside the timed region.
     graft.engine.Tables.registerAll(spark, sfDir)
     try spark.sql("SELECT count(*) FROM lineitem").collect()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // ANN index build/load is the OFFLINE step of an ANN deployment —
     // keep it out of the measured window so a regenerated corpus
     // (fresh index key) doesn't charge a one-time k-means fit to the
     // first sim2/sim3 probe.
     try graft.pipeline.Similarity.ensureAnnIndexes(spark, sfDir)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       // visible, not fatal: a failed pre-warm means the one-time index
       // build lands back inside sim2/sim3's measured window — the
-      // reader of the numbers must be able to see why
+      // reader of the numbers must be able to see why. Fatal
+      // throwables (OOM, interrupts) propagate: a bench continuing in
+      // a corrupted JVM would print numbers nobody should trust.
       System.err.println(s"[bench] ANN index pre-warm FAILED " +
         s"(sim2/sim3 cold times will include the index build): " +
         s"${e.getClass.getSimpleName}: ${e.getMessage}")

@@ -93,35 +93,74 @@ object Tables {
     * All four streaming twins route through here so a testdata
     * regeneration flips ONE branch, not four copies (r8 post-mortem).
     */
+  // The two parquet-reader confs the events ts-shape adaptation
+  // depends on. Probes restore these after reading the footer so a
+  // read-only schema probe never leaks nanosAsLong=true into later,
+  // unrelated parquet reads in the same session (r9 advice).
+  private val NtzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  private def withEventsReaderConfs[A](spark: SparkSession)(body: => A): A = {
+    val prevNtz = spark.conf.getOption(NtzKey)
+    val prevNanos = spark.conf.getOption(NanosKey)
+    spark.conf.set(NtzKey, "false")
+    spark.conf.set(NanosKey, "true")
+    def restore(key: String, prev: Option[String]): Unit = prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    try body
+    finally { restore(NtzKey, prevNtz); restore(NanosKey, prevNanos) }
+  }
+
   /** Footer schema of the events files already in `eventsDir`; None
     * when the directory is empty/not-yet-seeded (a file source may be
-    * defined before its first file lands). */
+    * defined before its first file lands). Session confs are restored
+    * after the probe — a schema probe is read-only. */
   def eventsStreamFooter(spark: SparkSession,
-                         eventsDir: String): Option[org.apache.spark.sql.types.StructType] = {
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try Some(spark.read.parquet(eventsDir).schema)
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
-  }
+                         eventsDir: String): Option[org.apache.spark.sql.types.StructType] =
+    withEventsReaderConfs(spark) {
+      try Some(spark.read.parquet(eventsDir).schema)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
 
   def readEventsStream(spark: SparkSession, eventsDir: String,
                        maxFilesPerTrigger: Option[Int] = None,
                        fallbackSfDir: Option[String] = None,
                        probedFooter: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Footer from: an explicit probe the caller already paid for (a
     // two-sided join must not probe twice — the dir could be rewritten
     // between probes and hand the sides different ts types), else this
     // call's probe, else — for an empty not-yet-seeded directory — the
     // canonical table's POST-conversion schema (ts already timestamp),
     // which lets a stream be defined before its first file arrives.
+    //
+    // KNOWN LIMIT of the empty-dir fallback (r9 advice): a stream
+    // defined over an empty directory assumes the post-conversion
+    // shape (ts: timestamp). If files later land in the OLD
+    // nanos-as-long physical shape, the int64 column is read under a
+    // timestamp schema and the query fails (or misreads) at its first
+    // batch, not at definition. Seed at least one file before
+    // defining the stream when the physical shape is not known to be
+    // current — all in-repo callers (EventStreams/Funnel/Sessionize
+    // tests and mains) seed first and use the fallback only as a
+    // define-before-first-file convenience.
     val footer = probedFooter
       .orElse(eventsStreamFooter(spark, eventsDir))
       .orElse(fallbackSfDir.map(sf => load(spark, sf, "events").schema))
       .getOrElse(throw new IllegalStateException(
         s"events stream at $eventsDir: no files to infer a schema from " +
           "and no fallbackSfDir given"))
+    // A file-source stream re-resolves parquet footers at every
+    // micro-batch, so a nanos-shaped corpus needs nanosAsLong=true
+    // (and NTZ inference off) for the LIFETIME of the query — that is
+    // the one branch where the session confs must stay set. For the
+    // already-timestamp shapes nothing is mutated (the probe above
+    // restores its own confs).
+    if (footer("ts").dataType == org.apache.spark.sql.types.LongType) {
+      spark.conf.set(NtzKey, "false")
+      spark.conf.set(NanosKey, "true")
+    }
     val reader = spark.readStream.schema(footer)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(eventsDir)

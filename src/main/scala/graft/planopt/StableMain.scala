@@ -95,7 +95,23 @@ object StableMain {
     val relabeled = Pipelines.labelWorkload(spark, testQ,
       new Pipelines.Logger(None)) // second pass: no per-query log spam
     val byQid = relabeled.map(r => r.qid -> r.latenciesMs).toMap
-    val floorPairs = art.testLabeled.filter(q => byQid.contains(q.qid))
+    // The floor pairs run-1 and run-2 latency vectors POSITIONALLY, so
+    // a qid whose second enumeration yielded a different candidate
+    // count (conf drift, nondeterminism) would trip rankingLoss's
+    // length require and abort the run AFTER training/eval already
+    // succeeded. A diagnostic-only metric must never kill the run:
+    // drop (and log) any mismatched qid instead (r9 advice).
+    val floorPairs = art.testLabeled.filter { q =>
+      byQid.get(q.qid) match {
+        case Some(l2) if l2.length == q.latenciesMs.length => true
+        case Some(l2) =>
+          log.info(s"noise-floor: dropping qid=${q.qid} — relabel " +
+            s"yielded ${l2.length} candidates vs ${q.latenciesMs.length} " +
+            "on the first pass (positional pairing impossible)")
+          false
+        case None => false
+      }
+    }
     val floor = Ranking.rankingLoss(
       floorPairs.map(q => byQid(q.qid)), floorPairs.map(_.latenciesMs))
     log.info(f"label-noise floor (run1-vs-run2 relabel of the test " +

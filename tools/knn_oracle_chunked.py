@@ -101,8 +101,9 @@ def main():
     if name == "sim6_knn_capped":
         print("NOTE sim6_knn_capped: at large SF the per-bucket cap "
               "ENGAGES and this exact oracle legitimately diverges "
-              "(near-tie slots only; see SCALE.md) — a FAIL here is "
-              "the documented engaged regime, not necessarily a bug",
+              "(near-tie slots only; see SCALE.md) — a value mismatch "
+              "here exits 3 (engaged-regime divergence), NOT 1, so an "
+              "automated caller can tell it from a real regression",
               flush=True)
     con = duckdb.connect()
     p = f"{sf_dir}/embeddings.parquet"
@@ -136,7 +137,13 @@ def main():
         for a, b in list(zip(sc, oc))[:5]:
             if a != b:
                 print(f"  spark={a} oracle={b}")
-        sys.exit(1)
+        # sim6's cap legitimately diverges from the exact oracle once
+        # it engages (documented regime, SCALE.md): distinct exit code
+        # so callers can separate it from a genuine regression.
+        # Structural failures (cols/rows) above still exit 1 — the
+        # engaged cap changes VALUES in near-tie slots, never the
+        # result shape.
+        sys.exit(3 if name == "sim6_knn_capped" else 1)
     print(f"PASS {name} ({len(sc)} rows, chunked exact oracle)")
 
 if __name__ == "__main__":
