@@ -311,21 +311,37 @@ object Dedup {
       .distinct()
   }
 
-  // --- SimHash (64-bit, term-frequency weighted, 4 bands × 16 bits;
+  // --- SimHash (60-bit, term-frequency weighted, 4 bands × 15 bits;
   //     pigeonhole: any pair at hamming<=3 shares a full band) ---
   private val SimHashBands = 4
+  private val SimHashBandBits = 15
   private val SimHashMaxHamming = 3
 
-  /** (doc_id, simhash LONG): sign-aggregated 64-bit fingerprint over
-    * xxhash64(token) — the classic Charikar sketch, as the fused
-    * [[graft.functions.SimHashSketch]] aggregate (value-identical to
-    * the pre-r6 64-bit-sum + sign-recombination form, one bounded
-    * buffer instead of 64 generated agg slots).
+  /** dd4's per-token hash: the first 15 hex digits (60 bits) of
+    * md5(token), as a non-negative LONG. md5 is the one hash BOTH
+    * engines compute byte-identically over UTF-8 text (the emb2
+    * sign-matrix trick, `Similarity.scala` rpSignsSql), which is what
+    * upgrades dd4 from a rows-only gate to a full cross-engine
+    * hash-match oracle — xxhash64 (pre-r10) had no DuckDB twin. 60
+    * bits instead of 64 keeps the value positive in a SIGNED int64 in
+    * both engines with no overflow/wraparound edge to reconcile, and
+    * divides evenly into 4 × 15-bit bands.
+    */
+  private[graft] val simhashTokenHashSql: String =
+    "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+
+  /** (doc_id, simhash LONG): sign-aggregated 60-bit fingerprint over
+    * [[simhashTokenHashSql]] — the classic Charikar sketch, as the
+    * fused [[graft.functions.SimHashSketch]] aggregate
+    * (value-identical to the pre-r6 bit-sum + sign-recombination
+    * form, one bounded buffer instead of 64 generated agg slots;
+    * with 60-bit inputs the top 4 counters stay negative, so
+    * fingerprint bits 60..63 are always 0 in both forms).
     */
   private[graft] def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.SimHashSketch.register(spark)
     tokenStream(spark, sfDir)
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), expr(simhashTokenHashSql).as("h"))
       .groupBy(col("doc_id"))
       .agg(expr("graft_simhash(h)").as("simhash"))
   }
@@ -677,11 +693,12 @@ object Dedup {
           greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       verifiedPairs(shingleSets(spark, sfDir), cand, 0.8)
     }),
-    // SimHash near-dup: banded on 16-bit chunks (pigeonhole: any pair
+    // SimHash near-dup: banded on 15-bit chunks (pigeonhole: any pair
     // at hamming<=3 shares a full chunk and is a guaranteed
-    // candidate), verified on the full fingerprint. No SQL-expressible
-    // oracle (engine-specific xxhash64) → rows-only gate + ScalaTest
-    // against the planted near-dups.
+    // candidate), verified on the full fingerprint. Since r10 the
+    // per-token hash is md5-derived ([[simhashTokenHashSql]]), so the
+    // DuckDB oracle regenerates the IDENTICAL fingerprints and this
+    // is a full hash-match gate (was rows-only under xxhash64).
     "dd4_simhash" -> ((spark, sfDir) =>
       simhashNearDupPairs(simhashes(spark, sfDir))),
     // Boilerplate removal (C4-style): corpus-frequent segments are
@@ -697,19 +714,20 @@ object Dedup {
       boilerplateRollup(segments(spark, sfDir))))
 
   /** dd4's candidate generation + verification over a (doc_id,
-    * simhash) frame: banded on 16-bit chunks (pigeonhole: any pair at
+    * simhash) frame: banded on 15-bit chunks (pigeonhole: any pair at
     * hamming<=[[SimHashMaxHamming]] has 3 flips across 4 bands, so
     * at least one band survives intact and the pair is a GUARANTEED
-    * candidate), then verified on the full 64-bit fingerprint.
+    * candidate), then verified on the full 60-bit fingerprint.
     * Factored out so the spec can drive it with planted fingerprints
     * (a 3-bit flip across distinct bands that MUST be found, a 4-bit
     * same-band flip that MUST be band-matched yet hamming-rejected)
-    * — the two-sided gate the rows-only driver entry lacks. */
+    * — a two-sided gate on top of the r10 cross-engine hash oracle. */
   private[graft] def simhashNearDupPairs(shs: DataFrame): DataFrame = {
+    val mask = (1L << SimHashBandBits) - 1
     val chunk = shs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         s"""transform(sequence(0, ${SimHashBands - 1}), c ->
-           |  shiftright(simhash, c * 16) & 65535L)""".stripMargin)))
+           |  shiftright(simhash, c * $SimHashBandBits) & ${mask}L)""".stripMargin)))
       .toDF("doc_id", "simhash", "band", "band_val")
       .persist() // both self-join sides; avoids recomputing the 64-bit-sum pass
     chunk.as("a").join(chunk.as("b"),
@@ -851,6 +869,50 @@ object Dedup {
        |  CAST(sum(length(coalesce(ctext, ''))) AS BIGINT) AS chars_kept
        |FROM cleaned GROUP BY source""".stripMargin
 
+  /** dd4 oracle: an INDEPENDENT DuckDB formulation of the whole
+    * simhash pipeline — md5-derived 60-bit token hashes (the same
+    * [[simhashTokenHashSql]] value via DuckDB's 0x-cast), explicit
+    * per-bit signed counters + sign recombination (the pre-r6
+    * unrolled form, NOT the fused aggregate), 15-bit banding, and a
+    * hamming<=3 verify. Fingerprints are value-identical across
+    * engines because md5 is, so this is a full hash-match gate
+    * (pre-r10: rows-only, xxhash64 had no DuckDB twin).
+    */
+  private val dd4OracleSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+       |  FROM documents
+       |),
+       |th AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+       |  FROM tok
+       |),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM th CROSS JOIN (SELECT unnest(range(${SimHashBands * SimHashBandBits})) AS b)
+       |  GROUP BY doc_id, b
+       |),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN c >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+       |      AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |),
+       |bands AS (
+       |  SELECT doc_id, simhash, c AS band,
+       |    (simhash >> (c * $SimHashBandBits)) & ${(1L << SimHashBandBits) - 1} AS band_val
+       |  FROM fp CROSS JOIN (SELECT unnest(range($SimHashBands)) AS c)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_val = b.band_val
+       |    AND a.doc_id < b.doc_id
+       |)
+       |SELECT a_id, b_id, hamming FROM cand
+       |WHERE hamming <= $SimHashMaxHamming""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dc1_decontaminate" -> dc1OracleSql,
     "dd9_boilerplate" -> dd9OracleSql,
@@ -862,7 +924,7 @@ object Dedup {
     // dd3 must reproduce dd2's exact result — the oracle doubles as an
     // end-to-end MinHash-recall check.
     "dd3_minhash_lsh" -> dd2OracleSql,
-    // dd4_simhash: intentionally no oracle (engine-specific hash).
+    "dd4_simhash" -> dd4OracleSql,
     "dd6_dup_clusters" -> dd6OracleSql,
     "dd7_incremental_dedup" -> dd7OracleSql,
     "dd8_canonical_corpus" -> dd8OracleSql

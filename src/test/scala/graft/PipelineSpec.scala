@@ -102,10 +102,13 @@ class PipelineSpec extends AnyFunSuite {
     val fused = Dedup.simhashes(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the pre-r6 formulation: 64 signed bit sums + sign recombination
+    // (r10: over the same md5-derived 60-bit token hash the fused
+    // path and the DuckDB oracle use — bits 60..63 sum negative in
+    // both forms, so the full-64-bit comparison still holds)
     val ex = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
       .toDF("doc_id", "pos", "t")
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), expr(Dedup.simhashTokenHashSql).as("h"))
     def bitSum(b: Int) =
       sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"s$b")
     val sums = ex.groupBy(col("doc_id")).agg(bitSum(0), (1 until 64).map(bitSum): _*)
@@ -133,10 +136,10 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     // Two-sided planted gate over the REAL corpus fingerprints (the
     // dd5_blocked_tau09 pattern): pick a live doc as the source, then
-    //  - plant A: its simhash with 3 bits flipped in DISTINCT 16-bit
-    //    bands (bits 0, 16, 32) — hamming 3. Pigeonhole: band 3 is
-    //    intact, so banding MUST surface it and the filter MUST keep
-    //    it (recall side).
+    //  - plant A: its simhash with 3 bits flipped in DISTINCT 15-bit
+    //    bands (bits 0, 16, 32 → bands 0, 1, 2) — hamming 3.
+    //    Pigeonhole: band 3 is intact, so banding MUST surface it and
+    //    the filter MUST keep it (recall side).
     //  - plant B: 4 bits flipped inside ONE band (bits 0..3) —
     //    hamming 4. Three intact bands make it a GUARANTEED candidate,
     //    so its absence from the output proves the hamming<=3
