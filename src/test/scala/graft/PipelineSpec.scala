@@ -520,6 +520,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(minCos >= 0.9, s"engaged cap surfaced a non-neighbor: $minCos")
   }
 
+  test("engaged-cap ANN gate (sim7): cap provably engages and recall holds") {
+    // The r9 verdict's residual #1: sim6's cap is dormant at gate
+    // scale, so no RECURRING gate covered the engaged regime. sim7's
+    // driver gate is a full hash-match oracle of the ENGAGED pipeline;
+    // this spec pins the two properties the identity oracle alone
+    // can't state: (a) the cap really drops partners on the gate
+    // corpus (otherwise sim7 would be dormant too), (b) the capped
+    // result keeps high recall vs the exact kNN — the quality
+    // contract a 100 TB deployment relies on.
+    val e = Similarity.clusteredVecs(spark, sf)
+    val sig = Similarity.srpSignatures(spark, e).persist()
+    try {
+      val buckets = sig.groupBy("band", "sig").count().collect()
+      val maxBucket = buckets.map(_.getLong(2)).max
+      val over = buckets.count(_.getLong(2) > 4)
+      assert(maxBucket > 4,
+        s"no (band, sig) bucket exceeds cap 4 — the gate is dormant (max=$maxBucket)")
+      assert(over > 50,
+        s"cap engages in only $over buckets — engagement is marginal, not structural")
+      val engaged = SparkEntry.queries("sim7_knn_engaged")(spark, sf).collect()
+      val perRow = engaged.groupBy(_.getLong(0)).view.mapValues(_.length)
+      assert(perRow.values.forall(_ == 5), "engaged cap lost result rows")
+      val engagedPairs = engaged.map(r => (r.getLong(0), r.getLong(2))).toSet
+      val exactPairs = Similarity.knnJoinExact(e, 5).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (exactPairs & engagedPairs).size.toDouble / exactPairs.size
+      assert(recall >= 0.85, f"engaged recall@5 $recall%.3f below contract 0.85")
+      // dropped slots are near-ties, not misses: everything surfaced
+      // is a genuine cluster neighbor on this fixture
+      val minCos = engaged.map(_.getDouble(3)).min
+      assert(minCos >= 0.9, s"engaged cap surfaced a non-neighbor: $minCos")
+    } finally sig.unpersist()
+  }
+
   test("hyperplane band signatures: codegen equals interpreted eval") {
     import graft.functions.HyperplaneBands
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
