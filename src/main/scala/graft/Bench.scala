@@ -60,6 +60,16 @@ object Bench {
         s"(sim2/sim3 cold times will include the index build): " +
         s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+    // Same offline-step contract for io5's corpus-keyed bucketed
+    // layout (r9 verdict #6): pay the pay-once layout write outside
+    // the measured window so io5 measures the co-located join, not
+    // the one-time table build.
+    try graft.pipeline.CorpusIO.prewarmBucketLayout(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bucket-layout pre-warm FAILED " +
+        s"(io5 cold time will include the layout write): " +
+        s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Per-query isolation (r02 verdict: 44 queries sharing one JVM let

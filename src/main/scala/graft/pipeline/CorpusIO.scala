@@ -180,6 +180,8 @@ object CorpusIO {
       .orderBy(col("o_orderpriority"))
   }
 
+  private val BucketCount = 16
+
   private[graft] def bucketedJoin(spark: SparkSession, sfDir: String,
                                   tag: String): DataFrame = {
     val ot = s"graft_bkt_orders_$tag"
@@ -191,14 +193,119 @@ object CorpusIO {
     Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
       .write.mode("overwrite")
-      .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey")
       .format("parquet").saveAsTable(ot)
     Tables.load(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .write.mode("overwrite")
-      .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey")
       .format("parquet").saveAsTable(lt)
     ordersLineitemRollup(spark.table(ot), spark.table(lt))
+  }
+
+  /** On-disk home of the CORPUS-KEYED bucketed layout (r9 verdict #6)
+    * — same contract as the persisted ANN index headers in
+    * [[Similarity]]: keyed by the source files' identity (mtime+size)
+    * and the bucket spec, so a regenerated corpus or changed bucket
+    * count writes a fresh layout instead of serving a stale one. The
+    * pay-layout-once story the 100 TB plan tells becomes literal: the
+    * 16-bucket orders/lineitem copies are written ONCE per corpus and
+    * every later io5 invocation (same JVM or a later one) is
+    * join-only over the existing files. */
+  private def bucketLayoutDir(sfDir: String): String = {
+    val o = new java.io.File(s"$sfDir/orders.parquet")
+    val l = new java.io.File(s"$sfDir/lineitem.parquet")
+    val key = s"${o.lastModified}_${o.length}_${l.lastModified}_${l.length}" +
+      s"_b$BucketCount"
+    val base = sys.env.getOrElse("GRAFT_INDEX_DIR",
+      sys.props("java.io.tmpdir") + "/graft-index")
+    s"$base/bkt_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}_$key"
+  }
+
+  /** Write the bucketed layout into a tmp sibling and atomically
+    * rename into place — two overlapping JVMs (a verify and a bench)
+    * may both decide to build; the loser's rename fails and its tmp
+    * dir is discarded, so the published layout is always one writer's
+    * complete output. saveAsTable is the only writer of bucketed
+    * FILES, so the build goes through transient external tables whose
+    * catalog entries are dropped right after (DROP on an external
+    * table keeps the files). */
+  private def writeBucketLayout(spark: SparkSession, sfDir: String,
+                                base: String): Unit = {
+    val tmp = base + ".tmp." + java.lang.Long.toHexString(System.nanoTime())
+    val tag = "w" + java.lang.Long.toHexString(System.nanoTime())
+    try {
+      Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/orders")
+        .format("parquet").saveAsTable(s"graft_bkt_orders_$tag")
+      Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/lineitem")
+        .format("parquet").saveAsTable(s"graft_bkt_lineitem_$tag")
+      Files.write(Paths.get(tmp, "_GRAFT_COMPLETE"), Array.emptyByteArray)
+      val published = new java.io.File(base).exists() ||
+        new java.io.File(tmp).renameTo(new java.io.File(base))
+      if (!published || new java.io.File(tmp).exists())
+        deleteRec(new java.io.File(tmp)) // another writer won the race
+    } finally dropBucketTables(spark, tag)
+  }
+
+  /** io5 over the corpus-keyed persisted layout: build the layout on
+    * true first touch, then register external bucketed tables over it
+    * (a catalog-only operation — no data write) and run the rollup.
+    * Any NonFatal layout/DDL failure degrades to the per-invocation
+    * [[bucketedJoin]] path, which is correct but pays the layout
+    * write — surfaced on stderr so a persistently broken cache dir is
+    * visible. */
+  private[graft] def bucketedJoinCached(spark: SparkSession,
+                                        sfDir: String): DataFrame = {
+    import scala.util.control.NonFatal
+    val base = bucketLayoutDir(sfDir)
+    try {
+      if (!new java.io.File(base, "_GRAFT_COMPLETE").exists())
+        writeBucketLayout(spark, sfDir, base)
+      // deterministic names keyed on the layout identity: re-running
+      // CREATE IF NOT EXISTS against the same location is a no-op,
+      // and a NEW corpus (new base) gets new names — never a stale map
+      val id = java.lang.Integer.toHexString(base.hashCode).takeWhile(_ != '-')
+      val ot = s"graft_bktc_orders_$id"
+      val lt = s"graft_bktc_lineitem_$id"
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $ot
+           |  (o_orderkey BIGINT, o_orderpriority STRING)
+           |USING parquet
+           |CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)
+           |INTO $BucketCount BUCKETS
+           |LOCATION '$base/orders'""".stripMargin)
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $lt
+           |  (l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
+           |USING parquet
+           |CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
+           |INTO $BucketCount BUCKETS
+           |LOCATION '$base/lineitem'""".stripMargin)
+      ordersLineitemRollup(spark.table(ot), spark.table(lt))
+    } catch { case NonFatal(e) =>
+      System.err.println(s"[graft] io5 bucket-layout cache failed under " +
+        s"$base (falling back to per-invocation layout write): $e")
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      // materialize before dropping the transient tables it reads
+      try eager(bucketedJoin(spark, sfDir, tag))
+      finally dropBucketTables(spark, tag)
+    }
+  }
+
+  /** Idempotent offline step for the bench pre-warm (the sim3 ANN
+    * index precedent): ensure the corpus-keyed layout exists so the
+    * measured io5 window is join-only. Cheap no-op when the layout
+    * already matches the corpus. */
+  def prewarmBucketLayout(spark: SparkSession, sfDir: String): Unit = {
+    val base = bucketLayoutDir(sfDir)
+    if (!new java.io.File(base, "_GRAFT_COMPLETE").exists())
+      writeBucketLayout(spark, sfDir, base)
   }
 
   /** Dynamic partition pruning: customer written partitioned by
@@ -347,14 +454,11 @@ object CorpusIO {
   }
 
   private def bucketedJoinGate(spark: SparkSession,
-                               sfDir: String): DataFrame = {
-    // per-invocation table names: two JVMs sharing one warehouse dir
-    // (a verify and a bench run overlapping) must not clobber each
-    // other's managed-table files mid-query
-    val tag = java.lang.Long.toHexString(System.nanoTime())
-    try eager(bucketedJoin(spark, sfDir, tag))
-    finally dropBucketTables(spark, tag)
-  }
+                               sfDir: String): DataFrame =
+    // corpus-keyed persisted layout (r9 verdict #6): first touch per
+    // corpus writes the bucketed copies, every later invocation is
+    // join-only; cross-JVM races resolve via the atomic rename inside
+    eager(bucketedJoinCached(spark, sfDir))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io1_json_roundtrip" -> ((spark, sfDir) => roundTrip(spark, sfDir, "json")),

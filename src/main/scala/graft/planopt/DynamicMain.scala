@@ -9,9 +9,17 @@ import graft.workload.{Harvester, WorkloadGen}
   * `Lero/dynamic.py:23-53` / `Lero/deployment.py:16-46` entry point,
   * Spark-native: a query stream arrives in BATCHES over time; for
   * each consecutive (batch i, batch i+1) pair the comparator is
-  * retrained FROM SCRATCH on batch i's labeled plans and evaluated on
-  * batch i+1 — the drift-tolerant deployment mode (no accumulating
-  * training set, so a workload shift ages out after one batch).
+  * retrained on labeled plans and evaluated on batch i+1, in BOTH
+  * protocol variants (r9 verdict #5):
+  *   - scratch: train on batch i alone — drift-tolerant (a workload
+  *     shift ages out after one batch), label-starved;
+  *   - accumulating (`Lero/deployment.py:16-46` style): train on
+  *     batches 0..i — label-rich, drift-naive.
+  * Labels (the expensive step: candidate enumeration + timed
+  * execution) are paid once per batch and shared by both variants.
+  * Each eval batch is additionally RELABELED once and the run1-vs-run2
+  * positional ranking loss logged as that batch's noise floor — a
+  * batch loss is a model statement only when it exceeds its floor.
   * Reports the reference's lero_latency_list (per-batch selected-plan
   * totals) plus the per-batch default totals and ranking losses the
   * reference logs separately.
@@ -25,7 +33,7 @@ object DynamicMain {
     val numGen = args.lift(1).map(_.toInt).getOrElse(60)
     val batchSize = args.lift(2).map(_.toInt).getOrElse(12)
     val epochs = args.lift(3).map(_.toInt).getOrElse(60)
-    val outDir = args.lift(4).getOrElse("results/r7_dynamic")
+    val outDir = args.lift(4).getOrElse("results/r10_dynamic")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,28 +73,66 @@ object DynamicMain {
       log.info(s"labeling batch $i (${b.length} queries)")
       Pipelines.labelWorkload(spark, b, log)
     }
+    // Per-batch NOISE FLOOR (same protocol as StableMain's, r9 verdict
+    // #5): relabel each batch once and pair run-1 vs run-2 latency
+    // vectors positionally; a batch ranking loss above its floor is a
+    // model statement, at-or-under is re-measurement noise. Mismatched
+    // candidate counts are dropped (never fatal), as in StableMain.
+    val floors = batches.zipWithIndex.map { case (b, i) =>
+      val relabeled = Pipelines.labelWorkload(spark, b,
+        new Pipelines.Logger(None))
+      val byQid = relabeled.map(r => r.qid -> r.latenciesMs).toMap
+      val pairs = labeled(i).filter { q =>
+        byQid.get(q.qid).exists(_.length == q.latenciesMs.length) ||
+          { log.info(s"noise-floor: dropping qid=${q.qid} in batch $i — " +
+              "relabel candidate count mismatch"); false }
+      }
+      val floor = graft.planopt.Ranking.rankingLoss(
+        pairs.map(q => byQid(q.qid)), pairs.map(_.latenciesMs))
+      log.info(f"batch $i noise floor (run1-vs-run2 relabel): " +
+        f"${floor.getOrElse(Double.NaN)}%.4f over ${pairs.size} queries")
+      floor.getOrElse(Double.NaN)
+    }
+
     // bootstrap = the reference's model_0 entry (dynamic.py:28-38):
     // a 1-query model evaluated on batch 0, so the latency list has
-    // one entry PER BATCH like lero_dynamic_latency_list
-    val results = Pipelines.deploymentLoopResults(labeled, epochs,
-      seed = 17L, log = log, bootstrap = true)
+    // one entry PER BATCH like lero_dynamic_latency_list. Both
+    // protocol variants share the labels paid above.
+    val modes = Seq(
+      "scratch" -> Pipelines.deploymentLoopResults(labeled, epochs,
+        seed = 17L, log = log, bootstrap = true),
+      "accum" -> Pipelines.deploymentLoopResults(labeled, epochs,
+        seed = 17L, log = log, bootstrap = true, accumulate = true))
 
-    results.zipWithIndex.foreach { case (r, i) =>
-      log.info(f"batch ${i + 1}: loss=${r.rankingLoss.getOrElse(Double.NaN)}%.4f " +
-        f"selected=${r.selectedTotalSec}%.3fs default=${r.defaultTotalSec}%.3fs")
+    modes.foreach { case (mode, results) =>
+      results.zipWithIndex.foreach { case (r, i) =>
+        // result index i evaluates on batch i (bootstrap evals batch 0)
+        val floor = floors.lift(i).getOrElse(Double.NaN)
+        val loss = r.rankingLoss.getOrElse(Double.NaN)
+        val verdict =
+          if (loss.isNaN || floor.isNaN) "n/a"
+          else if (loss <= floor) "at-or-under floor (noise)"
+          else "ABOVE floor (model statement)"
+        log.info(f"[$mode] batch eval $i: loss=$loss%.4f floor=$floor%.4f " +
+          f"[$verdict] selected=${r.selectedTotalSec}%.3fs " +
+          f"default=${r.defaultTotalSec}%.3fs")
+      }
+      val latencyList = results.map(r => f"${r.selectedTotalSec}%.6f")
+        .mkString("[", ", ", "]")
+      val defaultList = results.map(r => f"${r.defaultTotalSec}%.6f")
+        .mkString("[", ", ", "]")
+      val suffix = if (mode == "scratch") "" else "_accum"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/lero_latency_list$suffix.json"),
+        s"""{"lero_latency_list": $latencyList,
+           | "default_latency_list": $defaultList,
+           | "mode": "$mode",
+           | "batch_noise_floors": ${floors.map(f => f"$f%.6f").mkString("[", ", ", "]")}}
+           |""".stripMargin)
+      log.info(f"[$mode] totals: selected=${results.map(_.selectedTotalSec).sum}%.3fs " +
+        f"default=${results.map(_.defaultTotalSec).sum}%.3fs " +
+        s"over ${results.length} evaluation batches")
     }
-    val latencyList = results.map(r => f"${r.selectedTotalSec}%.6f")
-      .mkString("[", ", ", "]")
-    val defaultList = results.map(r => f"${r.defaultTotalSec}%.6f")
-      .mkString("[", ", ", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/lero_latency_list.json"),
-      s"""{"lero_latency_list": $latencyList,
-         | "default_latency_list": $defaultList}
-         |""".stripMargin)
-    log.info(f"totals: selected=${results.map(_.selectedTotalSec).sum}%.3fs " +
-      f"default=${results.map(_.defaultTotalSec).sum}%.3fs " +
-      s"over ${results.length} evaluation batches")
     log.close()
     spark.stop()
   }

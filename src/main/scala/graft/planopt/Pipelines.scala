@@ -310,11 +310,21 @@ object Pipelines {
     * entries and is shape-comparable with the reference's
     * `lero_dynamic_latency_list` artifact. The deployment mode
     * (`Lero/deployment.py:16-46`) has no bootstrap and emits
-    * `batches.length - 1` entries. */
+    * `batches.length - 1` entries.
+    *
+    * With `accumulate = true` (the deployment.py-style accumulating
+    * mode, r9 verdict #5) model_i is trained on ALL labeled batches
+    * 0..i rather than batch i alone — the training corpus grows with
+    * the stream, trading drift-tolerance for label volume. The
+    * reference's `train_{i}` harvest files are cumulative per
+    * exploration run in that mode, so the Spark-native analog is a
+    * growing flatten of the labeled batches (labels are still paid
+    * once per batch; only training re-runs). */
   def deploymentLoopResults(batches: Seq[Seq[LabeledQuery]],
                             epochs: Int = 100, seed: Long = 17L,
                             log: Logger = new Logger(None),
-                            bootstrap: Boolean = false): Seq[EvalResult] = {
+                            bootstrap: Boolean = false,
+                            accumulate: Boolean = false): Seq[EvalResult] = {
     val boot = if (bootstrap && batches.nonEmpty && batches.head.nonEmpty) {
       val (fg0, model0) = train(batches.head.take(1), epochs, seed)
       val res0 = evaluate(fg0, model0, batches.head)
@@ -322,11 +332,15 @@ object Pipelines {
         f"loss=${res0.rankingLoss} sum=${res0.selectedTotalSec}%.3fs")
       Seq(res0)
     } else Nil
-    boot ++ batches.sliding(2).collect { case Seq(trainBatch, validBatch) =>
-      val (fg, model) = train(trainBatch, epochs, seed)
-      val res = evaluate(fg, model, validBatch)
-      log.info(f"batch eval: loss=${res.rankingLoss} sum=${res.selectedTotalSec}%.3fs")
+    boot ++ batches.indices.drop(1).map { i =>
+      val trainSet =
+        if (accumulate) batches.take(i).flatten else batches(i - 1)
+      val (fg, model) = train(trainSet, epochs, seed)
+      val res = evaluate(fg, model, batches(i))
+      log.info(f"batch eval (train=${trainSet.size} queries" +
+        (if (accumulate) s", batches 0..${i - 1} accumulated" else "") +
+        f"): loss=${res.rankingLoss} sum=${res.selectedTotalSec}%.3fs")
       res
-    }.toSeq
+    }
   }
 }

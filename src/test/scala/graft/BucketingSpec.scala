@@ -80,21 +80,29 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("io5 gate joins bucket-to-bucket: no exchange feeds the join") {
-    val tag = "spec"
-    try {
-      Candidates.withConfs(spark, Seq(
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.adaptive.enabled" -> "false")) {
-        val j = graft.pipeline.CorpusIO.bucketedJoin(spark, sf, tag)
-        val plan = j.queryExecution.executedPlan
-        val smj = plan.collect { case s: SortMergeJoinExec => s }
-        assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
-        val exchangesUnderJoin = smj.head.collect { case e: ShuffleExchangeExec => e }
-        assert(exchangesUnderJoin.isEmpty,
-          s"io5 bucketed join still shuffles:\n${smj.head}")
-        assert(j.count() > 0)
-      }
-    } finally graft.pipeline.CorpusIO.dropBucketTables(spark, tag)
+    // pin the CACHED (corpus-keyed persisted layout) path — the one
+    // the gate actually runs; a second call must reuse the layout
+    // (catalog-only registration) and still plan zero join exchanges
+    Candidates.withConfs(spark, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")) {
+      val j = graft.pipeline.CorpusIO.bucketedJoinCached(spark, sf)
+      val plan = j.queryExecution.executedPlan
+      val smj = plan.collect { case s: SortMergeJoinExec => s }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n$plan")
+      val exchangesUnderJoin = smj.head.collect { case e: ShuffleExchangeExec => e }
+      assert(exchangesUnderJoin.isEmpty,
+        s"io5 bucketed join still shuffles:\n${smj.head}")
+      assert(j.count() > 0)
+      // warm path: layout exists → second build is catalog-only and
+      // identical in plan shape
+      val j2 = graft.pipeline.CorpusIO.bucketedJoinCached(spark, sf)
+      val smj2 = j2.queryExecution.executedPlan
+        .collect { case s: SortMergeJoinExec => s }
+      assert(smj2.nonEmpty &&
+        smj2.head.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "cached-layout reuse lost the zero-exchange property")
+    }
   }
 
   test("partition-pruned scan touches only the matching partition's files") {
