@@ -76,6 +76,81 @@ class TestdataCanarySpec extends AnyFunSuite {
     }
   }
 
+  /** Canonical one-line parquet footer schema of a testdata file —
+    * the PHYSICAL contract (primitive types + logical annotations),
+    * which the logical canary above cannot see: the r8 drift was
+    * events.ts flipping TIMESTAMP(NANOS)→micros, which the adaptive
+    * loader absorbs SILENTLY. This string makes the next silent
+    * regeneration show up as a named canary diff even when every
+    * query keeps passing. */
+  private def footerSchema(path: String): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      spark.sparkContext.hadoopConfiguration)
+    val r = ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.toString
+      .replaceAll("\\s+", " ").trim
+    finally r.close()
+  }
+
+  /** Pinned physical footer contract (r9 verdict #8). A mismatch here
+    * with the logical canary still green means the driver regenerated
+    * testdata in a shape the adaptive loader absorbs — update the pin
+    * CONSCIOUSLY after checking the loader still converts losslessly
+    * (the r8 post-mortem's exact failure mode). */
+  private val expectedFooters: Map[String, String] = Map(
+    "region" -> ("message schema { optional int32 r_regionkey; " +
+      "optional binary r_name (STRING); }"),
+    "nation" -> ("message schema { optional int32 n_nationkey; " +
+      "optional binary n_name (STRING); optional int32 n_regionkey; }"),
+    "customer" -> ("message schema { optional int64 c_custkey; " +
+      "optional binary c_name (STRING); optional int32 c_nationkey; " +
+      "optional double c_acctbal; optional binary c_mktsegment (STRING); }"),
+    "supplier" -> ("message schema { optional int64 s_suppkey; " +
+      "optional binary s_name (STRING); optional int32 s_nationkey; " +
+      "optional double s_acctbal; }"),
+    "part" -> ("message schema { optional int64 p_partkey; " +
+      "optional binary p_name (STRING); optional binary p_brand (STRING); " +
+      "optional binary p_type (STRING); optional int32 p_size; " +
+      "optional double p_retailprice; }"),
+    "orders" -> ("message schema { optional int64 o_orderkey; " +
+      "optional int64 o_custkey; optional binary o_orderstatus (STRING); " +
+      "optional double o_totalprice; " +
+      "optional int64 o_orderdate (TIMESTAMP(MICROS,false)); " +
+      "optional binary o_orderpriority (STRING); }"),
+    "lineitem" -> ("message schema { optional int64 l_orderkey; " +
+      "optional int64 l_partkey; optional int64 l_suppkey; " +
+      "optional int32 l_linenumber; optional double l_quantity; " +
+      "optional double l_extendedprice; optional double l_discount; " +
+      "optional double l_tax; optional binary l_returnflag (STRING); " +
+      "optional binary l_linestatus (STRING); " +
+      "optional int64 l_shipdate (TIMESTAMP(MICROS,false)); }"),
+    "events" -> ("message schema { optional int64 event_id; " +
+      "optional int64 ts (TIMESTAMP(MICROS,false)); " +
+      "optional int64 user_id; optional binary event_type (STRING); " +
+      "optional double value; optional binary props (STRING); }"),
+    "documents" -> ("message schema { optional int64 doc_id; " +
+      "optional binary text (STRING); optional binary lang (STRING); " +
+      "optional binary source (STRING); optional int64 n_chars; }"),
+    "embeddings" -> ("message schema { optional int64 vec_id; " +
+      "optional group embedding (LIST) { repeated group list { " +
+      "optional float element; } } optional int32 label; }")
+  )
+
+  test("canary: every table's parquet PHYSICAL footer type is the pinned shape") {
+    for (dir <- sfDirs; t <- Tables.names) {
+      val got = footerSchema(s"$dir/$t.parquet")
+      assert(got == expectedFooters(t),
+        s"PHYSICAL FOOTER DRIFT in $dir/$t.parquet — the driver " +
+          "regenerated testdata with a different parquet physical shape " +
+          "(the adaptive loader may be absorbing it silently; check the " +
+          s"conversion is still lossless, then re-pin).\n  got:      " +
+          s"$got\n  expected: ${expectedFooters(t)}")
+    }
+  }
+
   test("canary: events loader is adaptive — nanos-as-long and native timestamp load identically") {
     val sf = SparkTestSession.sf
     val tmp = Files.createTempDirectory("graft-canary-nanos").toFile

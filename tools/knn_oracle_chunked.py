@@ -137,6 +137,43 @@ def main():
         for a, b in list(zip(sc, oc))[:5]:
             if a != b:
                 print(f"  spark={a} oracle={b}")
+        # Near-tie audit (SCALE.md's engaged-cap contract): join the
+        # two results on the (a_id, rnk) SLOT key and measure the
+        # cosine each differing slot trades — oracle_cos - spark_cos.
+        # The claim worth pinning in an artifact is "near-ties only":
+        # max gap small, avg tiny, all gaps >= 0 (the cap may only
+        # DEMOTE to a slightly-worse partner, never invent a better
+        # one). Printed here so the committed log IS the evidence.
+        def slot_map(cols, rows):
+            ia, ir = cols.index("a_id"), cols.index("rnk")
+            ib, ic = cols.index("b_id"), cols.index("cos_sim")
+            return {(r[ia], r[ir]): (r[ib], float(r[ic])) for r in rows}
+        sm, om = slot_map(scols, srows), slot_map(ocols, orows)
+        gaps = []
+        for key, (ob, ocos) in om.items():
+            sb_, scos = sm.get(key, (None, None))
+            if sb_ is not None and sb_ != ob:
+                gaps.append(ocos - scos)
+        if gaps:
+            gaps.sort()
+            n = len(gaps)
+            buckets = [0.0005, 0.001, 0.002, 0.005, 0.01]
+            hist = []
+            lo = 0.0
+            for hi in buckets:
+                c = sum(1 for g in gaps if lo <= g < hi)
+                hist.append(f"[{lo:.4f},{hi:.4f}): {c}")
+                lo = hi
+            hist.append(f"[{lo:.4f},inf): {sum(1 for g in gaps if g >= lo)}")
+            print(f"  near-tie histogram over {n} differing slots "
+                  f"(gap = oracle_cos - spark_cos):")
+            for h in hist:
+                print(f"    {h}")
+            print(f"  gap max={max(gaps):.6f} avg={sum(gaps)/n:.6f} "
+                  f"min={min(gaps):.6f} "
+                  f"(negative min would mean the capped result found a "
+                  f"BETTER partner than the exact oracle — impossible, "
+                  f"i.e. a real bug)")
         # sim6's cap legitimately diverges from the exact oracle once
         # it engages (documented regime, SCALE.md): distinct exit code
         # so callers can separate it from a genuine regression.
