@@ -226,9 +226,20 @@ object Dedup {
     // going through shingleSets' registrations
     graft.functions.SortedIntersectCount.register(sets.sparkSession)
     val sizes = sets.select(col("doc_id"), size(col("hs")).as("n"))
+    // The size joins are explicit broadcasts — both the intended
+    // physical plan (the comment above: a doc-count projection of two
+    // ints) and a REORDER GUARD: with the shingle sets cached (dd3
+    // runs first in a shared session), CBO join reorder saw the ratio
+    // filter as a theta edge between the two tiny size relations and
+    // planned sizesA ⨯ sizesB FIRST — an all-doc-pairs
+    // BroadcastNestedLoopJoin before any candidate restriction, the
+    // exact shape this prefilter exists to avoid (caught by the r10
+    // mechanical plan audit on dd7). Hinted joins are excluded from
+    // CostBasedJoinReorder, so the written order is also the planned
+    // order.
     cand
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), "a_id")
+      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))), "b_id")
       .filter(least(col("na"), col("nb")).cast("double") >=
         lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
       // dedupe AFTER the prune: candidate streams may carry one row
