@@ -133,13 +133,13 @@ object Similarity {
       "cast(band as string))), 1, 15), 16, 10) as bigint)"
 
   /** md5-derived ±1 SRP hyperplanes for sim7 as a tiny driver-built
-    * (band, j, s) frame — one row per (band, bit), broadcast against
-    * the corpus. Built driver-side like emb2's rpSignsSql (same
-    * first-4-hex-digits parity formula the DuckDB oracle re-derives),
-    * but as a broadcast frame, not a literal: bands×bits×dim = 12,288
-    * inline signs would bloat one codegen'd array literal toward the
-    * 64KB method limit, while a 192-row broadcast is free. */
-  private def srpHyperplanes(spark: SparkSession, dim: Int): DataFrame = {
+    * FLAT (k, band, j, s) frame — one row per (band, bit, component),
+    * bands×bits×dim = 12,288 rows, broadcast against the exploded
+    * corpus. Built driver-side like emb2's rpSignsSql (same
+    * first-4-hex-digits parity formula the DuckDB oracle re-derives);
+    * a frame, not a literal: 12,288 inline signs would bloat one
+    * codegen'd array literal toward the 64KB method limit. */
+  private def srpHyperplanesFlat(spark: SparkSession, dim: Int): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(c: Int, j: Int, k: Int): Double = {
       val hex = md.digest(s"hp${c}_${j}_$k".getBytes("UTF-8"))
@@ -147,27 +147,35 @@ object Similarity {
       if (Integer.parseInt(hex, 16) % 2 == 0) 1.0 else -1.0
     }
     import spark.implicits._
-    (for { c <- 0 until EngagedBands; j <- 0 until EngagedBits }
-      yield (c, j, (0 until dim).map(k => sign(c, j, k))))
-      .toDF("band", "j", "s")
+    (for { c <- 0 until EngagedBands; j <- 0 until EngagedBits;
+           k <- 0 until dim }
+      yield (k, c, j, sign(c, j, k)))
+      .toDF("k", "band", "j", "s")
   }
 
   /** (vec_id, band, sig) SRP signatures for sim7: the dot of each
-    * corpus vector with each hyperplane, accumulated in DECIMAL
-    * (exact, order-free — emb2's numeric discipline) so the SIGN of
-    * every dot is engine-independent even at a float tie boundary;
-    * bit j of band c is set iff dot >= 0. The corpus×hyperplane
-    * expansion is a broadcast nest (192 hyperplane rows), the
-    * signature reduction one hash aggregate on (vec_id, band) —
-    * map-side partials, no data-sized shuffle beyond N·bands rows. */
+    * corpus vector with each hyperplane, accumulated as exact LONG
+    * micro-units — each term is `floor(x·s·1e9 + 0.5)` (the explicit
+    * floor-form rounding emb1 uses because engines' round() HALF
+    * semantics differ), so the per-term value is a deterministic IEEE
+    * double → bigint in BOTH engines and the SUM is integer-exact and
+    * order-free; bit j of band c is set iff dot >= 0. Shape mirrors
+    * the DuckDB oracle exactly: posexplode the vectors,
+    * broadcast-join the flat hyperplane frame on the component index,
+    * two codegen'd hash aggregates with map-side partial LONG sums.
+    * Two slower formulations preceded this (both bench-measured at
+    * sf0.1): an interpreted zip_with/aggregate DECIMAL fold (16.5 s —
+    * HOF lambdas execute interpreted) and the same explode/join/agg
+    * shape with DECIMAL(18,9) terms (29 s — one BigDecimal allocation
+    * per 24.6M terms). Long micro-units keep the cross-engine
+    * exactness argument (integer addition is associative) at
+    * long-sum cost: ~1 s. */
   private[graft] def srpSignatures(spark: SparkSession, e: DataFrame): DataFrame = {
     val dim = e.select(expr("size(v)")).head().getInt(0)
-    e.crossJoin(broadcast(srpHyperplanes(spark, dim)))
-      .withColumn("dot", expr(
-        """aggregate(
-          |  zip_with(v, s, (x, sg) -> cast(round(x * sg, 9) as decimal(18,9))),
-          |  cast(0 as decimal(28,9)),
-          |  (acc, t) -> cast(acc + t as decimal(28,9)))""".stripMargin))
+    e.select(col("vec_id"), posexplode(col("v")).as(Seq("k", "x")))
+      .join(broadcast(srpHyperplanesFlat(spark, dim)), "k")
+      .groupBy(col("vec_id"), col("band"), col("j"))
+      .agg(sum(expr("cast(floor(x * s * 1e9 + 0.5) as bigint)")).as("dot"))
       .groupBy(col("vec_id"), col("band"))
       .agg(sum(expr("if(dot >= 0, shiftleft(1L, j), 0L)")).as("sig"))
   }
@@ -751,12 +759,14 @@ object Similarity {
   /** sim7 oracle: an INDEPENDENT DuckDB formulation of the whole
     * engaged-cap ANN pipeline over the clustered fixture — ±1 SRP
     * hyperplanes re-derived from md5 (emb2's parity formula), dots
-    * accumulated in DECIMAL so every sign matches the Spark side
-    * exactly, 12-bit × 16-band signatures, the md5-tie-hash partner
-    * cap at [[EngagedCap]] (ENGAGED: buckets are bigger than the
-    * cap), band equi-join candidates, exact cosine re-score, per-row
-    * top-[[KnnK]]. Every stage is value-identical across engines, so
-    * the capped — not the exact — result is the hash contract. */
+    * accumulated as exact LONG micro-units (floor(x·s·1e9 + 0.5) per
+    * term — the same explicit floor-form both sides of emb1 use) so
+    * every sign matches the Spark side exactly, 12-bit × 16-band
+    * signatures, the md5-tie-hash partner cap at [[EngagedCap]]
+    * (ENGAGED: buckets are bigger than the cap), band equi-join
+    * candidates, exact cosine re-score, per-row top-[[KnnK]]. Every
+    * stage is value-identical across engines, so the capped — not the
+    * exact — result is the hash contract. */
   private val sim7OracleSql =
     s"""$clusterCte,
        |ex AS (
@@ -772,7 +782,7 @@ object Similarity {
        |       (SELECT DISTINCT kk FROM ex) k),
        |dots AS (
        |  SELECT e.vec_id, h.c AS band, h.j,
-       |    sum(CAST(round(e.x * h.s, 9) AS DECIMAL(18,9))) AS dot
+       |    sum(CAST(floor(e.x * h.s * 1e9 + 0.5) AS BIGINT)) AS dot
        |  FROM ex e JOIN hp h ON h.kk = e.kk
        |  GROUP BY e.vec_id, h.c, h.j),
        |sigs AS (

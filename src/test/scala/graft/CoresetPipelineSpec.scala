@@ -114,4 +114,35 @@ class CoresetPipelineSpec extends AnyFunSuite {
     val sums = Pipelines.deploymentLoop(batches, epochs = 10, seed = 41)
     assert(sums.length == 2 && sums.forall(_ > 0))
   }
+
+  test("accumulating deployment loop trains on all prior batches") {
+    // Two plan shapes with OPPOSITE labels across the stream: batch 0
+    // (6 queries) says the deep plan is FAST; batch 1 (2 queries) says
+    // it is slow; batch 2 (eval) agrees with batch 0. Scratch mode
+    // trains model_2 on batch 1 alone and picks the shallow plan
+    // (slow on batch 2); accumulating mode trains on batches 0+1 —
+    // majority deep-fast — and picks the deep plan. The selected
+    // latency gap on the final eval is the observable proof that the
+    // accumulate flag actually widens the training corpus.
+    def plan(rows: Double) = PlanFeatures.PlanNode("HashAggregate", rows, 8, None,
+      Seq(PlanFeatures.PlanNode("FileScan", rows * 10, 32, Some("lineitem"), Nil)))
+    def q(qid: String, deepFast: Boolean, f: Double) = Pipelines.LabeledQuery(qid,
+      Seq(plan(100 * f), plan(5 * f)),
+      if (deepFast) Seq(80.0 * f, 900.0 * f) else Seq(900.0 * f, 80.0 * f))
+    val batches = Seq(
+      (1 to 6).map(i => q(s"a$i", deepFast = true, 1.0 + i * 0.05)),
+      (1 to 2).map(i => q(s"b$i", deepFast = true, 1.1 + i * 0.05)).map(x =>
+        x.copy(latenciesMs = x.latenciesMs.reverse)), // deep slow here
+      (1 to 2).map(i => q(s"c$i", deepFast = true, 1.0 + i * 0.05)))
+    val scratch = Pipelines.deploymentLoopResults(batches, epochs = 40, seed = 41)
+    val accum = Pipelines.deploymentLoopResults(batches, epochs = 40, seed = 41,
+      accumulate = true)
+    assert(scratch.length == 2 && accum.length == 2)
+    // batch-1 evals are identical (both train on batch 0 only)
+    assert(math.abs(scratch.head.selectedTotalSec - accum.head.selectedTotalSec) < 1e-9)
+    // final eval: accumulating (majority deep-fast) must beat scratch
+    // (trained only on the contrarian batch 1)
+    assert(accum.last.selectedTotalSec < scratch.last.selectedTotalSec,
+      s"accum=${accum.last.selectedTotalSec} vs scratch=${scratch.last.selectedTotalSec}")
+  }
 }
