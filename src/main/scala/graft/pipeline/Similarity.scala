@@ -132,14 +132,60 @@ object Similarity {
     "cast(conv(substr(md5(concat('cap', cast(vec_id as string), '_', " +
       "cast(band as string))), 1, 15), 16, 10) as bigint)"
 
-  /** md5-derived ±1 SRP hyperplanes for sim7 as a tiny driver-built
-    * FLAT (k, band, j, s) frame — one row per (band, bit, component),
-    * bands×bits×dim = 12,288 rows, broadcast against the exploded
+  // --- dd10: ADAPTIVE banding (r9 verdict weak item: at any FIXED
+  // (bits, bands), bucket occupancy grows linearly with the corpus, so
+  // blocked near-dup candidates grow with Σ bucketSize² — quadratic;
+  // measured super-linear at sf1). The classic LSH auto-tune derives
+  // the plan from the corpus SIZE instead:
+  //   bits  = smallest b with 2^b · AdaptiveTargetBucket ≥ n — keeps
+  //           the EXPECTED random-collision bucket at ~TargetBucket
+  //           members as n grows. Integer-exact (a shift compare), so
+  //           both engines derive the identical b with no float log.
+  //   bands = ceil(ln(1−recall) / ln(1−p^bits)), p = 1−acos(tau)/π
+  //           (the random-hyperplane collision bound) — keeps recall
+  //           of a true pair at tau ≥ AdaptiveRecall as bits rise.
+  // Candidate volume is then ~ n·bands·TargetBucket with
+  // bands ~ (1/p)^bits ~ n^{log2(1/p)}, i.e. total work ~ n^{1+ρ},
+  // ρ = ln(p₁)/ln(p₂) ≈ 0.22 at tau 0.9 — the standard sub-quadratic
+  // LSH curve, vs n² at any fixed plan. The bits→bands table is
+  // evaluated ONCE here on the driver and inlined into the DuckDB
+  // oracle as CASE literals, so no cross-engine float (acos/ln/pow)
+  // difference can flip a ceil; the only data-driven input, n, feeds
+  // an integer derivation both engines share. At 100 TB the count is
+  // a metastore stats lookup, not a scan.
+  private[graft] val AdaptiveTau = 0.9
+  private[graft] val AdaptiveTargetBucket = 16
+  private[graft] val AdaptiveRecall = 0.999
+  private[graft] val AdaptiveBitsMin = 4
+  private[graft] val AdaptiveBitsMax = 24
+
+  /** bands for a given bits at [[AdaptiveTau]]/[[AdaptiveRecall]] —
+    * driver-side closed form (see the block comment above). */
+  private[graft] def adaptiveBands(bits: Int): Int = {
+    val p = 1.0 - math.acos(AdaptiveTau) / math.Pi
+    math.ceil(math.log(1.0 - AdaptiveRecall) /
+      math.log(1.0 - math.pow(p, bits))).toInt
+  }
+
+  /** (bits, bands) for a corpus of n rows. bits saturates at
+    * [[AdaptiveBitsMax]] (2^24 buckets/band ≈ 268M-row corpora per
+    * target-16 bucket; beyond that bands alone carry recall). */
+  private[graft] def adaptiveBandPlan(n: Long): (Int, Int) = {
+    val bits = (AdaptiveBitsMin to AdaptiveBitsMax)
+      .find(b => (1L << b) * AdaptiveTargetBucket >= n)
+      .getOrElse(AdaptiveBitsMax)
+    (bits, adaptiveBands(bits))
+  }
+
+  /** md5-derived ±1 SRP hyperplanes (sim7, dd10) as a tiny
+    * driver-built FLAT (k, band, j, s) frame — one row per (band, bit,
+    * component), bands×bits×dim rows, broadcast against the exploded
     * corpus. Built driver-side like emb2's rpSignsSql (same
     * first-4-hex-digits parity formula the DuckDB oracle re-derives);
-    * a frame, not a literal: 12,288 inline signs would bloat one
+    * a frame, not a literal: thousands of inline signs would bloat one
     * codegen'd array literal toward the 64KB method limit. */
-  private def srpHyperplanesFlat(spark: SparkSession, dim: Int): DataFrame = {
+  private def srpHyperplanesFlat(spark: SparkSession, dim: Int,
+                                 bands: Int, bits: Int): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(c: Int, j: Int, k: Int): Double = {
       val hex = md.digest(s"hp${c}_${j}_$k".getBytes("UTF-8"))
@@ -147,13 +193,12 @@ object Similarity {
       if (Integer.parseInt(hex, 16) % 2 == 0) 1.0 else -1.0
     }
     import spark.implicits._
-    (for { c <- 0 until EngagedBands; j <- 0 until EngagedBits;
-           k <- 0 until dim }
+    (for { c <- 0 until bands; j <- 0 until bits; k <- 0 until dim }
       yield (k, c, j, sign(c, j, k)))
       .toDF("k", "band", "j", "s")
   }
 
-  /** (vec_id, band, sig) SRP signatures for sim7: the dot of each
+  /** (vec_id, band, sig) SRP signatures for sim7/dd10: the dot of each
     * corpus vector with each hyperplane, accumulated as exact LONG
     * micro-units — each term is `floor(x·s·1e9 + 0.5)` (the explicit
     * floor-form rounding emb1 uses because engines' round() HALF
@@ -170,10 +215,11 @@ object Similarity {
     * per 24.6M terms). Long micro-units keep the cross-engine
     * exactness argument (integer addition is associative) at
     * long-sum cost: ~1 s. */
-  private[graft] def srpSignatures(spark: SparkSession, e: DataFrame): DataFrame = {
+  private[graft] def srpSignatures(spark: SparkSession, e: DataFrame,
+      bands: Int = EngagedBands, bits: Int = EngagedBits): DataFrame = {
     val dim = e.select(expr("size(v)")).head().getInt(0)
     e.select(col("vec_id"), posexplode(col("v")).as(Seq("k", "x")))
-      .join(broadcast(srpHyperplanesFlat(spark, dim)), "k")
+      .join(broadcast(srpHyperplanesFlat(spark, dim, bands, bits)), "k")
       .groupBy(col("vec_id"), col("band"), col("j"))
       .agg(sum(expr("cast(floor(x * s * 1e9 + 0.5) as bigint)")).as("dot"))
       .groupBy(col("vec_id"), col("band"))
@@ -345,7 +391,7 @@ object Similarity {
 
   /** The corpus plus an exact duplicate of row [[PlantedSrc]] under id
     * [[PlantedId]] (see the planted near-dup note above). */
-  private def plantedVecs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def plantedVecs(spark: SparkSession, sfDir: String): DataFrame = {
     val e = vecs(spark, sfDir)
     e.unionByName(e.filter(col("vec_id") === PlantedSrc)
       .select(lit(PlantedId).as("vec_id"), col("v")))
@@ -656,7 +702,19 @@ object Similarity {
     // so the gate is two-sided: the bands must surface the planted
     // pair (recall) and admit no false pair (precision).
     "dd5_blocked_tau09" -> ((spark, sfDir) =>
-      blockedNearDupOn(plantedVecs(spark, sfDir), 0.9))
+      blockedNearDupOn(plantedVecs(spark, sfDir), 0.9)),
+    // ADAPTIVE banding at the production threshold (the r9 weak-list
+    // answer): (bits, bands) derive from the corpus count, so bucket
+    // occupancy — and with it candidate volume per row — stays bounded
+    // as the corpus grows, where every fixed plan goes quadratic. The
+    // md5-derived hyperplanes make the WHOLE pipeline (count → plan →
+    // signatures → candidates → re-score) value-identical in DuckDB,
+    // and the chosen plan rides in the output columns — the gate pins
+    // the decision, not just the result. Planted duplicate corpus:
+    // identical vectors share every band signature structurally, so
+    // recall of the planted pair is deterministic, not probabilistic.
+    "dd10_adaptive_neardup" -> ((spark, sfDir) =>
+      adaptiveNearDup(spark, plantedVecs(spark, sfDir)))
   )
 
   private def blockedNearDup(spark: SparkSession, sfDir: String, tau: Double): DataFrame =
@@ -694,6 +752,49 @@ object Similarity {
         (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
+      .distinct()
+  }
+
+  /** Adaptive-plan candidate pairs over corpus `e`: derive (bits,
+    * bands) from the corpus count via [[adaptiveBandPlan]], sign the
+    * corpus with md5-derived SRP hyperplanes ([[srpSignatures]] — the
+    * cross-engine-replicable variant, so the whole candidate set is
+    * oracle-able), band equi-join with a < b. Returned WITH band
+    * multiplicity (the dd5_blocked discipline: dedupe after the
+    * threshold filter, when only true pairs survive — a pre-score
+    * distinct would shuffle the bulk candidate stream). */
+  private[graft] def adaptiveCandidates(spark: SparkSession,
+      e: DataFrame): (DataFrame, Int, Int) = {
+    val n = e.count() // 100 TB: a metastore stats lookup, not a scan
+    val (bits, bands) = adaptiveBandPlan(n)
+    val sig = srpSignatures(spark, e, bands, bits)
+      .persist() // both self-join sides share one signature pass
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+    (cand, bits, bands)
+  }
+
+  /** dd10: adaptive-banding near-dup at [[AdaptiveTau]] — candidates
+    * from [[adaptiveCandidates]], exact cosine re-score of candidates
+    * only, threshold, dedupe. The chosen (bits, bands) ride along as
+    * output columns, so the ADAPTIVITY DECISION itself is part of the
+    * hash contract — an engine that derives a different plan from the
+    * same corpus fails the gate, not just one that scores pairs
+    * differently. */
+  private[graft] def adaptiveNearDup(spark: SparkSession, e: DataFrame): DataFrame = {
+    val (cand, bits, bands) = adaptiveCandidates(spark, e)
+    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      expr("sqrt(graft_dot(v, v))").as("na"))
+    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      expr("sqrt(graft_dot(v, v))").as("nb"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= AdaptiveTau)
+      .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"),
+        lit(bits.toLong).as("bits"), lit(bands.toLong).as("bands"))
       .distinct()
   }
 
@@ -810,6 +911,62 @@ object Similarity {
        |    JOIN cl b ON b.vec_id = cd.b_id)
        |WHERE rnk <= $KnnK""".stripMargin
 
+  /** dd10's bits→bands table as inlined CASE literals — evaluated once
+    * driver-side from the closed form, so the oracle shares the exact
+    * integers with no cross-engine float math (see [[adaptiveBands]]). */
+  private def adaptiveBandsCaseSql: String =
+    (AdaptiveBitsMin to AdaptiveBitsMax)
+      .map(b => s"WHEN $b THEN ${adaptiveBands(b)}")
+      .mkString("CASE bits ", " ", " END")
+
+  /** dd10 oracle: an INDEPENDENT DuckDB formulation of the whole
+    * adaptive pipeline over the planted corpus — corpus count → bits
+    * (integer shift compare, min over the candidate range) → bands
+    * (the inlined driver-evaluated table) → md5-derived ±1 SRP
+    * hyperplanes sized by that plan → exact LONG micro-unit dots →
+    * band signatures → a<b candidate equi-join → exact cosine
+    * re-score at [[AdaptiveTau]]. Every stage is value-identical
+    * across engines (the sim7/emb2 machinery), so the gate hashes the
+    * adaptively-planned result INCLUDING the plan itself. */
+  private val dd10OracleSql =
+    s"""$plantedCte,
+       |nn AS (SELECT count(*) AS n FROM edp),
+       |pl AS (
+       |  SELECT min(b) AS bits
+       |  FROM (SELECT unnest(range($AdaptiveBitsMin, ${AdaptiveBitsMax + 1})) AS b) t, nn
+       |  WHERE (CAST(1 AS BIGINT) << b) * $AdaptiveTargetBucket >= nn.n),
+       |pb AS (SELECT bits, $adaptiveBandsCaseSql AS bands FROM pl),
+       |ex AS (
+       |  SELECT vec_id, generate_subscripts(v, 1) - 1 AS kk, unnest(v) AS x
+       |  FROM edp),
+       |hp AS (
+       |  SELECT c.c, j.j, k.kk,
+       |    CASE WHEN CAST('0x' ||
+       |      substr(md5('hp' || c.c || '_' || j.j || '_' || k.kk), 1, 4)
+       |      AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+       |  FROM (SELECT unnest(range((SELECT bands FROM pb))) AS c) c,
+       |       (SELECT unnest(range((SELECT bits FROM pb))) AS j) j,
+       |       (SELECT DISTINCT kk FROM ex) k),
+       |dots AS (
+       |  SELECT e.vec_id, h.c AS band, h.j,
+       |    sum(CAST(floor(e.x * h.s * 1e9 + 0.5) AS BIGINT)) AS dot
+       |  FROM ex e JOIN hp h ON h.kk = e.kk
+       |  GROUP BY e.vec_id, h.c, h.j),
+       |sigs AS (
+       |  SELECT vec_id, band,
+       |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+       |      AS BIGINT) AS sig
+       |  FROM dots GROUP BY vec_id, band),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+       |    AND x.vec_id < y.vec_id)
+       |SELECT cd.a_id, cd.b_id, round(${cosSql("a", "b")}, 4) AS cos_sim,
+       |  CAST(pb.bits AS BIGINT) AS bits, CAST(pb.bands AS BIGINT) AS bands
+       |FROM cand cd JOIN edp a ON a.vec_id = cd.a_id
+       |  JOIN edp b ON b.vec_id = cd.b_id, pb
+       |WHERE ${cosSql("a", "b")} >= $AdaptiveTau""".stripMargin
+
   private val emb1OracleSql =
     s"""$castCte,
        |q AS (SELECT vec_id, v,
@@ -876,7 +1033,10 @@ object Similarity {
     // production threshold over the planted corpus: the exact result is
     // exactly the planted pair, so the gate is two-sided (recall AND
     // precision)
-    "dd5_blocked_tau09" -> dd5OracleSql(0.9, plantedCte, "edp")
+    "dd5_blocked_tau09" -> dd5OracleSql(0.9, plantedCte, "edp"),
+    // the adaptive plan AND its result are the contract — see
+    // dd10OracleSql's doc
+    "dd10_adaptive_neardup" -> dd10OracleSql
   )
 
   private def dd5OracleSql(tau: Double, cte: String, tbl: String) =

@@ -554,6 +554,56 @@ class PipelineSpec extends AnyFunSuite {
     } finally sig.unpersist()
   }
 
+  test("adaptive banding (dd10): plan tracks corpus size; recall structural; " +
+      "sub-quadratic candidate growth") {
+    // (1) plan arithmetic: bits is the smallest b with 2^b·16 ≥ n —
+    // integer-exact, monotone in n, and it genuinely moves across the
+    // fixture scales this repo gates/benches at (n=501 → 5 bits,
+    // n=2001 → 7 bits)
+    assert(Similarity.adaptiveBandPlan(501L)._1 == 5)
+    assert(Similarity.adaptiveBandPlan(2001L)._1 == 7)
+    val bitsByN = Seq(100L, 1000L, 10000L, 100000L, 10000000L)
+      .map(Similarity.adaptiveBandPlan(_)._1)
+    assert(bitsByN == bitsByN.sorted, s"bits not monotone in n: $bitsByN")
+    // the bands table actually delivers the recall bound it promises
+    val p = 1.0 - math.acos(Similarity.AdaptiveTau) / math.Pi
+    for (b <- Similarity.AdaptiveBitsMin to Similarity.AdaptiveBitsMax) {
+      val l = Similarity.adaptiveBands(b)
+      val miss = math.pow(1.0 - math.pow(p, b), l)
+      assert(miss <= 1.0 - Similarity.AdaptiveRecall + 1e-12,
+        s"bands table under-delivers recall at bits=$b: miss=$miss")
+    }
+    // (2) the planted exact duplicate is found DETERMINISTICALLY
+    // (identical vectors share every band signature — recall of the
+    // gate pair is structural, not probabilistic), and the plan rides
+    // in the output
+    val out = SparkEntry.queries("dd10_adaptive_neardup")(spark, sf).collect()
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1000000L &&
+      r.getDouble(2) == 1.0), s"planted pair missing: ${out.toSeq}")
+    assert(out.forall(_.getDouble(2) >= Similarity.AdaptiveTau))
+    assert(out.forall(r => r.getLong(3) == 5L),
+      "adaptive bits in output should be 5 at n=501")
+    // (3) THE scale claim: 4× the corpus must NOT cost ~16× the
+    // candidates (what any fixed plan pays once buckets outgrow the
+    // corpus — the r9 sf1 finding). Decorrelated replicas (per-replica
+    // deterministic sign flips preserve norms but scramble hyperplane
+    // sides) model fresh data; the adaptive plan re-splits buckets
+    // (5 → 7 bits), holding expected growth to ~n^{1.22} ≈ 5.5×.
+    val base = Similarity.plantedVecs(spark, sf)
+    val big = (0 until 4).map { r =>
+      base.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        expr(s"transform(v, (x, i) -> if(pmod(xxhash64($r, i), 2) = 0, x, -x))")
+          .as("v"))
+    }.reduce(_ unionByName _)
+    val (candS, bitsS, _) = Similarity.adaptiveCandidates(spark, base)
+    val (candB, bitsB, _) = Similarity.adaptiveCandidates(spark, big)
+    assert(bitsS == 5 && bitsB == 7, "adaptivity did not engage on the 4x corpus")
+    val (cs, cb) = (candS.count(), candB.count())
+    val growth = cb.toDouble / cs
+    assert(growth < 8.0,
+      f"adaptive candidate growth $growth%.1fx for 4x data — not sub-quadratic")
+  }
+
   test("hyperplane band signatures: codegen equals interpreted eval") {
     import graft.functions.HyperplaneBands
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
