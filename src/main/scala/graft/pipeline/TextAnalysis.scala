@@ -326,8 +326,91 @@ object TextAnalysis {
             .cast("long").as("digit_chars"),
           sum(conv(substring(md5(col("red").cast("binary")), 1, 12), 16, 10)
             .cast("decimal(38,0)")).cast("string").as("red_hash_sum"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+    // mix1: TEMPERATURE-WEIGHTED SOURCE MIXING — the training-mix
+    // reweighting verb (XLM-R/mC4 style): sample each source group at
+    // a rate ∝ n_s^α (α=0.5, temperature 2), so rare sources are
+    // upsampled relative to their natural share and dominant ones
+    // downsampled, within a global budget of half the corpus. The
+    // uniform 25-doc sources are re-binned by m = floor(sqrt(source
+    // index)) into skewed meta-sources (25/75/125/175/100 docs at
+    // sf0.01) so the reweighting genuinely bites — m0's quota exceeds
+    // its size (caps at n_s: sampling without replacement), m3's is
+    // ~39% of its share. Numeric discipline: per-group sqrt is
+    // rounded to DECIMAL(20,6) before the order-free DECIMAL
+    // denominator sum; quota = floor(double ratio × integer budget)
+    // with both operands exact — deterministic cross-engine.
+    // Selection is RATE-based (the samp1 map-side shape, scaled to a
+    // 60-bit md5-prefix threshold = floor(quota/n_s · 2^60)): after
+    // the tiny stats aggregate broadcasts back, the corpus pass is
+    // map-side — no per-group sort, no second shuffle — which is the
+    // shape that holds when a "source" is 10 TB. The gate hashes
+    // (group, n_docs, quota, n_selected, bytes), so the DERIVED rates
+    // and the selected set are both pinned.
+    "mix1_temperature_mix" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir).select(col("doc_id"), col("text"),
+        concat(lit("m"), floor(sqrt(expr("cast(substring(source, 4) as double)")))
+          .cast("long").cast("string")).as("m"))
+      val sizes = d.groupBy(col("m")).agg(count(lit(1)).as("n_docs"),
+        expr("cast(round(sqrt(count(1)), 6) as decimal(20,6))").as("sq"))
+      // denominator totals via an unpartitioned window over the tiny
+      // per-group stats frame (one row per source group — the frame
+      // is index-header-sized at any corpus scale), which keeps the
+      // plan free of nested-loop joins (the mechanical audit flags
+      // BNLJ; a crossJoin of the 1-row total was its only use here)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val quotas = sizes
+        .withColumn("tot", sum(col("sq")).over(w))
+        .withColumn("n_total", sum(col("n_docs")).over(w))
+        .withColumn("quota", least(
+          floor(expr("cast(sq as double) / cast(tot as double)") *
+            expr("cast(n_total div 2 as double)")).cast("long"),
+          col("n_docs")))
+        .select(col("m"), col("n_docs"), col("quota"))
+      d.join(broadcast(quotas), "m")
+        .filter(expr(
+          "cast(conv(substr(md5(cast(text as binary)), 1, 15), 16, 10) as bigint)") <
+          floor(col("quota").cast("double") / col("n_docs").cast("double") *
+            lit(1152921504606846976.0)).cast("long")) // 16^15 = 2^60, exact
+        .groupBy(col("m"), col("n_docs"), col("quota"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(octet_length(col("text"))).cast("long").as("sampled_bytes"))
+        .orderBy(col("m"))
+    }),
+    // txt8: OVERLAPPING WINDOW CHUNKING — the RAG/pretraining
+    // segmentation verb: each doc's whitespace tokens split into
+    // 64-token windows at stride 48 (16-token overlap), n_chunks =
+    // 1 + ceil(max(len-64,0)/48) in pure integer arithmetic. The gate
+    // pins per-doc chunk COUNT and an order-free sum of each chunk's
+    // md5-prefix — a wrong window boundary changes a chunk's text and
+    // fails the hash. Scale shape: chunk enumeration and hashing run
+    // INSIDE the row via higher-order expressions (sequence →
+    // aggregate), so chunk text never leaves its row and the operator
+    // is pure map-side — zero shuffles; the HOF lambda is interpreted
+    // but string-hash-dominated (same trade dc1 documents for its
+    // gram stream).
+    "txt8_chunk_overlap" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(col("doc_id"), wordsCol.as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+          expr(s"cast(1 + (greatest(size(w) - $ChunkWindow, 0) + ${ChunkStride - 1}) div $ChunkStride as bigint)")
+            .as("n_chunks"),
+          expr(
+            s"""aggregate(
+               |  sequence(0, (greatest(size(w) - $ChunkWindow, 0) + ${ChunkStride - 1}) div $ChunkStride),
+               |  cast(0 as bigint),
+               |  (acc, i) -> acc + cast(conv(substr(md5(cast(
+               |    concat_ws(' ', slice(w, cast(1 + i * $ChunkStride as int), $ChunkWindow))
+               |    as binary)), 1, 8), 16, 10) as bigint))""".stripMargin)
+            .as("chunk_hash_sum"))
+        .orderBy(col("doc_id")))
   )
+
+  /** txt8's chunking geometry: 64-token windows at stride 48. */
+  private val ChunkWindow = 64
+  private val ChunkStride = 48
 
   /** Token budget per packed training shard (pack1). */
   private val ShardTokenBudget = 4096
@@ -535,6 +618,62 @@ object TextAnalysis {
         |    - octet_length(encode(regexp_replace(props, '[0-9]', '', 'g')))) AS BIGINT) AS digit_chars,
         |  CAST(sum(CAST(CAST('0x' || substr(md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')), 1, 12)
         |    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS red_hash_sum
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // independent re-derivation of the temperature mix: same DECIMAL
+    // sqrt discipline, same 2^60 md5-prefix rate threshold (the
+    // 0x-prefix hex cast ≡ Spark's conv, the io-gate equivalence).
+    // TRY_CAST, not CAST: Spark's cast returns null on a non-numeric
+    // source suffix while DuckDB's CAST throws — under a regenerated
+    // corpus with renamed sources both engines must degrade the same
+    // way (null group) rather than the oracle erroring while Spark
+    // proceeds (the r8 drift lesson); the canary additionally pins
+    // the 'src<digits>' format so drift is a NAMED spec failure
+
+    "mix1_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    'm' || CAST(CAST(floor(sqrt(TRY_CAST(substr(source, 4) AS DOUBLE)))
+        |      AS BIGINT) AS VARCHAR) AS m
+        |  FROM documents),
+        |s AS (
+        |  SELECT m, count(*) AS n_docs,
+        |    CAST(round(sqrt(count(*)), 6) AS DECIMAL(20,6)) AS sq
+        |  FROM d GROUP BY m),
+        |t AS (SELECT sum(sq) AS tot, sum(n_docs) AS n_total FROM s),
+        |q AS (
+        |  SELECT m, n_docs,
+        |    least(CAST(floor(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE)
+        |      * CAST(n_total // 2 AS DOUBLE)) AS BIGINT), n_docs) AS quota
+        |  FROM s, t)
+        |SELECT q.m, CAST(q.n_docs AS BIGINT) AS n_docs,
+        |  CAST(q.quota AS BIGINT) AS quota,
+        |  CAST(count(*) AS BIGINT) AS n_selected,
+        |  CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS sampled_bytes
+        |FROM d JOIN q ON d.m = q.m
+        |WHERE CAST('0x' || substr(md5(d.text), 1, 15) AS BIGINT) <
+        |  CAST(floor(CAST(q.quota AS DOUBLE) / CAST(q.n_docs AS DOUBLE)
+        |    * 1152921504606846976.0) AS BIGINT)
+        |GROUP BY q.m, q.n_docs, q.quota ORDER BY q.m""".stripMargin,
+    // per-row chunk windows re-derived with DuckDB list slicing
+    // (1-based inclusive [a:b], truncating past the end — same
+    // semantics as Spark's slice(arr, start, len))
+    "txt8_chunk_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(words) AS n_tokens, words,
+        |    1 + (greatest(len(words) - 64, 0) + 47) // 48 AS n_chunks
+        |  FROM w),
+        |x AS (
+        |  SELECT doc_id, n_tokens, n_chunks, words,
+        |    unnest(range(n_chunks)) AS i
+        |  FROM c)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(sum(CAST('0x' || substr(md5(array_to_string(
+        |    words[(1 + i * 48):(i * 48 + 64)], ' ')), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS chunk_hash_sum
+        |FROM x GROUP BY doc_id, n_tokens, n_chunks ORDER BY doc_id""".stripMargin
   )
 }

@@ -604,6 +604,68 @@ class PipelineSpec extends AnyFunSuite {
       f"adaptive candidate growth $growth%.1fx for 4x data — not sub-quadratic")
   }
 
+  test("mix1 temperature mix: rare sources upsampled, cap engaged, budget held") {
+    val out = SparkEntry.queries("mix1_temperature_mix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("m0", "m1", "m2", "m3", "m4"))
+    val byM = out.map(t => t._1 -> t).toMap
+    // α=0.5 reweighting: the smallest group's sampling RATE
+    // (quota/n_docs) must exceed the largest group's — that's the
+    // whole point of temperature mixing
+    def rate(m: String) = byM(m)._3.toDouble / byM(m)._2
+    assert(rate("m0") > rate("m3"),
+      s"rare group not upsampled: ${rate("m0")} vs ${rate("m3")}")
+    // m0's fair-share quota exceeds its size → capped at n_docs
+    // (sampling without replacement)
+    assert(byM("m0")._3 == byM("m0")._2, s"m0 cap not engaged: ${byM("m0")}")
+    // quotas respect the global budget (half the corpus)
+    val totalDocs = out.map(_._2).sum
+    assert(out.map(_._3).sum <= totalDocs / 2 + out.length,
+      "quota sum exceeds budget beyond per-group floor slack")
+    // rate-threshold selection lands near its quota (binomial around
+    // quota; exact equality is not the contract — determinism is, and
+    // the DuckDB gate pins the exact selected set)
+    out.foreach { case (m, n, q, sel) =>
+      assert(sel <= n && math.abs(sel - q) <= math.max(6L, q / 2),
+        s"$m selected $sel far from quota $q")
+    }
+  }
+
+  test("txt8 chunking: independent recomputation of windows and checksums") {
+    // recompute n_chunks and the chunk-hash sum in plain Scala from
+    // the raw text for every doc — an in-JVM third formulation next
+    // to the Spark HOF pipeline and the DuckDB oracle
+    val out = SparkEntry.queries("txt8_chunk_overlap")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val raw = graft.engine.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == raw.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def chunkSum(text: String): (Long, Long, Long) = {
+      val words = text.trim.split("\\s+", -1) // split keeps [""] for empty
+      val n = words.length.toLong
+      val nc = 1 + (math.max(n - 64, 0) + 47) / 48
+      val s = (0L until nc).map { i =>
+        val chunk = words.slice((i * 48).toInt,
+          math.min(i * 48 + 64, n).toInt).mkString(" ")
+        val hex = md.digest(chunk.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16)
+      }.sum
+      (n, nc, s)
+    }
+    raw.foreach { case (id, text) =>
+      assert(out(id) == chunkSum(text), s"doc $id chunk mismatch")
+    }
+    // geometry sanity: every multi-chunk doc overlaps its windows by
+    // 16 tokens (64-token windows at stride 48)
+    val multi = out.values.count(_._2 > 1)
+    assert(multi > 0, "fixture has no multi-chunk doc — overlap untested")
+  }
+
   test("hyperplane band signatures: codegen equals interpreted eval") {
     import graft.functions.HyperplaneBands
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}

@@ -76,6 +76,23 @@ class TestdataCanarySpec extends AnyFunSuite {
     }
   }
 
+  test("canary: documents.source values keep the 'src<digits>' format") {
+    // mix1_temperature_mix derives its meta-source groups from the
+    // numeric source suffix; both engines degrade identically (null
+    // group) if the format changes, but the drift should surface HERE
+    // as a named failure, not as a silent regrouping of the mix gate.
+    import org.apache.spark.sql.functions.col
+    for (dir <- sfDirs) {
+      val bad = Tables.load(spark, dir, "documents")
+        .select(col("source")).distinct()
+        .filter(!col("source").rlike("^src[0-9]+$"))
+        .collect().map(_.getString(0))
+      assert(bad.isEmpty,
+        s"SOURCE FORMAT DRIFT in $dir/documents.parquet — values not " +
+          s"matching src<digits>: ${bad.take(5).mkString(", ")}")
+    }
+  }
+
   /** Canonical one-line parquet footer schema of a testdata file —
     * the PHYSICAL contract (primitive types + logical annotations),
     * which the logical canary above cannot see: the r8 drift was
