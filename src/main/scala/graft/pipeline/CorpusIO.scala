@@ -369,6 +369,52 @@ object CorpusIO {
     spark.read.parquet(outDir)
   }
 
+  /** io10: RANGE-CLUSTERED time layout — the time-dimension
+    * complement of io3's directory partitioning (a continuous
+    * timestamp can't be hive-partitioned at useful granularity
+    * without exploding into small files) and io5's hash bucketing:
+    * `repartitionByRange(ts)` + `sortWithinPartitions(ts)` before the
+    * write gives each output file a DISJOINT time slice, so parquet
+    * file- and row-group-level min/max statistics prune a time-range
+    * scan down to the touching files — the Delta/Iceberg
+    * time-clustering story on plain parquet, and the layout an
+    * event-log table needs at 100 TB where every query carries a
+    * time predicate. The range exchange samples the key distribution,
+    * so slices are volume-balanced even under a bursty event rate
+    * (calendar partitioning would skew). The gate fingerprints the
+    * corpus read back through the layout (the rewrite is
+    * content-lossless); the spec pins the MECHANISM: [[RangeFiles]]
+    * files whose [min(ts), max(ts)] intervals are pairwise disjoint,
+    * and a one-slice predicate intersects exactly one file whose
+    * solo read reproduces the filtered result. */
+  private[graft] val RangeFiles = 8
+
+  private[graft] def rangeLayoutWrite(spark: SparkSession, sfDir: String,
+                                      dir: String): Unit =
+    Tables.load(spark, sfDir, "events")
+      .repartitionByRange(RangeFiles, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** All-column events fingerprint (io10's gate rollup): ts hashed as
+    * exact integer micros (`unix_micros` ≡ DuckDB `epoch_us` — no
+    * cross-engine timestamp FORMATTING in the hash), the double
+    * `value` kept out of the md5 (shortest-round-trip double
+    * rendering is engine-specific) and folded in as an exact DECIMAL
+    * sum instead. */
+  private[graft] def eventsFingerprint(ev: DataFrame): DataFrame = {
+    val h = md5(concat_ws("|", col("event_id"), unix_micros(col("ts")),
+      col("user_id"), col("event_type"), col("props")))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(h).as("n_unique"),
+        sum(conv(substring(h, 1, 12), 16, 10).cast("decimal(38,0)"))
+          .cast("string").as("hash_sum"),
+        sum(expr("cast(round(value, 6) as decimal(28,6))"))
+          .cast("double").as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** CDC upsert (merge-on-write): the corpus receives a change batch
     * — revised text for every doc_id ≡ 0 (mod 7) and brand-new docs
     * (re-keyed +1_000_000, lang 'xx') for doc_id ≡ 0 (mod 11) — and
@@ -489,7 +535,14 @@ object CorpusIO {
         deleteRec(new java.io.File(outDir))
       }
     }),
-    "io9_schema_evolution" -> schemaEvolutionGate _)
+    "io9_schema_evolution" -> schemaEvolutionGate _,
+    "io10_range_layout" -> ((spark, sfDir) => {
+      val dir = tempDir("graft_io_range")
+      try {
+        rangeLayoutWrite(spark, sfDir, dir)
+        eager(eventsFingerprint(spark.read.parquet(dir)))
+      } finally deleteRec(new java.io.File(dir))
+    }))
 
   /** Schema-identical LAZY plans for the eager gates above: every io
     * gate exports a corpus copy when invoked, so structural specs that
@@ -522,7 +575,9 @@ object CorpusIO {
       "io9_schema_evolution" -> ((spark, sfDir) =>
         evolutionRollup(Tables.load(spark, sfDir, "documents")
           .withColumn("quality", when(col("doc_id") % 2 =!= 0,
-            (col("n_chars") % 100).cast("long"))))))
+            (col("n_chars") % 100).cast("long"))))),
+      "io10_range_layout" -> ((spark, sfDir) =>
+        eventsFingerprint(Tables.load(spark, sfDir, "events"))))
   }
 
   private def fingerprintSql(where: String): String =
@@ -593,6 +648,25 @@ object CorpusIO {
         |  CAST(sum(len) AS BIGINT) AS len_total,
         |  CAST(count(quality) AS BIGINT) AS n_scored
         |FROM f GROUP BY source""".stripMargin,
+    // the range-clustered rewrite must be content-lossless — the
+    // oracle is the same fingerprint over the ORIGINAL events table
+    // (ts hashed as exact integer micros, epoch_us ≡ unix_micros;
+    // the double `value` stays out of the md5 and is summed as exact
+    // DECIMAL instead)
+    "io10_range_layout" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+        |  CAST(sum(CAST(CAST('0x' || substr(h, 1, 12) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS VARCHAR) AS hash_sum,
+        |  CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS value_sum
+        |FROM (
+        |  SELECT event_type, value,
+        |    md5(concat_ws('|', event_id, epoch_us(ts), user_id,
+        |      event_type, props)) AS h
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the partitioned layout must not change the join's RESULT — the
     // oracle is the plain join over the original parquet
     "io6_dpp_join" ->

@@ -175,6 +175,43 @@ class BucketingSpec extends AnyFunSuite {
     } finally deleteRecursively(dir)
   }
 
+  test("io10 range layout: disjoint per-file time slices prune a range scan") {
+    import graft.pipeline.CorpusIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
+    try {
+      CorpusIO.rangeLayoutWrite(spark, sf, dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      assert(files.length == CorpusIO.RangeFiles,
+        s"expected ${CorpusIO.RangeFiles} range files, got ${files.length}")
+      // each file owns a DISJOINT [min(ts), max(ts)] slice at exact
+      // micros precision — the property parquet min/max stats prune on
+      val byFile = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .head()
+        (f, r.getLong(0), r.getLong(1))
+      }.sortBy(_._2)
+      byFile.sliding(2).foreach {
+        case Array((_, _, aMax), (_, bMin, _)) =>
+          assert(aMax < bMin, s"overlapping slices: $aMax >= $bMin")
+        case _ => ()
+      }
+      // a one-slice predicate intersects exactly ONE file, and reading
+      // only that file reproduces the full filtered result — the
+      // manual form of the min/max pruning a parquet reader applies
+      val (sFile, sMin, sMax) = byFile(3)
+      val touching = byFile.count { case (_, a, b) => a <= sMax && b >= sMin }
+      assert(touching == 1, s"slice 3 predicate touches $touching files")
+      def filteredRollup(paths: String*) =
+        spark.read.parquet(paths: _*)
+          .filter(unix_micros(col("ts")).between(sMin, sMax))
+          .agg(count(lit(1)), sum(col("event_id"))).head()
+      assert(filteredRollup(dir) == filteredRollup(sFile),
+        "single-slice read diverges from the full filtered scan")
+    } finally deleteRecursively(dir)
+  }
+
   test("io7 compaction consolidates 64 ingest files into the size-targeted count") {
     import graft.pipeline.CorpusIO
     val smallDir = java.nio.file.Files.createTempDirectory("graft_small").toString
