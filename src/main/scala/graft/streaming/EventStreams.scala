@@ -235,8 +235,53 @@ object EventStreams {
             .as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+    // evt8: BURST-RATE BOT FILTERING — the traffic-cleaning verb
+    // before any event-derived training data is trusted: a user whose
+    // per-minute event count ever reaches BotBurstThreshold is a bot;
+    // downstream stats split bot vs human traffic per event type. The
+    // organic corpus has no bursts (max 2 events/user/minute at every
+    // sf), so the gate PLANTS one deterministic bot both engines
+    // derive identically (the dd5_blocked_tau09 pattern): every
+    // event_id ≡ 0 (mod 83) is cloned to user 9_999_999 with its
+    // timestamp compressed into the minute 2024-01-01 00:00
+    // (second = event_id mod 60) — a dense burst that must be flagged
+    // (recall), while no organic user may be (precision, 5× margin
+    // under the threshold). Scale shape: one (user, minute) keyed
+    // partial/final count, a per-user max over it (both aggregate
+    // streams are user-×-active-minute sized, not corpus-sized), and
+    // the bot SET — anomalies, ≪ users — broadcasts back into the
+    // corpus pass, so the event stream itself never re-shuffles to be
+    // classified (dc1/io8's bounded-side discipline).
+    "evt8_bot_filter" -> ((spark, sfDir) => {
+      val e = Tables.load(spark, sfDir, "events")
+      val planted = e.filter(col("event_id") % 83 === 0)
+        .select((col("event_id") + lit(100000000L)).as("event_id"),
+          expr("cast('2024-01-01 00:00:00' as timestamp) + " +
+            "make_dt_interval(0, 0, 0, cast(event_id % 60 as double))")
+            .as("ts"),
+          lit(9999999L).as("user_id"), col("event_type"), col("value"),
+          col("props"))
+      val all = e.unionByName(planted)
+      val bots = all
+        .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("mn"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= BotBurstThreshold)
+        .select(col("user_id")).distinct()
+        .withColumn("is_bot", lit(1L))
+      all.join(broadcast(bots), Seq("user_id"), "left")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(coalesce(col("is_bot"), lit(0L))).as("n_bot_events"),
+          sum(lit(1L) - coalesce(col("is_bot"), lit(0L))).as("n_human_events"),
+          countDistinct(when(col("is_bot") === 1L, col("user_id")))
+            .as("n_bot_users"))
+        .orderBy(col("event_type"))
     })
   )
+
+  /** evt8's burst threshold (events per user per minute). */
+  private val BotBurstThreshold = 10
 
   val oracle: Map[String, String] = Map(
     // stage-wise earliest-timestamp formulation (equivalent to the
@@ -313,6 +358,34 @@ object EventStreams {
         |       / 604800 AS BIGINT) AS week_offset,
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
         |FROM events e JOIN f ON e.user_id = f.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same planted bot (event_id mod 83 clones compressed into one
+    // minute), same threshold; the interval arithmetic is exact
+    // integer seconds in both engines
+    "evt8_bot_filter" ->
+      """WITH p AS (
+        |  SELECT event_id + 100000000 AS event_id,
+        |    TIMESTAMP '2024-01-01 00:00:00'
+        |      + to_seconds(event_id % 60) AS ts,
+        |    CAST(9999999 AS BIGINT) AS user_id, event_type, value, props
+        |  FROM events WHERE event_id % 83 = 0),
+        |a AS (
+        |  SELECT event_id, ts, user_id, event_type, value, props
+        |  FROM events
+        |  UNION ALL SELECT * FROM p),
+        |b AS (
+        |  SELECT DISTINCT user_id FROM (
+        |    SELECT user_id, date_trunc('minute', ts) AS mn, count(*) AS c
+        |    FROM a GROUP BY 1, 2) WHERE c >= 10)
+        |SELECT a.event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_bot_events,
+        |  CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_human_events,
+        |  CAST(count(DISTINCT CASE WHEN b.user_id IS NOT NULL
+        |    THEN a.user_id END) AS BIGINT) AS n_bot_users
+        |FROM a LEFT JOIN b ON a.user_id = b.user_id
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
   )
 }

@@ -232,6 +232,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.getLong(1) == original)
   }
 
+  test("evt8 bot filter: planted bot flagged, no organic user flagged, bot set broadcasts") {
+    val out = SparkEntry.queries("evt8_bot_filter")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    // the bot SET is the bounded side — it must broadcast into the
+    // corpus pass, never shuffle the event stream to be classified
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bot-set join is not broadcast:\n$plan")
+    val rows = out.collect()
+    // two-sided: exactly ONE bot user (the planted 9_999_999 burst)
+    // across all event types — organic traffic peaks at 2
+    // events/user/minute, 5x under the threshold
+    assert(rows.map(_.getLong(4)).max == 1L,
+      s"expected exactly the planted bot user, got ${rows.toSeq}")
+    val botEvents = rows.map(_.getLong(2)).sum
+    val planted = graft.engine.Tables.load(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_id") % 83 === 0)
+      .count()
+    assert(botEvents == planted,
+      s"bot events $botEvents != planted clone count $planted")
+    // accounting: bot + human = total per type
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), r.toString)
+    }
+  }
+
   test("sessionization counts are sane") {
     val rows = SparkEntry.queries("evt3_sessions")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
