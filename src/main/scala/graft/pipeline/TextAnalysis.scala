@@ -379,6 +379,44 @@ object TextAnalysis {
           sum(octet_length(col("text"))).cast("long").as("sampled_bytes"))
         .orderBy(col("m"))
     }),
+    // txt9: QUALITY CUTOFF AT A DATA-DERIVED PERCENTILE — the
+    // FineWeb-style "keep the top quartile by quality" verb, the
+    // percentile sibling of mix1's data-derived rates: the threshold
+    // is a STATISTIC of the corpus (per-language P75 of a
+    // lexical-diversity score), not a constant. Numeric discipline
+    // makes the whole derivation BIT-exact cross-engine with zero
+    // rounding calls: the score is integer micro-units
+    // floor(distinct_words·1e6/words + 0.5) (the emb1 floor-form —
+    // odd/power-of-two word counts produce EXACT decimal halves,
+    // the repo-wide round()-tie class where engines' HALF semantics
+    // may differ by type/version; the floor form never reaches
+    // round()), and P75 interpolation over integer-valued doubles is
+    // exact in IEEE arithmetic (lo/hi ≤ 1e6, fraction ∈ {0,.25,.5,.75}),
+    // so Spark's percentile and DuckDB's quantile_cont produce the
+    // IDENTICAL double and the >= comparison cannot flake. Scale
+    // shape: per-doc scoring is map-side; the per-lang percentile is
+    // one partial/final agg over (lang, score) — at 100 TB you swap
+    // in approx_percentile with a tolerance contract (x19's gate) and
+    // keep the same two-pass plan; the tiny threshold frame
+    // broadcasts back, so the second corpus pass stays map-side
+    // (mix1's discipline).
+    "txt9_quality_cutoff" -> ((spark, sfDir) => {
+      val score6 = floor(
+        size(array_distinct(wordsCol)).cast("double") * lit(1e6) /
+          size(wordsCol).cast("double") + lit(0.5)).cast("long")
+      val d = docs(spark, sfDir)
+        .select(col("lang"), col("text"), score6.as("score6"))
+      val thr = d.groupBy(col("lang"))
+        .agg(expr("percentile(score6, 0.75)").as("thr"))
+      d.join(broadcast(thr), "lang")
+        .filter(col("score6").cast("double") >= col("thr"))
+        .groupBy(col("lang"), col("thr"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(octet_length(col("text"))).cast("long").as("kept_bytes"),
+          round(sum(col("score6")).cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_kept_score"))
+        .orderBy(col("lang"))
+    }),
     // txt8: OVERLAPPING WINDOW CHUNKING — the RAG/pretraining
     // segmentation verb: each doc's whitespace tokens split into
     // 64-token windows at stride 48 (16-token overlap), n_chunks =
@@ -654,6 +692,27 @@ object TextAnalysis {
         |  CAST(floor(CAST(q.quota AS DOUBLE) / CAST(q.n_docs AS DOUBLE)
         |    * 1152921504606846976.0) AS BIGINT)
         |GROUP BY q.m, q.n_docs, q.quota ORDER BY q.m""".stripMargin,
+    // bit-exact threshold re-derivation: same integer micro-unit
+    // score (explicit floor-form), and quantile_cont over
+    // integer-valued doubles interpolates exactly (see the Spark-side
+    // comment) — no round() anywhere in the comparison path
+    "txt9_quality_cutoff" ->
+      """WITH s AS (
+        |  SELECT lang, text,
+        |    CAST(floor(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      * 1e6 / len(regexp_split_to_array(trim(text), '\s+')) + 0.5)
+        |      AS BIGINT) AS score6
+        |  FROM documents),
+        |t AS (SELECT lang, quantile_cont(score6, 0.75) AS thr
+        |      FROM s GROUP BY lang)
+        |SELECT s.lang, t.thr,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(octet_length(encode(s.text))) AS BIGINT) AS kept_bytes,
+        |  round(CAST(sum(s.score6) AS DOUBLE) / count(*) / 1e6, 6)
+        |    AS mean_kept_score
+        |FROM s JOIN t ON s.lang = t.lang
+        |WHERE CAST(s.score6 AS DOUBLE) >= t.thr
+        |GROUP BY s.lang, t.thr ORDER BY s.lang""".stripMargin,
     // per-row chunk windows re-derived with DuckDB list slicing
     // (1-based inclusive [a:b], truncating past the end — same
     // semantics as Spark's slice(arr, start, len))

@@ -254,15 +254,7 @@ object EventStreams {
     // corpus pass, so the event stream itself never re-shuffles to be
     // classified (dc1/io8's bounded-side discipline).
     "evt8_bot_filter" -> ((spark, sfDir) => {
-      val e = Tables.load(spark, sfDir, "events")
-      val planted = e.filter(col("event_id") % 83 === 0)
-        .select((col("event_id") + lit(100000000L)).as("event_id"),
-          expr("cast('2024-01-01 00:00:00' as timestamp) + " +
-            "make_dt_interval(0, 0, 0, cast(event_id % 60 as double))")
-            .as("ts"),
-          lit(9999999L).as("user_id"), col("event_type"), col("value"),
-          col("props"))
-      val all = e.unionByName(planted)
+      val all = evt8Corpus(spark, sfDir)
       val bots = all
         .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("mn"))
         .agg(count(lit(1)).as("c"))
@@ -281,7 +273,22 @@ object EventStreams {
   )
 
   /** evt8's burst threshold (events per user per minute). */
-  private val BotBurstThreshold = 10
+  private[streaming] val BotBurstThreshold = 10
+
+  /** evt8's corpus: the organic events plus the planted deterministic
+    * bot burst (see the evt8 entry comment) — shared by the batch
+    * gate and [[BotFilterStream]]'s spec staging. */
+  private[graft] def evt8Corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.load(spark, sfDir, "events")
+    val planted = e.filter(col("event_id") % 83 === 0)
+      .select((col("event_id") + lit(100000000L)).as("event_id"),
+        expr("cast('2024-01-01 00:00:00' as timestamp) + " +
+          "make_dt_interval(0, 0, 0, cast(event_id % 60 as double))")
+          .as("ts"),
+        lit(9999999L).as("user_id"), col("event_type"), col("value"),
+        col("props"))
+    e.unionByName(planted)
+  }
 
   val oracle: Map[String, String] = Map(
     // stage-wise earliest-timestamp formulation (equivalent to the

@@ -666,6 +666,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(multi > 0, "fixture has no multi-chunk doc — overlap untested")
   }
 
+  test("txt9 quality cutoff: P75 keeps ~top quartile; micro-unit score dodges round ties") {
+    val out = SparkEntry.queries("txt9_quality_cutoff")(spark, sf).collect()
+    val counts = Tables.load(spark, sf, "documents")
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getString(0)).toSet == counts.keySet)
+    // a P75 cutoff keeps the top quartile plus boundary ties
+    out.foreach { r =>
+      val frac = r.getLong(2).toDouble / counts(r.getString(0))
+      assert(frac >= 0.2 && frac <= 0.55,
+        s"${r.getString(0)} kept fraction $frac outside the P75 band")
+    }
+    // the hazard the micro-unit floor-form dodges: a diversity score
+    // of 1/128 is EXACTLY 7812.5 micro-units — an exact decimal half,
+    // the repo-wide round()-tie class (ADVICE r4, emb1's caveat)
+    // where engines' HALF semantics are allowed to differ by type and
+    // version; floor(x·1e6 + 0.5) resolves the tie with plain IEEE
+    // arithmetic that is identical everywhere, so the question never
+    // reaches round()
+    val hazard = spark.sql(
+      "SELECT cast(floor(1.0 * 1e6 / 128.0 + 0.5) as bigint) v")
+      .head().getLong(0)
+    assert(hazard == 7813L)
+  }
+
   test("hyperplane band signatures: codegen equals interpreted eval") {
     import graft.functions.HyperplaneBands
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}

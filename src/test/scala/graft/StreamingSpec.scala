@@ -257,6 +257,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming bot filter: cross-batch burst accumulation; drain equals batch bot set") {
+    import graft.streaming.{BotFilterStream, EventStreams}
+    import graft.streaming.BotFilterStream.{BEvent, BotState}
+    // unit: a burst minute SPLIT across micro-batches keeps
+    // accumulating (state carries the open minute), and the flag is
+    // sticky once set
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val st = TestGroupState.create[BotState](
+      optionalState = Optional.empty[BotState](), timeoutConf =
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[java.lang.Long]()
+        .asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    val half1 = BotFilterStream.updateBot(7L,
+      Iterator.fill(6)(BEvent(7L, 100L)), st)
+    assert(!half1.is_bot, "flagged below threshold")
+    val half2 = BotFilterStream.updateBot(7L,
+      Iterator.fill(6)(BEvent(7L, 100L)), st)
+    assert(half2.is_bot, "cross-batch accumulation failed to flag")
+    val later = BotFilterStream.updateBot(7L,
+      Iterator.single(BEvent(7L, 999L)), st)
+    assert(later.is_bot, "bot flag is not sticky")
+
+    // E2E: the evt8 corpus (organic + planted burst) staged as two
+    // micro-batches; the drained flag set must equal the batch rule's
+    val corpus = EventStreams.evt8Corpus(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("evt_bot_in")
+    corpus.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(dir.resolve("a").toString)
+    corpus.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(dir.resolve("b").toString)
+    val walk = java.nio.file.Files.walk(dir)
+    val staged =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(p =>
+          p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p)).toList
+      } finally walk.close()
+    staged.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.move(p, dir.resolve(s"batch_$i.parquet"))
+    }
+    val q = BotFilterStream.bots(spark, sf, dir.toString)
+      .writeStream.format("memory").queryName("bot_stream_test")
+      .outputMode("update")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    // the flag is monotone — max per user is the final verdict
+    val bots = spark.sql(
+      """SELECT user_id FROM (SELECT user_id, max(CAST(is_bot AS INT)) b
+        |FROM bot_stream_test GROUP BY user_id) WHERE b = 1""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(bots == Set(9999999L),
+      s"streaming bot set $bots != batch planted bot")
+  }
+
   test("sessionization counts are sane") {
     val rows = SparkEntry.queries("evt3_sessions")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
