@@ -267,6 +267,15 @@ object CorpusIO {
     try {
       if (!new java.io.File(base, "_GRAFT_COMPLETE").exists())
         writeBucketLayout(spark, sfDir, base)
+      // re-CHECK the marker after the build: a failed publish (rename
+      // lost without a winner, cache dir reaped between check and
+      // create) returns from writeBucketLayout without throwing, and
+      // CREATE TABLE over the missing LOCATION would silently make an
+      // EMPTY external table — an empty io5 rollup with no error.
+      // Throwing here routes that case into the NonFatal fallback.
+      if (!new java.io.File(base, "_GRAFT_COMPLETE").exists())
+        throw new java.io.IOException(
+          s"bucket layout publish left no completion marker under $base")
       // deterministic names keyed on the layout identity: re-running
       // CREATE IF NOT EXISTS against the same location is a no-op,
       // and a NEW corpus (new base) gets new names — never a stale map

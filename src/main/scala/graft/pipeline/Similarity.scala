@@ -639,6 +639,9 @@ object Similarity {
     // dropped and the hash gate covers the regime a 100 TB user runs.
     "sim7_knn_engaged" -> ((spark, sfDir) => {
       val e = clusteredVecs(spark, sfDir)
+      // persisted for the two-sided band self-join; the gate frame is
+      // lazy, so release rides on the harness cleanup contract
+      // (Verify/Bench clear cached relations after each query)
       val sig = srpSignatures(spark, e).persist()
       knnFromSignatures(e, sig, KnnK, EngagedCap, expr(engagedCapOrderSql))
     }),
@@ -762,9 +765,13 @@ object Similarity {
     * oracle-able), band equi-join with a < b. Returned WITH band
     * multiplicity (the dd5_blocked discipline: dedupe after the
     * threshold filter, when only true pairs survive — a pre-score
-    * distinct would shuffle the bulk candidate stream). */
+    * distinct would shuffle the bulk candidate stream). The returned
+    * `sig` frame is PERSISTED (both self-join sides share one
+    * signature pass): measurement callers unpersist it after their
+    * action; the lazy gate path relies on the harness cleanup
+    * contract (Verify/Bench clear cached relations per query). */
   private[graft] def adaptiveCandidates(spark: SparkSession,
-      e: DataFrame): (DataFrame, Int, Int) = {
+      e: DataFrame): (DataFrame, DataFrame, Int, Int) = {
     val n = e.count() // 100 TB: a metastore stats lookup, not a scan
     val (bits, bands) = adaptiveBandPlan(n)
     val sig = srpSignatures(spark, e, bands, bits)
@@ -773,7 +780,7 @@ object Similarity {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-    (cand, bits, bands)
+    (cand, sig, bits, bands)
   }
 
   /** dd10: adaptive-banding near-dup at [[AdaptiveTau]] — candidates
@@ -784,7 +791,7 @@ object Similarity {
     * same corpus fails the gate, not just one that scores pairs
     * differently. */
   private[graft] def adaptiveNearDup(spark: SparkSession, e: DataFrame): DataFrame = {
-    val (cand, bits, bands) = adaptiveCandidates(spark, e)
+    val (cand, _, bits, bands) = adaptiveCandidates(spark, e)
     val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
       expr("sqrt(graft_dot(v, v))").as("na"))
     val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
@@ -927,12 +934,18 @@ object Similarity {
     * band signatures → a<b candidate equi-join → exact cosine
     * re-score at [[AdaptiveTau]]. Every stage is value-identical
     * across engines (the sim7/emb2 machinery), so the gate hashes the
-    * adaptively-planned result INCLUDING the plan itself. */
+    * adaptively-planned result INCLUDING the plan itself. The
+    * coalesce in `pl` mirrors [[adaptiveBandPlan]]'s saturation at
+    * [[AdaptiveBitsMax]]: past n > 2^24·16 the Spark side pins
+    * bits=24, and without the fallback min(b) over an empty match
+    * set would be NULL and silently empty the whole oracle — the two
+    * formulations must agree on the saturation contract, not just
+    * the common range. */
   private val dd10OracleSql =
     s"""$plantedCte,
        |nn AS (SELECT count(*) AS n FROM edp),
        |pl AS (
-       |  SELECT min(b) AS bits
+       |  SELECT coalesce(min(b), $AdaptiveBitsMax) AS bits
        |  FROM (SELECT unnest(range($AdaptiveBitsMin, ${AdaptiveBitsMax + 1})) AS b) t, nn
        |  WHERE (CAST(1 AS BIGINT) << b) * $AdaptiveTargetBucket >= nn.n),
        |pb AS (SELECT bits, $adaptiveBandsCaseSql AS bands FROM pl),

@@ -19,11 +19,13 @@ import graft.engine.Tables
   *
   * Cross-batch ordering: within a micro-batch events sort by minute
   * before counting; a cross-batch late event for a minute the user
-  * already moved past cannot re-open that minute's count (state keeps
-  * only the current minute) — the standard streaming-rate-limit
-  * approximation, exact whenever a burst lands inside one watermark
-  * horizon. The burst minute itself spans micro-batches fine: an
-  * unchanged minute keeps accumulating. No state timeout is set (the
+  * already moved past is SKIPPED — it cannot re-open that minute's
+  * count (state keeps only the current minute) and, crucially, it
+  * cannot reset the live minute's accumulation either (the guard in
+  * [[updateBot]]) — the standard streaming-rate-limit approximation,
+  * exact whenever a burst lands inside one watermark horizon. The
+  * burst minute itself spans micro-batches fine: an unchanged minute
+  * keeps accumulating. No state timeout is set (the
   * fixture is bounded); production adds an idle-user event-time
   * timeout exactly like [[SessionizeStream]].
   */
@@ -37,20 +39,33 @@ object BotFilterStream {
                 state: GroupState[BotState]): BotOut = {
     var s = state.getOption.getOrElse(BotState(Long.MinValue, 0, bot = false))
     events.toSeq.sortBy(_.minute).foreach { e =>
-      s = if (e.minute == s.minute) s.copy(count = s.count + 1)
-          else BotState(e.minute, 1, s.bot)
-      if (s.count >= EventStreams.BotBurstThreshold) s = s.copy(bot = true)
+      // a cross-batch LATE event (older than the open minute) is
+      // skipped: it can neither re-open its own minute (that count is
+      // gone — the documented approximation) nor RESET the live
+      // minute's accumulation. Without this guard one stale event
+      // between two halves of a burst would zero the count and let
+      // the burst escape the flag.
+      if (e.minute >= s.minute) {
+        s = if (e.minute == s.minute) s.copy(count = s.count + 1)
+            else BotState(e.minute, 1, s.bot)
+        if (s.count >= EventStreams.BotBurstThreshold) s = s.copy(bot = true)
+      }
     }
     state.update(s)
     BotOut(userId, s.bot)
   }
 
   /** Streaming bot flags over an events directory (parquet file
-    * source, ts shape adapted by `Tables.readEventsStream`). */
-  def bots(spark: SparkSession, sfDir: String,
-           eventsDir: String): Dataset[BotOut] = {
+    * source, ts shape adapted by `Tables.readEventsStream`).
+    * `maxFilesPerTrigger` goes to the SOURCE (a sink-side option is
+    * silently ignored) — the spec uses it to force the burst across
+    * micro-batches. */
+  def bots(spark: SparkSession, sfDir: String, eventsDir: String,
+           maxFilesPerTrigger: Option[Int] = None): Dataset[BotOut] = {
     import spark.implicits._
-    Tables.readEventsStream(spark, eventsDir, fallbackSfDir = Some(sfDir))
+    Tables.readEventsStream(spark, eventsDir,
+        maxFilesPerTrigger = maxFilesPerTrigger,
+        fallbackSfDir = Some(sfDir))
       .select(col("user_id"),
         expr("unix_micros(ts) div 60000000").as("minute"))
       .as[BEvent]

@@ -52,8 +52,8 @@ object AdaptiveScaleMain {
             .as("v"))
       }.reduce(_ unionByName _)
     val n = e.count()
-    val (cand, bits, bands) = Similarity.adaptiveCandidates(spark, e)
-    val adaptiveCand = cand.count()
+    val (cand, sig, bits, bands) = Similarity.adaptiveCandidates(spark, e)
+    val adaptiveCand = try cand.count() finally sig.unpersist()
     // the fixed plan a never-re-derived deployment would still run;
     // expected volume ~ C(n,2)·bands/2^bits — skip the count when it
     // would itself be the quadratic blow-up being demonstrated

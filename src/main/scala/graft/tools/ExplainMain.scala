@@ -54,7 +54,10 @@ object ExplainMain {
     "sim2_ann_lsh",       // same single-probe cross (cosineToProbe core)
     "sim3_ann_ivf",       // probe row broadcast into the IVF cell join
     "sim4_knn_join",      // exact kNN-join baseline, declared quadratic
-    "sim7_knn_engaged",   // exact-vs-capped recall gate on a dense fixture
+    // sim7_knn_engaged deliberately NOT listed: the driver query is
+    // the banded equi-join pipeline (pinned bnlj:0); its exact-kNN
+    // recall baseline lives only in PipelineSpec, so a BNLJ creeping
+    // into the gate plan is a hard violation, not a declared pattern
     "dd5_embed_neardup")  // exact near-dup baseline, declared quadratic
 
   /** Mechanically extracted plan properties; all counts from the

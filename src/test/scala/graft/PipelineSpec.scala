@@ -595,10 +595,12 @@ class PipelineSpec extends AnyFunSuite {
         expr(s"transform(v, (x, i) -> if(pmod(xxhash64($r, i), 2) = 0, x, -x))")
           .as("v"))
     }.reduce(_ unionByName _)
-    val (candS, bitsS, _) = Similarity.adaptiveCandidates(spark, base)
-    val (candB, bitsB, _) = Similarity.adaptiveCandidates(spark, big)
+    val (candS, sigS, bitsS, _) = Similarity.adaptiveCandidates(spark, base)
+    val (candB, sigB, bitsB, _) = Similarity.adaptiveCandidates(spark, big)
     assert(bitsS == 5 && bitsB == 7, "adaptivity did not engage on the 4x corpus")
-    val (cs, cb) = (candS.count(), candB.count())
+    val (cs, cb) =
+      try (candS.count(), candB.count())
+      finally { sigS.unpersist(); sigB.unpersist() }
     val growth = cb.toDouble / cs
     assert(growth < 8.0,
       f"adaptive candidate growth $growth%.1fx for 4x data — not sub-quadratic")

@@ -276,9 +276,16 @@ class StreamingSpec extends AnyFunSuite {
     val half1 = BotFilterStream.updateBot(7L,
       Iterator.fill(6)(BEvent(7L, 100L)), st)
     assert(!half1.is_bot, "flagged below threshold")
+    // a LATE event between the two halves must not reset the live
+    // minute's count (the updateBot guard — without it the burst
+    // below would escape the flag)
+    val stale = BotFilterStream.updateBot(7L,
+      Iterator.single(BEvent(7L, 50L)), st)
+    assert(!stale.is_bot, "stale event should not flag")
     val half2 = BotFilterStream.updateBot(7L,
       Iterator.fill(6)(BEvent(7L, 100L)), st)
-    assert(half2.is_bot, "cross-batch accumulation failed to flag")
+    assert(half2.is_bot,
+      "cross-batch accumulation failed to flag (late-event reset?)")
     val later = BotFilterStream.updateBot(7L,
       Iterator.single(BEvent(7L, 999L)), st)
     assert(later.is_bot, "bot flag is not sticky")
@@ -302,10 +309,13 @@ class StreamingSpec extends AnyFunSuite {
     staged.zipWithIndex.foreach { case (p, i) =>
       java.nio.file.Files.move(p, dir.resolve(s"batch_$i.parquet"))
     }
-    val q = BotFilterStream.bots(spark, sf, dir.toString)
+    // maxFilesPerTrigger is a SOURCE option — passed through bots()
+    // so the two staged files genuinely arrive as two micro-batches
+    // and the drain exercises the cross-batch state path
+    val q = BotFilterStream.bots(spark, sf, dir.toString,
+        maxFilesPerTrigger = Some(1))
       .writeStream.format("memory").queryName("bot_stream_test")
       .outputMode("update")
-      .option("maxFilesPerTrigger", "1")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
