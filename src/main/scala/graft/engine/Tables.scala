@@ -56,8 +56,26 @@ object Tables {
       // LongType; a TIMESTAMP(MICROS) column surfaces as
       // TimestampType (NTZ inference is disabled above, and the
       // session tz is pinned UTC so LTZ is value-identical).
+      val priorNanos =
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(path(sfDir, table))
+      // Confine the conf to the one case that needs it: a NANOS
+      // footer's DataFrame decodes the column under this conf at
+      // ACTION time, so there it must stay set (documented residual —
+      // no per-read parquet option exists for it); for the
+      // micros/NTZ footers the returned plan never consults it, so
+      // restore immediately and a later unrelated read of some OTHER
+      // nanos parquet in the same session is not silently changed
+      // (the batch-path twin of the r9 stream-probe fix).
+      if (raw.schema("ts").dataType != org.apache.spark.sql.types.LongType) {
+        priorNanos match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+          case None =>
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
+      }
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           // Nanos-as-long → convert losslessly to a microsecond

@@ -79,13 +79,15 @@ object ActiveMain {
     val uCands = unlabeled.map { case (_, b) => Candidates.enumerate(spark, b) }
 
     // 64-d query features: pooled tree-conv feature of the DEFAULT
-    // candidate plan under the seed model (get_inter_fea analog)
-    val uFeats = uCands.map { cands =>
-      m0.interFeatures(Seq(fg0.transform(cands.head.plan)))(0).toArray
-    }
-    val lFeats = seedLabeled.map(lq => {
-      m0.interFeatures(Seq(fg0.transform(lq.plans.head)))(0).toArray
-    })
+    // candidate plan under the seed model (get_inter_fea analog).
+    // ONE batched forward per pool — per-tree calls are exactly the
+    // overhead-bound shape ConvLayer.forwardBatch exists to amortize
+    val uFeats =
+      m0.interFeatures(uCands.map(c => fg0.transform(c.head.plan)))
+        .map(_.toArray)
+    val lFeats =
+      m0.interFeatures(seedLabeled.map(lq => fg0.transform(lq.plans.head)))
+        .map(_.toArray)
     def toMat(rows: Seq[Array[Double]]) = {
       val m = DenseMatrix.zeros[Double](rows.length, rows.head.length)
       rows.zipWithIndex.foreach { case (r, i) =>

@@ -98,8 +98,13 @@ object Coreset {
       if (ug.rows == 0) Seq.empty[Int]
       else {
         val simWithL = ug * l.t // (|U_g| × |L|)
+        // cold start (no labeled rows yet): every point is maximally
+        // far from L, so seed with -inf and the loop degenerates to
+        // pure k-center over U — `.max` over an empty row range would
+        // throw instead
         val maxSim = DenseVector.tabulate(ug.rows)(r =>
-          (0 until l.rows).map(c => simWithL(r, c)).max)
+          if (l.rows == 0) Double.NegativeInfinity
+          else (0 until l.rows).map(c => simWithL(r, c)).max)
         val candidates = scala.collection.mutable.ArrayBuffer.range(0, ug.rows)
         val selected = scala.collection.mutable.ArrayBuffer[Int]()
         while (selected.length < math.min(perGroup, ug.rows)) {

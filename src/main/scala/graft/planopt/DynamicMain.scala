@@ -127,7 +127,12 @@ object DynamicMain {
         s"""{"lero_latency_list": $latencyList,
            | "default_latency_list": $defaultList,
            | "mode": "$mode",
-           | "batch_noise_floors": ${floors.map(f => f"$f%.6f").mkString("[", ", ", "]")}}
+           | "batch_noise_floors": ${floors.map(f =>
+               // an undefined floor (all qids dropped, or all-tie
+               // Spearman) must serialize as JSON null — a bare NaN
+               // token makes the whole artifact unparseable
+               if (f.isNaN) "null" else f"$f%.6f")
+             .mkString("[", ", ", "]")}}
            |""".stripMargin)
       log.info(f"[$mode] totals: selected=${results.map(_.selectedTotalSec).sum}%.3fs " +
         f"default=${results.map(_.defaultTotalSec).sum}%.3fs " +

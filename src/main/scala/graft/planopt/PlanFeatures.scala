@@ -207,10 +207,14 @@ object PlanFeatures {
     val p = unwrap(plan)
     val op = {
       val n = p.getClass.getSimpleName.stripSuffix("Exec")
-      if (n.endsWith("ExchangeExec") || n == "ShuffleExchange") "ShuffleExchange"
-      else if (n.startsWith("FileSourceScan")) "FileScan"
-      else if (n.startsWith("ShuffleExchange")) "ShuffleExchange"
+      // map ANY broadcast exchange first, then any other exchange
+      // implementation (incl. third-party ShuffleExchangeLike nodes,
+      // whose simple names still end in "Exchange" after the Exec
+      // strip — the pre-fix "ExchangeExec" test could never match and
+      // sent such nodes to the Unknown one-hot) onto ShuffleExchange
+      if (n.startsWith("FileSourceScan")) "FileScan"
       else if (n.startsWith("BroadcastExchange")) "BroadcastExchange"
+      else if (n.endsWith("Exchange")) "ShuffleExchange"
       else n
     }
     val relation = p match {

@@ -84,7 +84,10 @@ object RefCorpusMain {
         f"default=${r.defaultTotalSec}%.1fs)")
       loss
     }
-    val mean = foldLosses.sum / k
+    // divide by the folds actually run (== k only when blocks == k;
+    // a tiny corpus can yield fewer) — Pipelines.cvRankingLosses
+    // callers use .size, and the twins must report the same mean
+    val mean = foldLosses.sum / foldLosses.size
     val sd = math.sqrt(foldLosses.map(l => (l - mean) * (l - mean)).sum / (k - 1))
     log.info(f"$k%d-fold held-out ranking loss: mean=$mean%.4f sd=$sd%.4f " +
       "(reference committed golden: 0.6132; lower is better)")

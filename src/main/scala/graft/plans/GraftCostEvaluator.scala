@@ -32,15 +32,34 @@ class GraftCostEvaluator extends CostEvaluator {
         try {
           val score = model.predict(
             Seq(gen.transform(PlanFeatures.fromSparkPlan(plan)))).head
-        // monotone map to the SimpleCost long domain; 1e6 preserves
-        // score differences well above the comparator's noise floor
-          SimpleCost((score * 1e6).toLong)
-        } catch { // unfeaturizable stage plan: fall back to heuristic
-          case _: Exception => shuffleCount(plan)
+          // monotone map to the SimpleCost long domain, SHIFTED
+          // non-negative (SimpleCost longs compare unsigned-ish in
+          // intent; a negative score must still order below a bigger
+          // one): 1e6 preserves score differences well above the
+          // comparator's noise floor, and the +1e12 offset keeps every
+          // model cost strictly below the unfeaturizable fallback
+          SimpleCost(math.max(0L, (score * 1e6).toLong + 1_000_000_000_000L))
+        } catch { // unfeaturizable stage plan: see fallback doc below
+          case _: Exception => unfeaturizableCost(plan)
         }
-      case None => shuffleCount(plan)
+      case None => shuffleCount(plan, 0L)
     }
 
-  private def shuffleCount(plan: SparkPlan): Cost =
-    SimpleCost(plan.collect { case s: ShuffleExchangeLike => s }.size.toLong)
+  /** Fallback when featurization throws for a stage plan: AQE compares
+    * this cost against the PARTNER plan's cost, which may be a model
+    * score — the two domains must still order sensibly. Model costs
+    * live in [0, ~2e12]; the fallback starts at 1e13 + shuffle count,
+    * so an unfeaturizable plan always loses to a featurizable one
+    * (conservative: keep the plan the model can actually reason
+    * about), and two unfeaturizable plans order by shuffle count
+    * among themselves. Before this shift, one failed featurization
+    * put a raw shuffle count (0–10) against a model cost in the
+    * millions and the comparison was decided by WHICH plan failed,
+    * not by predicted speed. */
+  private def unfeaturizableCost(plan: SparkPlan): Cost =
+    shuffleCount(plan, 10_000_000_000_000L)
+
+  private def shuffleCount(plan: SparkPlan, offset: Long): Cost =
+    SimpleCost(offset +
+      plan.collect { case s: ShuffleExchangeLike => s }.size.toLong)
 }

@@ -225,9 +225,16 @@ class PlannerInjectionSpec extends AnyFunSuite {
     PlanChoice.install(model, gen)
     try {
       val learned = ev.evaluateCost(plan).asInstanceOf[SimpleCost].value
-      val expected = (model.predict(Seq(gen.transform(
-        PlanFeatures.fromSparkPlan(plan)))).head * 1e6).toLong
+      // model costs are shifted +1e12 (and clamped >= 0) so they stay
+      // strictly below the unfeaturizable fallback's 1e13 offset —
+      // the two cost domains must order sensibly when AQE compares a
+      // featurizable plan against one whose featurization threw
+      val expected = math.max(0L, (model.predict(Seq(gen.transform(
+        PlanFeatures.fromSparkPlan(plan)))).head * 1e6).toLong +
+        1_000_000_000_000L)
       assert(learned == expected)
+      assert(learned < 10_000_000_000_000L,
+        "model cost must stay below the unfeaturizable fallback band")
       assert(ev.evaluateCost(plan).asInstanceOf[SimpleCost].value == learned,
         "deterministic")
     } finally PlanChoice.uninstall()
