@@ -79,18 +79,18 @@ object Harvester {
       val ranges = fields.flatMap { f =>
         f.dataType match {
           case _: IntegerType | _: LongType | _: ShortType =>
-            row.map(r => f.name -> NumRange(
-              toD(r.getAs[Any](s"min_${f.name}")), toD(r.getAs[Any](s"max_${f.name}")),
-              integral = true))
+            numRangeOf(row, f.name, integral = true)
           case _: NumericType =>
-            row.map(r => f.name -> NumRange(
-              toD(r.getAs[Any](s"min_${f.name}")), toD(r.getAs[Any](s"max_${f.name}")),
-              integral = false))
+            numRangeOf(row, f.name, integral = false)
           case _: TimestampType =>
-            row.map { r =>
+            // an empty/all-NULL column yields null min/max — skip the
+            // column (no range to sample filters from) instead of an
+            // NPE that aborts the whole harvest
+            row.flatMap { r =>
               val lo = r.getAs[java.sql.Timestamp](s"min_${f.name}")
               val hi = r.getAs[java.sql.Timestamp](s"max_${f.name}")
-              f.name -> TsRange(lo.getTime / 1000, hi.getTime / 1000)
+              if (lo == null || hi == null) None
+              else Some(f.name -> TsRange(lo.getTime / 1000, hi.getTime / 1000))
             }
           case _: StringType =>
             val nd = df.agg(approx_count_distinct(col(f.name))).head().getLong(0)
@@ -115,6 +115,19 @@ object Harvester {
     case n: Number => n.doubleValue()
     case other => other.toString.toDouble
   }
+
+  /** Numeric range from the batched min/max row; an empty/all-NULL
+    * column (null min/max) yields None — recording it as [0, 0] would
+    * silently poison generated filter literals with out-of-domain
+    * values (same contract as the timestamp branch). */
+  private def numRangeOf(row: Option[org.apache.spark.sql.Row],
+      name: String, integral: Boolean): Option[(String, ColRange)] =
+    row.flatMap { r =>
+      val mn = r.getAs[Any](s"min_$name")
+      val mx = r.getAs[Any](s"max_$name")
+      if (mn == null || mx == null) None
+      else Some(name -> NumRange(toD(mn), toD(mx), integral))
+    }
 
   // --- SQL analysis (M21–M23) over Spark's own parser ----------------
 

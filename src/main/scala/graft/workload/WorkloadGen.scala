@@ -31,12 +31,11 @@ object WorkloadGen {
   /** Empirical distribution (values, weights) — `Counter` in the
     * reference. */
   final case class Dist(values: Seq[Int], weights: Seq[Int]) {
-    require(values.nonEmpty && values.length == weights.length)
-    private val cum = weights.scanLeft(0)(_ + _).tail
-    def sample(rnd: Random): Int = {
-      val x = rnd.nextInt(cum.last)
-      values(cum.indexWhere(x < _))
-    }
+    require(values.nonEmpty && values.length == weights.length,
+      s"Dist needs matching non-empty values/weights (got ${values.length}/" +
+        s"${weights.length}) — an empty distribution usually means the seed " +
+        "workload had no queries of the counted kind (e.g. no multi-table joins)")
+    def sample(rnd: Random): Int = weightedChoice(values, weights, rnd)
   }
 
   /** M24: harvest join conditions, filter columns, and the empirical
@@ -84,8 +83,9 @@ object WorkloadGen {
     if (graph.isEmpty) return (Nil, Set())
     val keys = graph.keys.toSeq.sorted
     val start = keys(rnd.nextInt(keys.length))
+    // one set: the BFS frontier IS the emitted FROM-table set (two
+    // parallel sets here once invited silent desynchronization)
     val visited = scala.collection.mutable.Set(start)
-    val tables = scala.collection.mutable.Set(start)
     val joins = scala.collection.mutable.ArrayBuffer[String]()
     val queue = scala.collection.mutable.Queue[(String, String)]()
     graph(start).toSeq.sorted.foreach(n => queue.enqueue((start, n)))
@@ -99,14 +99,13 @@ object WorkloadGen {
         }
         if (conds.nonEmpty) {
           joins += conds(rnd.nextInt(conds.length))
-          tables += neighbor
           visited += neighbor
           graph(neighbor).toSeq.sorted
             .filterNot(visited).foreach(n => queue.enqueue((neighbor, n)))
         }
       }
     }
-    (joins.toSeq, tables.toSet)
+    (joins.toSeq, visited.toSet)
   }
 
   /** Union-find over join columns — one filter per equivalence class
@@ -133,7 +132,14 @@ object WorkloadGen {
     items(cum.indexWhere(rnd.nextInt(cum.last) < _))
   }
 
-  private def escapeQuotes(v: String): String = v.replace("'", "''")
+  /** String-literal escape for the SPARK parser the generated
+    * workloads run on (labeling executes candidates in-session; these
+    * queries are not DuckDB-oracle-gated): backslash first — Spark's
+    * default parser treats \ as an escape inside literals, so a
+    * harvested value ending in \ would swallow the closing quote and
+    * break the generated SQL — then the standard '' doubling. */
+  private def escapeQuotes(v: String): String =
+    v.replace("\\", "\\\\").replace("'", "''")
 
   private def tsLiteral(epochSec: Long): String = {
     val inst = java.time.Instant.ofEpochSecond(epochSec)
@@ -149,13 +155,18 @@ object WorkloadGen {
       case NumRange(lo, hi, integral) =>
         val op = weightedChoice(NumericOps, NumericWeights, rnd)
         val v =
-          if (integral && lo != hi) (lo.toLong + math.abs(rnd.nextLong()) % math.max(1, (hi - lo).toLong + 1)).toString
+          // floorMod, not abs-mod: abs(Long.MinValue) is NEGATIVE, so
+          // the 2^-64 draw would emit an out-of-domain literal
+          if (integral && lo != hi)
+            (lo.toLong + java.lang.Math.floorMod(rnd.nextLong(),
+              math.max(1, (hi - lo).toLong + 1))).toString
           else BigDecimal(lo + rnd.nextDouble() * (hi - lo))
             .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
         Some(s"$aliasCol $op $v")
       case TsRange(lo, hi) =>
         val op = weightedChoice(Seq(">", "<", ">=", "<="), Seq(1, 1, 1, 1), rnd)
-        val v = lo + (if (hi > lo) math.abs(rnd.nextLong()) % (hi - lo) else 0L)
+        val v = lo + (if (hi > lo)
+          java.lang.Math.floorMod(rnd.nextLong(), hi - lo) else 0L)
         Some(s"$aliasCol $op ${tsLiteral(v)}")
       case StrValues(vs) if vs.nonEmpty =>
         val op = if (rnd.nextBoolean()) "=" else "!="
@@ -252,7 +263,8 @@ object WorkloadGen {
         val op = NumericOps(rnd.nextInt(NumericOps.length)) // uniform, :243
         val v =
           if (integral && lo != hi)
-            (lo.toLong + math.abs(rnd.nextLong()) % math.max(1, (hi - lo).toLong + 1)).toString
+            (lo.toLong + java.lang.Math.floorMod(rnd.nextLong(),
+              math.max(1, (hi - lo).toLong + 1))).toString
           else BigDecimal(lo + rnd.nextDouble() * (hi - lo))
             .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
         Some(s"$aliasCol $op $v")
@@ -274,6 +286,13 @@ object WorkloadGen {
     * @param filterColumns harvested per-TABLE filter columns (the
     *   reference's `filter_columns` infos file); when empty, derived
     *   from the template's own filter columns via its alias map. */
+  /** NOTE the `rangeDict` KEY CONTRACT: keys are the template's
+    * ALIASES (o1/o2/…), not table names — a multi-alias template
+    * needs per-alias entries so each alias can draw its own value.
+    * `Harvester.rangeDict` returns TABLE-keyed maps; callers re-key
+    * through the template's alias map first (the specs show the
+    * shape). A missing alias key silently yields no filter for that
+    * alias, so a table-keyed map here produces a joins-only query. */
   def refreshTemplateFilters(spark: SparkSession, templateSql: String,
                              rangeDict: Map[String, Map[String, ColRange]],
                              rnd: Random,
@@ -282,6 +301,18 @@ object WorkloadGen {
     val comp = extractComponents(spark, templateSql)
     val whereMatch = "(?i)\\bWHERE\\b".r.findFirstMatchIn(templateSql)
     require(whereMatch.isDefined, "template needs WHERE")
+    // the rebuild emits head + WHERE + regenerated conjuncts — a tail
+    // clause after the WHERE block (GROUP BY/HAVING/ORDER BY/LIMIT)
+    // would be silently DROPPED, changing the query's shape. The
+    // reference's JOB templates are SELECT..FROM..WHERE only
+    // (generate_imdb_sql.py:196-332), so reject out-of-scope
+    // templates loudly instead of corrupting them.
+    val tail = templateSql.substring(whereMatch.get.end)
+    require(!"(?i)\\b(GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT)\\b".r
+        .findFirstIn(tail).isDefined,
+      "template has a post-WHERE clause (GROUP BY/HAVING/ORDER BY/" +
+        "LIMIT) the filter refresh would drop — out of the reference " +
+        "template shape")
     val head = templateSql.substring(0, whereMatch.get.start).trim
     val aliasToTable = comp.fromTables.map { case (t, a) => a -> t }.toMap
     // per-table filter columns: harvested if given, else the template's
