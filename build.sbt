@@ -37,4 +37,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // regressed the cold pass (24g: 110.7s).
   "-XX:+UseParallelGC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
-)
+  // Deterministic GC geometry (r10 post-mortem): the driver-run cold
+  // pass showed an 11.7s JVM-GC storm inside dd3's window that never
+  // reproduces on an idle machine — classic ParallelGC adaptive-sizing
+  // pathology: an allocation-heavy early query (dc1/dd10) shrinks
+  // eden to meet ergonomic goals, the next signature-explode query
+  // then promotion-storms through back-to-back full GCs while the
+  // heap is still expanding from its small initial size. Pin the
+  // heap at Xms=Xmx and fix a 4g young gen so collection geometry is
+  // identical regardless of how loaded the host is.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:-UseAdaptiveSizePolicy",
+) ++ {
+  // fixed young gen only at the default heap — a caller overriding
+  // SPARK_DRIVER_MEM below 8g must not get a 4g eden forced on them
+  if (sys.env.get("SPARK_DRIVER_MEM").forall(_ == "12g")) Seq("-Xmn4g")
+  else Seq.empty
+}

@@ -101,8 +101,12 @@ object Bench {
         resetState()
         diag.snapshotDelta(spark.sparkContext) // reset the delta window
         val t0 = System.nanoTime()
+        // NonFatal only: an OOM/StackOverflow/interrupt leaves the JVM
+        // in a state where every subsequent timing is garbage — abort
+        // the whole bench with a nonzero exit instead of recording a
+        // 200-char error string and continuing in a corrupted JVM
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           if (recordErrors)
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\n\r\t]", " ").take(200)

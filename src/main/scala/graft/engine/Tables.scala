@@ -153,18 +153,24 @@ object Tables {
     // canonical table's POST-conversion schema (ts already timestamp),
     // which lets a stream be defined before its first file arrives.
     //
-    // KNOWN LIMIT of the empty-dir fallback (r9 advice): a stream
-    // defined over an empty directory assumes the post-conversion
-    // shape (ts: timestamp). If files later land in the OLD
-    // nanos-as-long physical shape, the int64 column is read under a
-    // timestamp schema and the query fails (or misreads) at its first
-    // batch, not at definition. Seed at least one file before
-    // defining the stream when the physical shape is not known to be
-    // current — all in-repo callers (EventStreams/Funnel/Sessionize
-    // tests and mains) seed first and use the fallback only as a
-    // define-before-first-file convenience.
-    val footer = probedFooter
-      .orElse(eventsStreamFooter(spark, eventsDir))
+    // Empty-dir fallback (r9 advice, hardened r11): a stream defined
+    // over an empty directory assumes the post-conversion shape
+    // (ts: timestamp). If files later land in the OLD nanos-as-long
+    // physical shape, the first batch must fail LOUDLY as footer
+    // drift, never misread: (a) an annotated TIMESTAMP(NANOS) or
+    // bare-INT64 footer under the assumed timestamp schema makes the
+    // parquet reader itself throw at the first batch (schema-convert
+    // error naming the file); (b) any shape the reader does accept
+    // is additionally range-guarded below — a unit misread (nanos or
+    // millis decoded as micros) lands centuries away from the sane
+    // event-time window and raises the drift message on the first
+    // row. Seeding at least one file before defining the stream
+    // avoids the fallback entirely — all in-repo callers seed first
+    // and use the fallback only as a define-before-first-file
+    // convenience.
+    val probed = probedFooter.orElse(eventsStreamFooter(spark, eventsDir))
+    val assumedFallback = probed.isEmpty && fallbackSfDir.isDefined
+    val footer = probed
       .orElse(fallbackSfDir.map(sf => load(spark, sf, "events").schema))
       .getOrElse(throw new IllegalStateException(
         s"events stream at $eventsDir: no files to infer a schema from " +
@@ -182,7 +188,7 @@ object Tables {
     val reader = spark.readStream.schema(footer)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(eventsDir)
-    footer("ts").dataType match {
+    val converted = footer("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // same truncate-vs-floor caveat as the batch branch above
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -192,6 +198,24 @@ object Tables {
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case other => throw new IllegalStateException(
         s"events stream at $eventsDir has unsupported ts type $other")
+    }
+    if (!assumedFallback) converted
+    else {
+      // First-batch drift validation for the ASSUMED schema: the
+      // guard lives inside the ts column itself (not a droppable
+      // side column — column pruning would elide that), so the first
+      // row of the first batch either proves the seeded files decode
+      // into a sane event-time window or raises the drift message.
+      val lo = "timestamp'1990-01-01'"
+      val hi = "timestamp'2100-01-01'"
+      converted.withColumn("ts", expr(
+        s"""if(ts >= $lo AND ts < $hi, ts,
+           |  raise_error(concat(
+           |    'graft events stream at $eventsDir: ts decoded to ', cast(ts as string),
+           |    ' — the directory was seeded AFTER the stream was defined with a',
+           |    ' physical ts shape different from the assumed post-conversion',
+           |    ' schema (footer drift). Seed at least one file before defining',
+           |    ' the stream, or re-define it now that files exist.')))""".stripMargin))
     }
   }
 

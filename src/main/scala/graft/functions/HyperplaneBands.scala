@@ -186,16 +186,55 @@ object HyperplaneBands {
     * tau=0.4 yields (4, 54), which prunes little because cos 0.4 in
     * 64-dim random data is barely above noise. The parameterization,
     * not a constant, is the scale contract. */
-  def params(tau: Double, maxMiss: Double, maxBands: Int = 64): (Int, Int) = {
-    require(tau > 0 && tau < 1 && maxMiss > 0 && maxMiss < 1)
+  def params(tau: Double, maxMiss: Double, maxBands: Int = 64): (Int, Int) =
+    bandPlan(tau, maxMiss, n = None, maxBands = maxBands)
+
+  /** Bands needed so a true pair at cosine `tau` is missed with
+    * probability ≤ `maxMiss` given `bits` bits per band — the
+    * recall leg shared by BOTH derivation modes of [[bandPlan]].
+    * Returns 0 when a band collision is certain (p^bits ≥ 1). */
+  def bandsFor(tau: Double, maxMiss: Double, bits: Int): Int = {
     val p = 1.0 - math.acos(tau) / math.Pi
-    (24 to 1 by -1).iterator.flatMap { b =>
-      val pb = math.pow(p, b)
-      if (pb >= 1.0) None
-      else {
-        val l = math.ceil(math.log(maxMiss) / math.log(1.0 - pb)).toInt
-        if (l >= 1 && l <= maxBands) Some((b, l)) else None
-      }
-    }.nextOption().getOrElse((1, maxBands))
+    val pb = math.pow(p, bits)
+    if (pb >= 1.0) 0
+    else math.ceil(math.log(maxMiss) / math.log(1.0 - pb)).toInt
+  }
+
+  /** THE banded-LSH plan derivation (r10 verdict #6 — one function for
+    * every consumer): (bitsPerBand, nBands) at cosine threshold `tau`
+    * with per-true-pair miss probability ≤ `maxMiss`.
+    *
+    *  - `n = Some(count)` — the SCALE mode (dd10 and every production
+    *    path): bits is the smallest b in [bitsMin, bitsMax] with
+    *    2^b · targetBucket ≥ count, keeping expected random-collision
+    *    bucket occupancy at ~targetBucket as the corpus grows (at any
+    *    FIXED bits, occupancy grows linearly with n and candidate
+    *    volume with Σ bucketSize² — quadratic); bands then carries the
+    *    recall bound at those bits. Total work ~ n^(1+ρ), ρ =
+    *    log2(1/p) · ln 2 / ln(1/collision) — the standard sub-quadratic
+    *    LSH curve (measured exponent 1.30 vs the fixed plan's 2.0,
+    *    `results/r10_sf1/adaptive_scale.json`). At 100 TB `count` is a
+    *    metastore stats lookup, not a scan.
+    *  - `n = None` — the FIXED mode (the legacy threshold-only
+    *    derivation the dd5_blocked gates pin as regression checks):
+    *    the most selective bits whose required band count still fits
+    *    `maxBands`.
+    */
+  def bandPlan(tau: Double, maxMiss: Double, n: Option[Long],
+               targetBucket: Int = 16, maxBands: Int = 64,
+               bitsMin: Int = 4, bitsMax: Int = 24): (Int, Int) = {
+    require(tau > 0 && tau < 1 && maxMiss > 0 && maxMiss < 1)
+    n match {
+      case Some(count) =>
+        val bits = (bitsMin to bitsMax)
+          .find(b => (1L << b) * targetBucket >= count)
+          .getOrElse(bitsMax)
+        (bits, bandsFor(tau, maxMiss, bits))
+      case None =>
+        (bitsMax to 1 by -1).iterator.flatMap { b =>
+          val l = bandsFor(tau, maxMiss, b)
+          if (l >= 1 && l <= maxBands) Some((b, l)) else None
+        }.nextOption().getOrElse((1, maxBands))
+    }
   }
 }

@@ -160,22 +160,20 @@ object Similarity {
   private[graft] val AdaptiveBitsMax = 24
 
   /** bands for a given bits at [[AdaptiveTau]]/[[AdaptiveRecall]] —
-    * driver-side closed form (see the block comment above). */
-  private[graft] def adaptiveBands(bits: Int): Int = {
-    val p = 1.0 - math.acos(AdaptiveTau) / math.Pi
-    math.ceil(math.log(1.0 - AdaptiveRecall) /
-      math.log(1.0 - math.pow(p, bits))).toInt
-  }
+    * delegates to the ONE derivation ([[HyperplaneBands.bandsFor]];
+    * r10 verdict #6 unification). */
+  private[graft] def adaptiveBands(bits: Int): Int =
+    HyperplaneBands.bandsFor(AdaptiveTau, 1.0 - AdaptiveRecall, bits)
 
-  /** (bits, bands) for a corpus of n rows. bits saturates at
-    * [[AdaptiveBitsMax]] (2^24 buckets/band ≈ 268M-row corpora per
-    * target-16 bucket; beyond that bands alone carry recall). */
-  private[graft] def adaptiveBandPlan(n: Long): (Int, Int) = {
-    val bits = (AdaptiveBitsMin to AdaptiveBitsMax)
-      .find(b => (1L << b) * AdaptiveTargetBucket >= n)
-      .getOrElse(AdaptiveBitsMax)
-    (bits, adaptiveBands(bits))
-  }
+  /** (bits, bands) for a corpus of n rows — the SCALE mode of
+    * [[HyperplaneBands.bandPlan]] at this gate's constants. bits
+    * saturates at [[AdaptiveBitsMax]] (2^24 buckets/band ≈ 268M-row
+    * corpora per target-16 bucket; beyond that bands alone carry
+    * recall). */
+  private[graft] def adaptiveBandPlan(n: Long): (Int, Int) =
+    HyperplaneBands.bandPlan(AdaptiveTau, 1.0 - AdaptiveRecall, Some(n),
+      targetBucket = AdaptiveTargetBucket,
+      bitsMin = AdaptiveBitsMin, bitsMax = AdaptiveBitsMax)
 
   /** md5-derived ±1 SRP hyperplanes (sim7, dd10) as a tiny
     * driver-built FLAT (k, band, j, s) frame — one row per (band, bit,
@@ -501,6 +499,25 @@ object Similarity {
     // per-row k and near-tie similarity). 0 disables.
     knnFromSignatures(e, sig, k, bucketCap,
       xxhash64(col("vec_id"), col("band")))
+  }
+
+  /** Corpus-count-aware blocked kNN join (r10 verdict #6: one plan
+    * derivation for every banded consumer): (bits, bands) come from
+    * the SCALE mode of [[HyperplaneBands.bandPlan]] at `tauFloor` (the
+    * weakest neighbor similarity the deployment cares to recall), so
+    * bucket occupancy — and with it per-row candidate volume — stays
+    * bounded as the corpus grows, where any fixed (bits, bands) goes
+    * quadratic (the r8 sf1 finding; dd10 measured the adaptive curve
+    * at exponent 1.30 vs the fixed plan's 2.0). The fixed-plan
+    * [[knnJoinBlocked]] remains the pinned-regression path the sim5/6
+    * gates exercise. `n` defaults to a count of `e` — at 100 TB pass
+    * the metastore row count instead. */
+  def knnJoinBlockedAuto(e: DataFrame, k: Int, tauFloor: Double,
+                         maxMiss: Double = 1e-4, bucketCap: Int = 0,
+                         n: Option[Long] = None): DataFrame = {
+    val (bits, bands) = HyperplaneBands.bandPlan(
+      tauFloor, maxMiss, Some(n.getOrElse(e.count())))
+    knnJoinBlocked(e, k, bits, bands, bucketCap = bucketCap)
   }
 
   /** The shared cap → band-join → exact-rescore → top-k core of the

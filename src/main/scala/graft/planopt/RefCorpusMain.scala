@@ -88,8 +88,14 @@ object RefCorpusMain {
     // a tiny corpus can yield fewer) — Pipelines.cvRankingLosses
     // callers use .size, and the twins must report the same mean
     val mean = foldLosses.sum / foldLosses.size
-    val sd = math.sqrt(foldLosses.map(l => (l - mean) * (l - mean)).sum / (k - 1))
-    log.info(f"$k%d-fold held-out ranking loss: mean=$mean%.4f sd=$sd%.4f " +
+    // sample sd over the folds ACTUALLY run (a tiny corpus can yield
+    // fewer than k); one fold has no spread to report
+    val sd =
+      if (foldLosses.size < 2) 0.0
+      else math.sqrt(foldLosses.map(l => (l - mean) * (l - mean)).sum /
+        (foldLosses.size - 1))
+    log.info(f"${foldLosses.size}%d-fold held-out ranking loss: " +
+      f"mean=$mean%.4f sd=$sd%.4f " +
       "(reference committed golden: 0.6132; lower is better)")
     log.close()
   }

@@ -37,8 +37,13 @@ class GraftCostEvaluator extends CostEvaluator {
           // intent; a negative score must still order below a bigger
           // one): 1e6 preserves score differences well above the
           // comparator's noise floor, and the +1e12 offset keeps every
-          // model cost strictly below the unfeaturizable fallback
-          SimpleCost(math.max(0L, (score * 1e6).toLong + 1_000_000_000_000L))
+          // model cost strictly below the unfeaturizable fallback.
+          // Clamped to an explicit band [0, 1e13) — an outlier score
+          // must saturate INSIDE the model-cost domain, never cross
+          // into the unfeaturizable band (which would invert the
+          // "featurizable always wins" ordering)
+          SimpleCost(math.min(9_999_999_999_999L,
+            math.max(0L, (score * 1e6).toLong + 1_000_000_000_000L)))
         } catch { // unfeaturizable stage plan: see fallback doc below
           case _: Exception => unfeaturizableCost(plan)
         }

@@ -117,6 +117,30 @@ object Relational {
       |  AND r.r_name = 'ASIA' AND p.p_size BETWEEN 1 AND 25
       |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin
 
+  // --- J1: 10-way connected join over the FULL testdata schema —
+  //     the reference's join tail reaches 17 tables
+  //     (`create_sql.py:274-323` samples connected subgraphs up to the
+  //     whole 21-node JOB graph); this pins CBO/AQE behavior at our
+  //     schema's upper tail, where join-order search space actually
+  //     stresses the learned chooser. The graph extends the 7-way
+  //     relational chain with the pipeline tables: events joins
+  //     customer on user_id (FK-ish: user ids ⊂ custkeys), documents
+  //     joins events on doc_id = user_id (author link), embeddings
+  //     joins documents 1:1 on vec_id = doc_id. One filter per
+  //     pipeline table keeps the count bounded (~16k rows at sf0.1). ---
+  private val j10way =
+    """SELECT count(*) AS cnt
+      |FROM lineitem l, orders o, customer c, supplier s, nation n,
+      |     region r, part p, events e, documents d, embeddings v
+      |WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+      |  AND l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey
+      |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      |  AND e.user_id = c.c_custkey AND d.doc_id = e.user_id
+      |  AND v.vec_id = d.doc_id
+      |  AND e.event_type = 'purchase' AND l.l_quantity < 10
+      |  AND o.o_orderstatus = 'F' AND p.p_size BETWEEN 1 AND 40
+      |  AND d.lang = 'en' AND v.label < 8""".stripMargin
+
   // --- A2: MIN(col) AS alias ×3 (JOB shape, `imdb_test_sql.txt:1`) ---
   private val aMin =
     """SELECT min(p.p_name) AS min_pname, min(s.s_name) AS min_sname,
@@ -154,6 +178,7 @@ object Relational {
     "j1_join_2way" -> sql(j2way),
     "j1_join_5way" -> sql(j5way),
     "j1_join_7way" -> sql(j7way),
+    "j1_join_10way" -> sql(j10way),
     "a2_min_join" -> sql(aMin),
     // O1: explicit sort (physical SortExec; ref has Sort only under
     // MergeJoin — we surface it as deterministic top-k)
@@ -224,6 +249,7 @@ object Relational {
     "j1_join_2way" -> j2way,
     "j1_join_5way" -> j5way,
     "j1_join_7way" -> j7way,
+    "j1_join_10way" -> j10way,
     "a2_min_join" -> aMin,
     "o1_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders

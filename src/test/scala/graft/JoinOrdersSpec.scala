@@ -80,6 +80,25 @@ class JoinOrdersSpec extends AnyFunSuite {
     }
   }
 
+  test("10-way full-schema joins produce >=2 connected alternative orders") {
+    // the reference's join tail reaches 17 tables (create_sql.py
+    // samples connected subgraphs of the whole JOB graph); the 10-way
+    // gate is our schema's upper tail — the enumerator must still
+    // find genuinely different connected orders there
+    val q = optimized("j1_join_10way")
+    val vs = JoinOrders.variants(q)
+    assert(vs.head eq q, "variant 0 must be the original plan")
+    assert(vs.size >= 2, s"only ${vs.size} variants on the 10-way join")
+    assert(vs.map(_.canonicalized).distinct.size == vs.size)
+    vs.tail.foreach { v =>
+      assert(v.canonicalized != q.canonicalized)
+      joinsOf(v).foreach(j => assert(j.condition.isDefined,
+        s"10-way rewrite introduced a cross product:\n${j.simpleString(3)}"))
+      assert(v.output.map(a => (a.name, a.dataType)) ==
+        q.output.map(a => (a.name, a.dataType)))
+    }
+  }
+
   test("variant generation is deterministic (cache reconstruction contract)") {
     val q = optimized("j1_join_5way")
     val a = JoinOrders.variants(q).map(_.canonicalized.toString)

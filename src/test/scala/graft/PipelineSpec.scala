@@ -475,6 +475,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("auto-planned kNN join: unified bandPlan derives the plan from the " +
+      "corpus count; recall matches exact on clustered data") {
+    import graft.functions.HyperplaneBands
+    // ONE derivation function (r10 verdict #6): the fixed mode must
+    // reproduce the dd5_blocked gates' pinned plans EXACTLY (these
+    // are the fixed-plan regression checks)...
+    assert(HyperplaneBands.params(0.9, 1e-4) == (12, 55))
+    assert(HyperplaneBands.params(0.4, 1e-4) == (4, 54))
+    // ...and the scale mode is what dd10's adaptiveBandPlan delegates
+    // to — same table, bits monotone in n
+    assert(Similarity.adaptiveBandPlan(501L) ==
+      HyperplaneBands.bandPlan(Similarity.AdaptiveTau,
+        1.0 - Similarity.AdaptiveRecall, Some(501L)))
+    val plans = Seq(500L, 2000L, 100000L)
+      .map(n => HyperplaneBands.bandPlan(0.9, 1e-4, Some(n)))
+    assert(plans.map(_._1) == plans.map(_._1).sorted &&
+      plans.map(_._1).distinct.size == 3,
+      s"scale-mode bits must grow with n: $plans")
+    // the auto-planned top-k path: same clustered fixture as the
+    // fixed-plan test above; the derived plan must not lose recall
+    val rnd = new scala.util.Random(4242)
+    def unit(dim: Int): Array[Double] = {
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / nrm)
+    }
+    val rows = for {
+      c <- 0 until 20
+      center = unit(64)
+      m <- 0 until 6
+    } yield {
+      val v = center.zip(Array.fill(64)(rnd.nextGaussian() * 0.03))
+        .map { case (x, nz) => x + nz }
+      (c * 6L + m, v)
+    }
+    import spark.implicits._
+    val e = rows.toDF("vec_id", "v")
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.HyperplaneBands.register(spark)
+    val exact = Similarity.knnJoinExact(e, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val auto = Similarity.knnJoinBlockedAuto(e, 5, tauFloor = 0.9)
+    val got = auto.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == exact, "auto-planned kNN lost a true neighbor")
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    spark.catalog.clearCache() // knnJoinBlocked persists its signatures
+  }
+
   test("capped kNN join: no-op when dormant, full-k near-tie results when engaged") {
     // same planted-cluster regime as the blocked spec, denser so the
     // cap actually engages: 8 clusters of 30 (buckets up to 30 > cap 8)
@@ -600,7 +650,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(bitsS == 5 && bitsB == 7, "adaptivity did not engage on the 4x corpus")
     val (cs, cb) =
       try (candS.count(), candB.count())
-      finally { sigS.unpersist(); sigB.unpersist() }
+      finally {
+        sigS.unpersist(); sigB.unpersist()
+        // the gate closure above also persisted a signature frame
+        // inside adaptiveCandidates; Verify/Bench clear it per their
+        // cleanup contract — mirror that here so the cached relation
+        // doesn't leak into the rest of the suite
+        spark.catalog.clearCache()
+      }
     val growth = cb.toDouble / cs
     assert(growth < 8.0,
       f"adaptive candidate growth $growth%.1fx for 4x data — not sub-quadratic")

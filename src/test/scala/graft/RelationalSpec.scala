@@ -53,6 +53,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("10-way full-schema join count equals manual DataFrame join") {
+    import org.apache.spark.sql.functions._
+    val l = Tables.load(spark, sf, "lineitem").filter(col("l_quantity") < 10)
+    val o = Tables.load(spark, sf, "orders").filter(col("o_orderstatus") === "F")
+    val c = Tables.load(spark, sf, "customer")
+    val s = Tables.load(spark, sf, "supplier")
+    val n = Tables.load(spark, sf, "nation")
+    val r = Tables.load(spark, sf, "region")
+    val p = Tables.load(spark, sf, "part").filter(col("p_size").between(1, 40))
+    val e = Tables.load(spark, sf, "events").filter(col("event_type") === "purchase")
+    val d = Tables.load(spark, sf, "documents").filter(col("lang") === "en")
+    val v = Tables.load(spark, sf, "embeddings").filter(col("label") < 8)
+    val expect = l
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(n, s("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .join(p, l("l_partkey") === p("p_partkey"))
+      .join(e, e("user_id") === c("c_custkey"))
+      .join(d, d("doc_id") === e("user_id"))
+      .join(v, v("vec_id") === d("doc_id"))
+      .count()
+    val got = Relational.defs("j1_join_10way")(spark, sf).collect()(0).getLong(0)
+    assert(got == expect && got > 0, s"10-way: got $got expect $expect")
+  }
+
   test("q1 group agg is deterministic and grouped correctly") {
     val rows = Relational.defs("q1_group_agg")(spark, sf).collect()
     assert(rows.length > 0 && rows.length <= 6)

@@ -10,6 +10,15 @@ import graft.streaming.EventStreams
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally walk.close()
+  }
+
   test("streaming windowed agg equals batch windowed agg") {
     val batch = SparkEntry.queries("evt1_window_agg")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
@@ -210,6 +219,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no files"), err.getMessage)
   }
 
+  test("empty-dir fallback: files seeded AFTER definition in a drifted ts " +
+      "shape fail the first batch loudly — never a silent misread") {
+    import org.apache.spark.sql.functions._
+    val events = graft.engine.Tables.load(spark, sf, "events")
+
+    // (a) decodable drift: physical TIMESTAMP(MICROS) whose VALUES are
+    // nanosecond counts (the misread shape — decodes fine, lands
+    // ~50,000 years out). The in-plan guard must raise OUR footer-
+    // drift message on the first batch.
+    val dirA = java.nio.file.Files.createTempDirectory("evt_drift_us")
+    try {
+      val streamA = graft.engine.Tables.readEventsStream(
+        spark, dirA.toString, fallbackSfDir = Some(sf)) // dir EMPTY here
+      events.withColumn("ts", timestamp_micros(expr("unix_micros(ts) * 1000")))
+        .coalesce(1).write.mode("append").parquet(dirA.toString)
+      val qa = streamA.select(col("event_id"), col("ts"))
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val ea = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qa.awaitTermination(120000)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(messages(ea).exists(_.contains("footer drift")),
+        s"expected the drift message, got: ${messages(ea).mkString(" | ")}")
+    } finally deleteRecursively(dirA)
+
+    // (b) undecodable drift: the OLD nanos-as-long physical shape
+    // (INT64 column) under the assumed timestamp schema — the parquet
+    // reader itself must reject the file at the first batch (schema
+    // convert error), not decode garbage.
+    val dirB = java.nio.file.Files.createTempDirectory("evt_drift_i64")
+    try {
+      val streamB = graft.engine.Tables.readEventsStream(
+        spark, dirB.toString, fallbackSfDir = Some(sf)) // dir EMPTY here
+      events.withColumn("ts", expr("unix_micros(ts) * 1000")) // bigint nanos
+        .coalesce(1).write.mode("append").parquet(dirB.toString)
+      val qb = streamB.select(col("event_id"), col("ts"))
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qb.awaitTermination(120000)
+      }
+    } finally deleteRecursively(dirB)
+  }
+
   test("streaming dedup removes exact duplicates within the watermark") {
     // stage TWO copies of the events file: every event is duplicated
     val dir = java.nio.file.Files.createTempDirectory("evt_dedup_in")
@@ -312,21 +370,26 @@ class StreamingSpec extends AnyFunSuite {
     // maxFilesPerTrigger is a SOURCE option — passed through bots()
     // so the two staged files genuinely arrive as two micro-batches
     // and the drain exercises the cross-batch state path
-    val q = BotFilterStream.bots(spark, sf, dir.toString,
-        maxFilesPerTrigger = Some(1))
-      .writeStream.format("memory").queryName("bot_stream_test")
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(120000)
-    q.stop()
-    // the flag is monotone — max per user is the final verdict
-    val bots = spark.sql(
-      """SELECT user_id FROM (SELECT user_id, max(CAST(is_bot AS INT)) b
-        |FROM bot_stream_test GROUP BY user_id) WHERE b = 1""".stripMargin)
-      .collect().map(_.getLong(0)).toSet
-    assert(bots == Set(9999999L),
-      s"streaming bot set $bots != batch planted bot")
+    try {
+      val q = BotFilterStream.bots(spark, sf, dir.toString,
+          maxFilesPerTrigger = Some(1))
+        .writeStream.format("memory").queryName("bot_stream_test")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // a drain that exceeds the timeout must fail AS a timeout, not
+      // as a confusing set-mismatch on a half-drained table
+      val drained = q.awaitTermination(120000)
+      q.stop()
+      assert(drained, "bot stream did not drain within 120s")
+      // the flag is monotone — max per user is the final verdict
+      val bots = spark.sql(
+        """SELECT user_id FROM (SELECT user_id, max(CAST(is_bot AS INT)) b
+          |FROM bot_stream_test GROUP BY user_id) WHERE b = 1""".stripMargin)
+        .collect().map(_.getLong(0)).toSet
+      assert(bots == Set(9999999L),
+        s"streaming bot set $bots != batch planted bot")
+    } finally deleteRecursively(dir)
   }
 
   test("sessionization counts are sane") {
