@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.pipeline.Dedup
+import graft.streaming.{BotFilterStream, IngestDedupStream}
+
+/** Scale certification for the streaming twins (r10 verdict #4): the
+  * batch gates are certified at sf1 (`results/r9_sf1`, r10 additions),
+  * but the streaming twins were only drained at test scale while the
+  * 100 TB/day story cites them. This main drives two twins against an
+  * arbitrary (possibly ScaleUp-derived) data directory split into N
+  * micro-batches and records, per micro-batch, the numbers the scale
+  * claim actually rests on:
+  *
+  *  - `BotFilterStream` (mapGroupsWithState): rows/s per trigger and
+  *    the STATE STORE trajectory (rows + bytes). The claim is O(users)
+  *    state — rows processed grow 10× from sf0.1 to sf1 while state
+  *    rows plateau at the user population and bytes stay flat per
+  *    user.
+  *  - `IngestDedupStream` (foreachBatch vs a history index): rows/s
+  *    per trigger and the pair output. The claim is zero streaming
+  *    state (the history index lives outside the state store) and
+  *    per-trigger cost bounded by the micro-batch, not the corpus.
+  *
+  * Usage: runMain graft.tools.StreamScaleMain <dataDir> <outFile>
+  *          [nBatches]
+  * Writes one JSON object with a section per twin; commit the output
+  * under `results/r11_streaming/` next to SCALE.md §Streaming.
+  */
+object StreamScaleMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: StreamScaleMain <dataDir> <outFile> [nBatches]")
+    val dataDir = args(0)
+    val outFile = args(1)
+    val nBatches = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // keep every micro-batch's progress object (default cap is 100)
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (nBatches + 16).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    sb ++= s"""{"data_dir":"$dataDir","n_batches":$nBatches"""
+
+    // ---- BotFilterStream: stateful twin ----
+    {
+      val stage = java.nio.file.Files.createTempDirectory("scale_bot_in")
+      try {
+        // repartition → nBatches part files; maxFilesPerTrigger=1
+        // turns each into one micro-batch
+        Tables.load(spark, dataDir, "events")
+          .repartition(nBatches)
+          .write.mode("overwrite").parquet(stage.toString)
+        val t0 = System.nanoTime()
+        val q = BotFilterStream.bots(spark, dataDir, stage.toString,
+            maxFilesPerTrigger = Some(1))
+          .writeStream.format("noop")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val drained = q.awaitTermination(1800000)
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        require(drained, "bot stream did not drain in 30min")
+        val prog = q.recentProgress.toSeq
+          .filter(_.numInputRows > 0)
+        q.stop()
+        val batches = prog.map { p =>
+          val so = p.stateOperators.headOption
+          val dur = p.durationMs.getOrDefault("triggerExecution", 0L).toLong
+          s"""{"rows":${p.numInputRows},"trigger_ms":$dur,""" +
+            s""""rows_per_sec":${if (dur > 0) p.numInputRows * 1000 / dur else 0},""" +
+            s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
+            s""""state_rows_updated":${so.map(_.numRowsUpdated).getOrElse(-1L)},""" +
+            s""""state_bytes":${so.map(_.memoryUsedBytes).getOrElse(-1L)}}"""
+        }
+        val totalRows = prog.map(_.numInputRows).sum
+        sb ++= s""","bot_filter":{"total_rows":$totalRows,""" +
+          s""""wall_sec":${f"$wallSec%.2f"},""" +
+          s""""rows_per_sec_overall":${(totalRows / wallSec).toLong},""" +
+          s""""batches":[${batches.mkString(",")}]}"""
+      } finally deleteRec(stage)
+    }
+
+    // ---- IngestDedupStream: stateless-probe twin ----
+    {
+      val docs = Tables.load(spark, dataDir, "documents")
+      // mirror the spec/dd7 shape: history = 90%, stream = 10%
+      val hist = docs.filter(col("doc_id") % 10 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 10 === 0)
+      val histSets = Dedup.shingleSetsOf(hist).persist()
+      val histBanded = Dedup.bandedSignatures(
+        histSets.select(col("doc_id"), explode(col("hs")).as("h")))
+        .persist()
+      val histDocs = hist.count() // also materializes both indexes
+      histBanded.count()
+      val stage = java.nio.file.Files.createTempDirectory("scale_ingest_in")
+      try {
+        val streamBatches = math.max(2, nBatches / 2)
+        fresh.repartition(streamBatches)
+          .write.mode("overwrite").parquet(stage.toString)
+        val pairCounts = new java.util.concurrent.atomic.AtomicLong
+        val t0 = System.nanoTime()
+        val q = IngestDedupStream.run(spark, stage.toString, docs.schema,
+          histBanded, histSets,
+          pairs => { pairCounts.addAndGet(pairs.count()); () },
+          maxFilesPerTrigger = 1)
+        val drained = q.awaitTermination(1800000)
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        require(drained, "ingest stream did not drain in 30min")
+        val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        q.stop()
+        val batches = prog.map { p =>
+          val dur = p.durationMs.getOrDefault("triggerExecution", 0L).toLong
+          s"""{"rows":${p.numInputRows},"trigger_ms":$dur,""" +
+            s""""rows_per_sec":${if (dur > 0) p.numInputRows * 1000 / dur else 0},""" +
+            s""""state_operators":${p.stateOperators.length}}"""
+        }
+        val totalRows = prog.map(_.numInputRows).sum
+        sb ++= s""","ingest_dedup":{"history_docs":$histDocs,""" +
+          s""""stream_docs":$totalRows,"pairs":${pairCounts.get},""" +
+          s""""wall_sec":${f"$wallSec%.2f"},""" +
+          s""""docs_per_sec_overall":${(totalRows / wallSec).toLong},""" +
+          s""""batches":[${batches.mkString(",")}]}"""
+      } finally {
+        histSets.unpersist(); histBanded.unpersist(); deleteRec(stage)
+      }
+    }
+
+    sb ++= "}"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      sb.toString + "\n")
+    println(sb.toString)
+    spark.stop()
+  }
+
+  private def deleteRec(dir: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally walk.close()
+  }
+}
