@@ -141,6 +141,28 @@ object Relational {
       |  AND o.o_orderstatus = 'F' AND p.p_size BETWEEN 1 AND 40
       |  AND d.lang = 'en' AND v.label < 8""".stripMargin
 
+  // --- J1: MULTI-ALIAS join — the same table joined twice under two
+  //     aliases (supplier nation vs customer nation), the IMDB/JOB
+  //     workload's defining shape (ref `generate_imdb_sql.py`'s
+  //     multi-alias phase samples repeated-table subgraphs; classic
+  //     TPC-H Q7 volume-shipping form). The disjunctive cross-alias
+  //     predicate can only sit above BOTH nation joins — exactly the
+  //     placement problem a join-order search must respect. DECIMAL
+  //     volume sum with a final double cast (the q1/q2 discipline). ---
+  private val jAlias =
+    """SELECT count(*) AS cnt,
+      |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+      |    (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS volume
+      |FROM supplier s, lineitem l, orders o, customer c,
+      |     nation n1, nation n2
+      |WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+      |  AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+      |  AND c.c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin
+
   // --- A2: MIN(col) AS alias ×3 (JOB shape, `imdb_test_sql.txt:1`) ---
   private val aMin =
     """SELECT min(p.p_name) AS min_pname, min(s.s_name) AS min_sname,
@@ -179,6 +201,7 @@ object Relational {
     "j1_join_5way" -> sql(j5way),
     "j1_join_7way" -> sql(j7way),
     "j1_join_10way" -> sql(j10way),
+    "j1_join_alias" -> sql(jAlias),
     "a2_min_join" -> sql(aMin),
     // O1: explicit sort (physical SortExec; ref has Sort only under
     // MergeJoin — we surface it as deterministic top-k)
@@ -250,6 +273,7 @@ object Relational {
     "j1_join_5way" -> j5way,
     "j1_join_7way" -> j7way,
     "j1_join_10way" -> j10way,
+    "j1_join_alias" -> jAlias,
     "a2_min_join" -> aMin,
     "o1_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
