@@ -39,11 +39,12 @@ object StableMain {
     Tables.registerAll(spark, sfDir)
 
     // seed workload: the join-bearing relational shapes, including the
-    // r11 upper-tail additions (10-way full-schema, multi-alias) so
-    // the chooser is trained and evaluated where join-order search
-    // space actually bites
+    // r11 upper-tail additions (10-way full-schema, multi-alias, and
+    // the 17-relation JOB-maximum multi-alias join) so the chooser is
+    // trained and evaluated where join-order search space actually
+    // bites
     val seedNames = Seq("j1_join_2way", "j1_join_5way", "j1_join_7way",
-      "j1_join_10way", "j1_join_alias",
+      "j1_join_10way", "j1_join_alias", "j1_join_17rel",
       "a2_min_join", "q2_join_group_topn")
     val seedSql = Seq(
       """SELECT count(*) FROM orders o, customer c

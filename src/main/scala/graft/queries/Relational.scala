@@ -163,6 +163,48 @@ object Relational {
       |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
       |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin
 
+  // --- J1: 17-RELATION connected join — the reference's measured
+  //     join-size MAXIMUM (JOB queries reach 17 relations via repeated
+  //     aliases of the same table; `create_sql.py:274-323` BFS-samples
+  //     connected subgraphs up to the full 21-node graph). Our schema
+  //     has 10 distinct tables, so the tail past 10 is built exactly
+  //     the way JOB builds it: ALIAS REPEATS, each attached by a real
+  //     key edge. All seven extra relations are lookup or 1:1 edges
+  //     (customer-side nation/region chain, a second supplier lookup
+  //     from lineitem with its own nation, the event user re-resolved
+  //     as c2, and the 1:1 doc<->vec link walked in both directions),
+  //     so the only fan-out in the whole query is the j10way core —
+  //     output stays ~j10way-sized and the planner faces a 17-node
+  //     join-order space with 11 broadcastable dims. The cross-alias
+  //     disjunction (supplier region vs customer region, or a small
+  //     customer-nation set) can only be placed above BOTH region
+  //     joins — the same placement constraint jAlias pins, now at
+  //     depth 17. ---
+  private val j17rel =
+    """SELECT count(*) AS cnt
+      |FROM lineitem l, orders o, customer c, supplier s, nation n1,
+      |     region r1, part p, events e, documents d, embeddings v,
+      |     nation n2, region r2, supplier s2, nation n3, customer c2,
+      |     documents d2, embeddings v2
+      |WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+      |  AND l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey
+      |  AND s.s_nationkey = n1.n_nationkey
+      |  AND n1.n_regionkey = r1.r_regionkey
+      |  AND e.user_id = c.c_custkey AND d.doc_id = e.user_id
+      |  AND v.vec_id = d.doc_id
+      |  AND c.c_nationkey = n2.n_nationkey
+      |  AND n2.n_regionkey = r2.r_regionkey
+      |  AND l.l_suppkey = s2.s_suppkey
+      |  AND s2.s_nationkey = n3.n_nationkey
+      |  AND c2.c_custkey = e.user_id
+      |  AND d2.doc_id = v.vec_id AND v2.vec_id = d.doc_id
+      |  AND e.event_type = 'purchase' AND l.l_quantity < 10
+      |  AND o.o_orderstatus = 'F' AND p.p_size BETWEEN 1 AND 40
+      |  AND d.lang = 'en' AND v.label < 8
+      |  AND s2.s_acctbal > 0 AND c2.c_acctbal > 0
+      |  AND d2.n_chars > 0 AND v2.label >= 0
+      |  AND (r1.r_name != r2.r_name OR n2.n_nationkey IN (1,2,3))""".stripMargin
+
   // --- A2: MIN(col) AS alias ×3 (JOB shape, `imdb_test_sql.txt:1`) ---
   private val aMin =
     """SELECT min(p.p_name) AS min_pname, min(s.s_name) AS min_sname,
@@ -202,6 +244,7 @@ object Relational {
     "j1_join_7way" -> sql(j7way),
     "j1_join_10way" -> sql(j10way),
     "j1_join_alias" -> sql(jAlias),
+    "j1_join_17rel" -> sql(j17rel),
     "a2_min_join" -> sql(aMin),
     // O1: explicit sort (physical SortExec; ref has Sort only under
     // MergeJoin — we surface it as deterministic top-k)
@@ -274,6 +317,7 @@ object Relational {
     "j1_join_7way" -> j7way,
     "j1_join_10way" -> j10way,
     "j1_join_alias" -> jAlias,
+    "j1_join_17rel" -> j17rel,
     "a2_min_join" -> aMin,
     "o1_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders

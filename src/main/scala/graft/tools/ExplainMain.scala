@@ -28,7 +28,7 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainMain {
   private val Flagships = Seq(
-    "j1_join_7way", "j1_join_10way",
+    "j1_join_7way", "j1_join_10way", "j1_join_17rel",
     "q1_group_agg", "q2_join_group_topn", "p1_projection",
     "dd3_minhash_lsh", "sim1_cosine_topk", "dd5_embed_neardup",
     "dd5_blocked_neardup", "dd5_blocked_tau09", "sim3_ann_ivf",

@@ -99,6 +99,25 @@ class JoinOrdersSpec extends AnyFunSuite {
     }
   }
 
+  test("17-relation multi-alias joins still enumerate connected orders") {
+    // the reference's measured maximum is 17 relations (JOB multi-
+    // alias queries); repeated aliases of the same table must not
+    // confuse the enumerator's connectivity test (distinct attribute
+    // ids per alias keep the edges distinct)
+    val q = optimized("j1_join_17rel")
+    val vs = JoinOrders.variants(q)
+    assert(vs.head eq q, "variant 0 must be the original plan")
+    assert(vs.size >= 2, s"only ${vs.size} variants on the 17-rel join")
+    assert(vs.map(_.canonicalized).distinct.size == vs.size)
+    vs.tail.foreach { v =>
+      assert(v.canonicalized != q.canonicalized)
+      joinsOf(v).foreach(j => assert(j.condition.isDefined,
+        s"17-rel rewrite introduced a cross product:\n${j.simpleString(3)}"))
+      assert(v.output.map(a => (a.name, a.dataType)) ==
+        q.output.map(a => (a.name, a.dataType)))
+    }
+  }
+
   test("variant generation is deterministic (cache reconstruction contract)") {
     val q = optimized("j1_join_5way")
     val a = JoinOrders.variants(q).map(_.canonicalized.toString)

@@ -80,6 +80,61 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == expect && got > 0, s"10-way: got $got expect $expect")
   }
 
+  test("17-relation multi-alias join count equals manual DataFrame join") {
+    import org.apache.spark.sql.functions._
+    val l = Tables.load(spark, sf, "lineitem").filter(col("l_quantity") < 10)
+    val o = Tables.load(spark, sf, "orders").filter(col("o_orderstatus") === "F")
+    val c = Tables.load(spark, sf, "customer")
+    val s = Tables.load(spark, sf, "supplier")
+    val n1 = Tables.load(spark, sf, "nation")
+    val r1 = Tables.load(spark, sf, "region")
+    val p = Tables.load(spark, sf, "part").filter(col("p_size").between(1, 40))
+    val e = Tables.load(spark, sf, "events").filter(col("event_type") === "purchase")
+    val d = Tables.load(spark, sf, "documents").filter(col("lang") === "en")
+    val v = Tables.load(spark, sf, "embeddings").filter(col("label") < 8)
+    // the seven alias repeats: fresh loads = fresh attribute ids
+    val n2 = Tables.load(spark, sf, "nation")
+    val r2 = Tables.load(spark, sf, "region")
+    val s2 = Tables.load(spark, sf, "supplier").filter(col("s_acctbal") > 0)
+    val n3 = Tables.load(spark, sf, "nation")
+    val c2 = Tables.load(spark, sf, "customer").filter(col("c_acctbal") > 0)
+    val d2 = Tables.load(spark, sf, "documents").filter(col("n_chars") > 0)
+    val v2 = Tables.load(spark, sf, "embeddings").filter(col("label") >= 0)
+    val expect = l
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(n1, s("s_nationkey") === n1("n_nationkey"))
+      .join(r1, n1("n_regionkey") === r1("r_regionkey"))
+      .join(p, l("l_partkey") === p("p_partkey"))
+      .join(e, e("user_id") === c("c_custkey"))
+      .join(d, d("doc_id") === e("user_id"))
+      .join(v, v("vec_id") === d("doc_id"))
+      .join(n2, c("c_nationkey") === n2("n_nationkey"))
+      .join(r2, n2("n_regionkey") === r2("r_regionkey"))
+      .join(s2, l("l_suppkey") === s2("s_suppkey"))
+      .join(n3, s2("s_nationkey") === n3("n_nationkey"))
+      .join(c2, c2("c_custkey") === e("user_id"))
+      .join(d2, d2("doc_id") === v("vec_id"))
+      .join(v2, v2("vec_id") === d("doc_id"))
+      .filter(r1("r_name") =!= r2("r_name") ||
+        n2("n_nationkey").isin(1, 2, 3))
+      .count()
+    val got = Relational.defs("j1_join_17rel")(spark, sf).collect()(0).getLong(0)
+    assert(got == expect && got > 0, s"17-rel: got $got expect $expect")
+  }
+
+  test("17-relation join is alias-repeat lookup-only: no fan-out vs 10-way") {
+    // every relation past the j10way core is attached by a key-lookup
+    // or 1:1 edge, so the 17-rel count can never EXCEED the 10-way
+    // count filtered by the extra predicates — i.e. it is bounded by
+    // the 10-way count itself (the r1!=r2/IN disjunction and alias
+    // filters only shrink it)
+    val c17 = Relational.defs("j1_join_17rel")(spark, sf).collect()(0).getLong(0)
+    val c10 = Relational.defs("j1_join_10way")(spark, sf).collect()(0).getLong(0)
+    assert(c17 <= c10, s"alias tail fanned out: 17rel=$c17 > 10way=$c10")
+  }
+
   test("q1 group agg is deterministic and grouped correctly") {
     val rows = Relational.defs("q1_group_agg")(spark, sf).collect()
     assert(rows.length > 0 && rows.length <= 6)
