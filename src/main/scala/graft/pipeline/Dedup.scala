@@ -612,6 +612,83 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(ngramCoreExpr(DecontamN))).as("g"))
 
+  /** dd11 knobs: span granularity is the dc1 8-gram (long enough that
+    * accidental cross-doc overlap is rare), and grams shared by more
+    * than [[SpanDfCap]] docs are boilerplate (dd9's domain), excluded
+    * so one viral sentence can never make every doc "duplicated". */
+  private[graft] val SpanN = 8
+  private[graft] val SpanDfCap = 256
+
+  /** POSITIONED n-gram hashes: `(pos0, h)` pairs where pos0 is the
+    * 0-based token index of the gram's first token. Same token/gram
+    * derivation as [[ngramCoreExpr]] (a tokenization change cannot
+    * desynchronize spans from shingles), but keeps positions and
+    * duplicates — span extraction needs every occurrence, not the
+    * distinct set. */
+  private def posGramExpr(n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ")
+    s"if(size(w) < $n, array(), transform(" +
+      s"sequence(0, size(w) - $n), i -> xxhash64(concat_ws(' ', $parts))))"
+  }
+
+  /** dd11: cross-document repeated-SPAN extraction — the distributed
+    * re-expression of suffix-array substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2021,
+    * public): find maximal runs of tokens that also appear verbatim in
+    * at least one other document, so a pipeline can cut the span
+    * rather than drop the whole doc (the span-level complement of
+    * dd2/dd3's doc-level near-dup).
+    *
+    * Spark-first shape (a suffix array is a single-machine structure;
+    * the cluster equivalent is fingerprint-join + interval merge):
+    *  1. positioned 8-gram hashes, generator-inlined (map-side);
+    *  2. gram document-frequency hash-agg (partial/final); keep
+    *     2 <= df <= [[SpanDfCap]] — df=1 is unique text, df>cap is
+    *     boilerplate (dd9 removes it corpus-wide);
+    *  3. semi-join positions to the duplicated-gram set (each gram row
+    *     matches at most once — no fan-out anywhere);
+    *  4. gaps-and-islands interval merge per doc: a run breaks where
+    *     `pos > max(prev gram end) + 1` (running-max window), island
+    *     id = running sum of breaks — per-doc windows, bounded by doc
+    *     length.
+    * Shuffles: df agg + join (both on the 8-byte gram hash) + ONE
+    * doc_id exchange; the window, both island aggs, and the final
+    * per-doc rollup all reuse the same doc_id partitioning (Catalyst
+    * satisfies ClusteredDistribution(doc_id, island) from
+    * HashPartitioning(doc_id) — audited, one exchange in the plan).
+    * At 100 TB every stage is linear in corpus size; the only
+    * quadratic-looking step (df-capped gram join) is bounded exactly
+    * like dd2's candidate generation. */
+  private[graft] def repeatedSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = tokenized(spark, sfDir)
+      .select(col("doc_id"), posexplode(expr(posGramExpr(SpanN))))
+      .toDF("doc_id", "p0", "h")
+      // 1-based positions: first valid gram start is token 1
+      .select(col("doc_id"), (col("p0") + lit(1)).as("pos"), col("h"))
+      .persist() // referenced by both the df agg and the join-back
+    val dupGrams = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df").between(2, SpanDfCap))
+      .select(col("h"))
+    val dup = grams.join(dupGrams, "h").select(col("doc_id"), col("pos"))
+    val prevEnds = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("brk", when(col("pos") >
+        coalesce(max(col("pos") + lit(SpanN - 1)).over(prevEnds),
+          lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(cum))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(SpanN - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        max(col("e") - col("s") + 1).cast("long").as("max_span"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: flag corpus docs sharing any 8-gram
     // with the eval set, with the shared-gram count as evidence. The
@@ -647,6 +724,9 @@ object Dedup {
     "dd2_ngram_jaccard" -> ((spark, sfDir) =>
       verifiedPairs(shingleSets(spark, sfDir),
         cappedCandidates(shingles(spark, sfDir)), 0.8)),
+    // Repeated-span extraction (substring-level dedup): per doc, the
+    // maximal token runs shared verbatim with another document.
+    "dd11_repeated_spans" -> repeatedSpans _,
     // MinHash + banded LSH candidates, exact-verified. Shares dd2's
     // oracle: LSH recall at J>=0.8 must be (and is) 1.
     "dd3_minhash_lsh" -> ((spark, sfDir) =>
@@ -772,6 +852,53 @@ object Dedup {
        |       round(c * 1.0 / (ca.n + cb.n - c), 3) AS jaccard
        |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
        |WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8""".stripMargin
+
+  /** dd11 oracle: the same span semantics derived from RAW text in
+    * DuckDB — tokenize, positioned 8-grams (starts 1..len-7), grams
+    * with 2 <= distinct-doc-frequency <= cap mark duplicated
+    * positions, gaps-and-islands merge, per-doc rollup. Independent
+    * formulation (string grams, no hashing), so agreement checks the
+    * span extraction itself, not the fingerprinting. */
+  private val dd11OracleSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents
+       |),
+       |posd AS (
+       |  SELECT doc_id, w, unnest(range(1, len(w) - ${SpanN - 2})) AS pos
+       |  FROM toks WHERE len(w) >= $SpanN
+       |),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(w[pos:pos+${SpanN - 1}], ' ') AS g
+       |  FROM posd
+       |),
+       |df AS (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+       |dup AS (
+       |  SELECT gr.doc_id, gr.pos FROM grams gr JOIN df ON gr.g = df.g
+       |  WHERE df.df BETWEEN 2 AND $SpanDfCap
+       |),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > coalesce(max(pos + ${SpanN - 1}) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM dup
+       |),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl
+       |),
+       |spans AS (
+       |  SELECT doc_id, island, min(pos) AS s, max(pos) + ${SpanN - 1} AS e
+       |  FROM isl2 GROUP BY doc_id, island
+       |)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+       |  CAST(max(e - s + 1) AS BIGINT) AS max_span
+       |FROM spans GROUP BY doc_id""".stripMargin
 
   /** dd7 oracle: dd2's exact pairs restricted to those with at least
     * one side in the ingest batch — the probe path must find exactly
@@ -932,6 +1059,7 @@ object Dedup {
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
         |FROM documents GROUP BY source""".stripMargin,
     "dd2_ngram_jaccard" -> dd2OracleSql,
+    "dd11_repeated_spans" -> dd11OracleSql,
     // dd3 must reproduce dd2's exact result — the oracle doubles as an
     // end-to-end MinHash-recall check.
     "dd3_minhash_lsh" -> dd2OracleSql,

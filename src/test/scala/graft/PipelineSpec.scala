@@ -66,6 +66,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(under == Map(1L -> 2, 2L -> 1), under.toString)
   }
 
+  test("dd11 repeated spans equal an in-memory brute-force recomputation") {
+    // independent single-machine implementation: tokenize every doc,
+    // map each 8-gram STRING (no hashing) to its distinct doc set,
+    // mark positions whose gram appears in 2..cap docs, merge
+    // overlapping/adjacent [p, p+7] intervals, roll up per doc
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val n = Dedup.SpanN
+    val gramDocs = scala.collection.mutable.Map[Seq[String], Set[Long]]()
+    docs.foreach { case (id, w) =>
+      w.sliding(n).filter(_.size == n).foreach { g =>
+        gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+      }
+    }
+    val expect = docs.flatMap { case (id, w) =>
+      val dupPos = w.sliding(n).zipWithIndex.collect {
+        case (g, i) if g.size == n &&
+          { val d = gramDocs(g).size; d >= 2 && d <= Dedup.SpanDfCap } =>
+          i + 1 // 1-based
+      }.toSeq
+      if (dupPos.isEmpty) None else {
+        // interval merge over [p, p + n - 1]
+        val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        dupPos.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2 + 1)
+            spans(spans.size - 1) = (spans.last._1, p + n - 1)
+          else spans += ((p, p + n - 1))
+        }
+        val lens = spans.map { case (s, e) => e - s + 1 }
+        Some(id -> ((spans.size.toLong, lens.sum.toLong, lens.max.toLong)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("dd11_repeated_spans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == expect.keySet,
+      s"doc sets differ: +${got.keySet -- expect.keySet} -${expect.keySet -- got.keySet}")
+    got.foreach { case (id, v) =>
+      assert(v == expect(id), s"doc $id: got $v expect ${expect(id)}")
+    }
+    // structural floor: every span covers at least one whole 8-gram
+    assert(got.values.forall { case (ns, dt, ms) =>
+      ns >= 1 && ms >= n && dt >= ms })
+  }
+
   test("minhash LSH near-dup equals exact n-gram jaccard") {
     val exact = pairs("dd2_ngram_jaccard")
     val lsh = pairs("dd3_minhash_lsh")
