@@ -48,6 +48,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // identical regardless of how loaded the host is.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   "-XX:-UseAdaptiveSizePolicy",
+  // Xms commits address space but NOT pages: the first query to CYCLE
+  // eden pays page-fault + zero for every untouched survivor/old page
+  // it copies into, booked as GC time inside that query's timed
+  // window (measured: dd3 cold 4-6s with 40-156s summed task GC on an
+  // IDLE host, warm clean — the residual storm the geometry pin alone
+  // did not remove). Fault the whole heap at JVM start instead, where
+  // it is nobody's timed window.
+  "-XX:+AlwaysPreTouch",
 ) ++ {
   // fixed young gen only at the default heap — a caller overriding
   // SPARK_DRIVER_MEM below 8g must not get a 4g eden forced on them
