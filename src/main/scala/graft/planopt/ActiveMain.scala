@@ -65,8 +65,13 @@ object ActiveMain {
     def q(sql: String): SparkSession => DataFrame =
       s => s.sql(sql.stripSuffix(";"))
     val pool = gen.take(poolSize).zipWithIndex.map { case (s, i) => s"pool$i" -> q(s) }
+    // held-out set includes the join upper tail (10-way full schema,
+    // multi-alias, and the 17-relation JOB-maximum) so the
+    // uncertainty-sampled model is evaluated where join-order search
+    // space actually bites
     val testQ = gen.drop(poolSize).zipWithIndex.map { case (s, i) => s"test$i" -> q(s) } ++
-      Seq("j1_join_5way", "j1_join_7way").map(n =>
+      Seq("j1_join_5way", "j1_join_7way", "j1_join_10way",
+        "j1_join_alias", "j1_join_17rel").map(n =>
         n -> ((s: SparkSession) => Relational.defs(n)(s, sfDir)))
 
     // seed labeled set: first 5 pool queries
