@@ -3,7 +3,7 @@ package graft.pipeline
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 import graft.engine.Tables
 
@@ -405,6 +405,60 @@ object CorpusIO {
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(dir)
 
+  /** io11: Z-ORDER (Morton) two-dimensional clustering — the
+    * multi-dimension complement of io10's 1-D range layout. io10's
+    * time slices are perfect for time predicates but USELESS for a
+    * user predicate (every file holds every user: all 8 files touch).
+    * Bit-interleaving range-bucketed (user_id, ts) into a Morton key
+    * and range-writing on it gives every output file a COMPACT 2-D
+    * block: its parquet min/max stats are narrow on BOTH columns, so
+    * a user predicate, a time predicate, or their conjunction each
+    * prune to a fraction of the files — the Delta/Iceberg `ZORDER BY`
+    * story on plain parquet, and the layout a 100 TB event log wants
+    * when queries filter on more than one dimension. The dimension
+    * min/max used for bucketing are ONE driver-side stats row — at
+    * 100 TB a metastore column-stats lookup, same contract as dd10's
+    * corpus count. The gate fingerprints the corpus read back through
+    * the layout (content-lossless, io10's oracle discipline); the
+    * spec pins the MECHANISM: per-file min/max rectangles, a
+    * single-cell 2-D predicate touching ≤ 4 of 16 files, a user-only
+    * predicate touching ≤ 8 (vs ALL files under io10's layout), and
+    * the pruned read reproducing the full filtered result. */
+  private[graft] val ZBits = 4 // 16 range buckets per dimension
+  private[graft] val ZFiles = 16
+
+  /** Morton key: `ZBits`-bit range buckets of user_id and micros-ts,
+    * bits interleaved (user in the odd positions, time in the even),
+    * entirely integer column arithmetic — codegen-friendly, no UDF. */
+  private def mortonKey(uMin: Long, uMax: Long,
+                        tMin: Long, tMax: Long): Column = {
+    def bucket(c: Column, lo: Long, hi: Long): Column =
+      least(lit((1 << ZBits) - 1),
+        floor((c - lit(lo)).cast("double") * (1 << ZBits) /
+          lit((hi - lo + 1).toDouble)).cast("int"))
+    val ub = bucket(col("user_id"), uMin, uMax)
+    val tb = bucket(unix_micros(col("ts")), tMin, tMax)
+    (0 until ZBits).map { i =>
+      shiftright(ub, i).bitwiseAND(lit(1)) * lit(1 << (2 * i + 1)) +
+        shiftright(tb, i).bitwiseAND(lit(1)) * lit(1 << (2 * i))
+    }.reduce(_ + _)
+  }
+
+  private[graft] def zorderLayoutWrite(spark: SparkSession, sfDir: String,
+                                       dir: String): Unit = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val stats = ev.agg(
+      min(col("user_id")), max(col("user_id")),
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val z = mortonKey(stats.getLong(0), stats.getLong(1),
+      stats.getLong(2), stats.getLong(3))
+    ev.withColumn("z", z)
+      .repartitionByRange(ZFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z") // layout key, not content — the rewrite is lossless
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** All-column events fingerprint (io10's gate rollup): ts hashed as
     * exact integer micros (`unix_micros` ≡ DuckDB `epoch_us` — no
     * cross-engine timestamp FORMATTING in the hash), the double
@@ -551,6 +605,13 @@ object CorpusIO {
         rangeLayoutWrite(spark, sfDir, dir)
         eager(eventsFingerprint(spark.read.parquet(dir)))
       } finally deleteRec(new java.io.File(dir))
+    }),
+    "io11_zorder_layout" -> ((spark, sfDir) => {
+      val dir = tempDir("graft_io_zorder")
+      try {
+        zorderLayoutWrite(spark, sfDir, dir)
+        eager(eventsFingerprint(spark.read.parquet(dir)))
+      } finally deleteRec(new java.io.File(dir))
     }))
 
   /** Schema-identical LAZY plans for the eager gates above: every io
@@ -586,6 +647,8 @@ object CorpusIO {
           .withColumn("quality", when(col("doc_id") % 2 =!= 0,
             (col("n_chars") % 100).cast("long"))))),
       "io10_range_layout" -> ((spark, sfDir) =>
+        eventsFingerprint(Tables.load(spark, sfDir, "events"))),
+      "io11_zorder_layout" -> ((spark, sfDir) =>
         eventsFingerprint(Tables.load(spark, sfDir, "events"))))
   }
 
@@ -663,6 +726,23 @@ object CorpusIO {
     // the double `value` stays out of the md5 and is summed as exact
     // DECIMAL instead)
     "io10_range_layout" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+        |  CAST(sum(CAST(CAST('0x' || substr(h, 1, 12) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS VARCHAR) AS hash_sum,
+        |  CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS value_sum
+        |FROM (
+        |  SELECT event_type, value,
+        |    md5(concat_ws('|', event_id, epoch_us(ts), user_id,
+        |      event_type, props)) AS h
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the Z-ordered rewrite must be content-lossless too — io10's
+    // fingerprint oracle over the ORIGINAL events table; the 2-D
+    // pruning MECHANISM is spec-pinned (per-file min/max rectangles)
+    "io11_zorder_layout" ->
       """SELECT event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,

@@ -212,6 +212,73 @@ class BucketingSpec extends AnyFunSuite {
     } finally deleteRecursively(dir)
   }
 
+  test("io11 z-order layout: per-file 2-D rectangles prune BOTH dimensions") {
+    import graft.pipeline.CorpusIO
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft_range2").toString
+    try {
+      CorpusIO.zorderLayoutWrite(spark, sf, zDir)
+      CorpusIO.rangeLayoutWrite(spark, sf, rDir)
+      def parquetFiles(d: String) = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      val zFiles = parquetFiles(zDir)
+      assert(zFiles.length == CorpusIO.ZFiles,
+        s"expected ${CorpusIO.ZFiles} z files, got ${zFiles.length}")
+      // global dimension ranges (what a metastore would hold)
+      val g = Tables.load(spark, sf, "events").agg(
+        min(col("user_id")), max(col("user_id")),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (uMin, uMax, tMin, tMax) =
+        (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+      // quadrant predicate: u-buckets 4..7 x t-buckets 8..11 of the
+      // 16x16 morton grid, expressed as closed ranges via the same
+      // floor-bucket arithmetic the layout used
+      def lo(b: Long, dMin: Long, dMax: Long) =
+        dMin + (b * (dMax - dMin + 1) + 15) / 16
+      def hi(b: Long, dMin: Long, dMax: Long) =
+        lo(b + 1, dMin, dMax) - 1
+      val (uLo, uHi) = (lo(4, uMin, uMax), hi(7, uMin, uMax))
+      val (tLo, tHi) = (lo(8, tMin, tMax), hi(11, tMin, tMax))
+      // per-file min/max rectangle on BOTH dims — what parquet
+      // file-level stats expose to a pruning reader
+      def rects(files: Array[String]) = files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          min(col("user_id")), max(col("user_id")),
+          min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+        (f, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val zRects = rects(zFiles)
+      val touching2d = zRects.filter { case (_, a, b, c, d) =>
+        a <= uHi && b >= uLo && c <= tHi && d >= tLo }
+      assert(touching2d.nonEmpty && touching2d.length <= 4,
+        s"2-D quadrant predicate touches ${touching2d.length} of " +
+          s"${zFiles.length} z files (expected <=4)")
+      // a USER-only predicate still prunes under z-order...
+      val touchingU = zRects.count { case (_, a, b, _, _) =>
+        a <= uHi && b >= uLo }
+      assert(touchingU < zFiles.length,
+        s"user predicate touches all $touchingU z files")
+      // ...but touches EVERY file of the 1-D time-range layout —
+      // the comparison that motivates multi-dimensional clustering
+      val rTouchingU = rects(parquetFiles(rDir)).count {
+        case (_, a, b, _, _) => a <= uHi && b >= uLo }
+      assert(rTouchingU == CorpusIO.RangeFiles,
+        s"time-range layout unexpectedly pruned a user predicate " +
+          s"($rTouchingU of ${CorpusIO.RangeFiles})")
+      // manual pruning is result-exact: reading only the touching
+      // files under the 2-D filter equals the full-directory scan
+      def rollup(paths: String*) = spark.read.parquet(paths: _*)
+        .filter(col("user_id").between(uLo, uHi) &&
+          unix_micros(col("ts")).between(tLo, tHi))
+        .agg(count(lit(1)), sum(col("event_id"))).head()
+      assert(rollup(zDir) == rollup(touching2d.map(_._1).toSeq: _*),
+        "pruned z-file read diverges from the full filtered scan")
+    } finally {
+      deleteRecursively(zDir)
+      deleteRecursively(rDir)
+    }
+  }
+
   test("io7 compaction consolidates 64 ingest files into the size-targeted count") {
     import graft.pipeline.CorpusIO
     val smallDir = java.nio.file.Files.createTempDirectory("graft_small").toString
