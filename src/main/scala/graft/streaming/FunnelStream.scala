@@ -48,9 +48,11 @@ object FunnelStream {
     * ts shape adapted by `Tables.readEventsStream`). Emits each
     * user's current stage every trigger (stage is monotone, so the
     * latest row per user is also the max). */
-  def funnel(spark: SparkSession, sfDir: String, eventsDir: String): Dataset[FunnelOut] = {
+  def funnel(spark: SparkSession, sfDir: String, eventsDir: String,
+             maxFilesPerTrigger: Option[Int] = None): Dataset[FunnelOut] = {
     import spark.implicits._
-    Tables.readEventsStream(spark, eventsDir, fallbackSfDir = Some(sfDir))
+    Tables.readEventsStream(spark, eventsDir,
+        maxFilesPerTrigger = maxFilesPerTrigger, fallbackSfDir = Some(sfDir))
       .select(col("user_id"), unix_micros(col("ts")).as("ts"),
         when(col("event_type") === "view", 1)
           .when(col("event_type") === "click", 2)

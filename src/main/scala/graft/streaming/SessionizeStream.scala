@@ -71,9 +71,11 @@ object SessionizeStream {
   /** Streaming sessionizer over an events directory (parquet file
     * source, ts shape adapted by `Tables.readEventsStream`). Emits
     * CLOSED sessions. */
-  def sessions(spark: SparkSession, sfDir: String, eventsDir: String): Dataset[SessionOut] = {
+  def sessions(spark: SparkSession, sfDir: String, eventsDir: String,
+               maxFilesPerTrigger: Option[Int] = None): Dataset[SessionOut] = {
     import spark.implicits._
-    Tables.readEventsStream(spark, eventsDir, fallbackSfDir = Some(sfDir))
+    Tables.readEventsStream(spark, eventsDir,
+        maxFilesPerTrigger = maxFilesPerTrigger, fallbackSfDir = Some(sfDir))
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("ts"))
       .as[Event]

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.pipeline.Dedup
-import graft.streaming.{BotFilterStream, IngestDedupStream}
+import graft.streaming.{BotFilterStream, FunnelStream, IngestDedupStream,
+  SessionizeStream}
 
 /** Scale certification for the streaming twins (r10 verdict #4): the
   * batch gates are certified at sf1 (`results/r9_sf1`, r10 additions),
@@ -24,6 +25,14 @@ import graft.streaming.{BotFilterStream, IngestDedupStream}
   *    per trigger and the pair output. The claim is zero streaming
   *    state (the history index lives outside the state store) and
   *    per-trigger cost bounded by the micro-batch, not the corpus.
+  *  - `SessionizeStream` (flatMapGroupsWithState + event-time
+  *    timeout): the claim is O(OPEN sessions) state — the watermark
+  *    EVICTS closed sessions, so unlike the bot filter the state
+  *    rows must stay BELOW the user population while the stream is
+  *    mid-history and drop as sessions close, not grow with events.
+  *  - `FunnelStream` (mapGroupsWithState, one record per user): the
+  *    bot-filter shape — state rows plateau at the user population
+  *    with flat bytes per user.
   *
   * Usage: runMain graft.tools.StreamScaleMain <dataDir> <outFile>
   *          [nBatches]
@@ -134,6 +143,53 @@ object StreamScaleMain {
       } finally {
         histSets.unpersist(); histBanded.unpersist(); deleteRec(stage)
       }
+    }
+
+    // ---- Sessionize + Funnel: the other two stateful twins ----
+    {
+      val stage = java.nio.file.Files.createTempDirectory("scale_sess_in")
+      try {
+        Tables.load(spark, dataDir, "events")
+          .repartition(nBatches)
+          .write.mode("overwrite").parquet(stage.toString)
+
+        def drainAndRecord(label: String,
+                           start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+          val t0 = System.nanoTime()
+          val q = start()
+          val drained = q.awaitTermination(1800000)
+          val wallSec = (System.nanoTime() - t0) / 1e9
+          require(drained, s"$label stream did not drain in 30min")
+          val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+          q.stop()
+          val batches = prog.map { p =>
+            val so = p.stateOperators.headOption
+            val dur = p.durationMs.getOrDefault("triggerExecution", 0L).toLong
+            s"""{"rows":${p.numInputRows},"trigger_ms":$dur,""" +
+              s""""rows_per_sec":${if (dur > 0) p.numInputRows * 1000 / dur else 0},""" +
+              s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
+              s""""state_bytes":${so.map(_.memoryUsedBytes).getOrElse(-1L)}}"""
+          }
+          val totalRows = prog.map(_.numInputRows).sum
+          sb ++= s""","$label":{"total_rows":$totalRows,""" +
+            s""""wall_sec":${f"$wallSec%.2f"},""" +
+            s""""rows_per_sec_overall":${(totalRows / wallSec).toLong},""" +
+            s""""batches":[${batches.mkString(",")}]}"""
+        }
+
+        drainAndRecord("sessionize", () =>
+          SessionizeStream.sessions(spark, dataDir, stage.toString,
+              maxFilesPerTrigger = Some(1))
+            .writeStream.format("noop").outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+        drainAndRecord("funnel", () =>
+          FunnelStream.funnel(spark, dataDir, stage.toString,
+              maxFilesPerTrigger = Some(1))
+            .writeStream.format("noop").outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      } finally deleteRec(stage)
     }
 
     sb ++= "}"
