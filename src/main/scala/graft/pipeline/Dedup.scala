@@ -660,8 +660,13 @@ object Dedup {
     * At 100 TB every stage is linear in corpus size; the only
     * quadratic-looking step (df-capped gram join) is bounded exactly
     * like dd2's candidate generation. */
-  private[graft] def repeatedSpans(spark: SparkSession, sfDir: String): DataFrame = {
-    val grams = tokenized(spark, sfDir)
+  private[graft] def repeatedSpans(spark: SparkSession, sfDir: String): DataFrame =
+    repeatedSpansOf(tokenized(spark, sfDir))
+
+  /** Span extraction over an ARBITRARY tokenized (doc_id, w) frame —
+    * the unit the property spec drives with synthetic corpora. */
+  private[graft] def repeatedSpansOf(toks: DataFrame): DataFrame = {
+    val grams = toks
       .select(col("doc_id"), posexplode(expr(posGramExpr(SpanN))))
       .toDF("doc_id", "p0", "h")
       // 1-based positions: first valid gram start is token 1

@@ -66,14 +66,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(under == Map(1L -> 2, 2L -> 1), under.toString)
   }
 
-  test("dd11 repeated spans equal an in-memory brute-force recomputation") {
-    // independent single-machine implementation: tokenize every doc,
-    // map each 8-gram STRING (no hashing) to its distinct doc set,
-    // mark positions whose gram appears in 2..cap docs, merge
-    // overlapping/adjacent [p, p+7] intervals, roll up per doc
-    val docs = Tables.load(spark, sf, "documents")
-      .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+  /** Independent single-machine dd11: map each n-gram STRING (no
+    * hashing) to its distinct doc set, mark positions whose gram
+    * appears in 2..cap docs, merge overlapping/adjacent [p, p+n-1]
+    * intervals, roll up per doc. */
+  private def bruteForceSpans(docs: Seq[(Long, Seq[String])])
+      : Map[Long, (Long, Long, Long)] = {
     val n = Dedup.SpanN
     val gramDocs = scala.collection.mutable.Map[Seq[String], Set[Long]]()
     docs.foreach { case (id, w) =>
@@ -81,14 +79,13 @@ class PipelineSpec extends AnyFunSuite {
         gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
       }
     }
-    val expect = docs.flatMap { case (id, w) =>
+    docs.flatMap { case (id, w) =>
       val dupPos = w.sliding(n).zipWithIndex.collect {
         case (g, i) if g.size == n &&
           { val d = gramDocs(g).size; d >= 2 && d <= Dedup.SpanDfCap } =>
           i + 1 // 1-based
       }.toSeq
       if (dupPos.isEmpty) None else {
-        // interval merge over [p, p + n - 1]
         val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
         dupPos.foreach { p =>
           if (spans.nonEmpty && p <= spans.last._2 + 1)
@@ -99,6 +96,14 @@ class PipelineSpec extends AnyFunSuite {
         Some(id -> ((spans.size.toLong, lens.sum.toLong, lens.max.toLong)))
       }
     }.toMap
+  }
+
+  test("dd11 repeated spans equal an in-memory brute-force recomputation") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .toSeq
+    val expect = bruteForceSpans(docs)
     val got = SparkEntry.queries("dd11_repeated_spans")(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
@@ -109,7 +114,41 @@ class PipelineSpec extends AnyFunSuite {
     }
     // structural floor: every span covers at least one whole 8-gram
     assert(got.values.forall { case (ns, dt, ms) =>
-      ns >= 1 && ms >= n && dt >= ms })
+      ns >= 1 && ms >= Dedup.SpanN && dt >= ms })
+  }
+
+  test("dd11 spans match brute force on adversarial random corpora") {
+    // tiny vocab + shared templates force heavy gram collisions,
+    // overlapping islands, exact-duplicate docs, and sub-8-token
+    // docs — the island-merge edge cases the fixture corpus is too
+    // tame to hit
+    import spark.implicits._
+    val rng = new scala.util.Random(90210L)
+    val vocab = Vector("a", "b", "c", "d")
+    (1 to 3).foreach { round =>
+      val template =
+        Vector.fill(12 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+      val docs: Seq[(Long, Seq[String])] = (0L until 10L).map { id =>
+        val body = rng.nextInt(4) match {
+          case 0 => template // exact duplicate of the template
+          case 1 => // template with a mutated middle: split islands
+            template.updated(template.size / 2, "zz" + id)
+          case 2 => // short doc, possibly under the 8-token floor
+            Vector.fill(rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))
+          case _ => // random doc over the tiny vocab
+            Vector.fill(8 + rng.nextInt(20))(vocab(rng.nextInt(vocab.size)))
+        }
+        id -> (body: Seq[String])
+      }
+      val toks = docs.map { case (id, w) => (id, w) }
+        .toDF("doc_id", "w")
+      val got = Dedup.repeatedSpansOf(toks).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val expect = bruteForceSpans(docs)
+      assert(got == expect,
+        s"round $round: got $got\nexpect $expect\ncorpus ${docs.toMap}")
+    }
   }
 
   test("minhash LSH near-dup equals exact n-gram jaccard") {
