@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   *    silently swallowed as fast timings.
   */
 object Bench {
+  // locale-fixed: the JSON line is machine-parsed by the driver, and
+  // the default-locale `f` interpolator renders "12,34" under de_DE
+  private def num3(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -112,7 +117,7 @@ object Bench {
               .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        diagRows += s"""{"pass":"$pass","query":"$name","sec":${f"$sec%.3f"},""" +
+        diagRows += s"""{"pass":"$pass","query":"$name","sec":${num3(sec)},""" +
           s""""m":${diag.snapshotDelta(spark.sparkContext)}}"""
         name -> sec
       }
@@ -122,7 +127,7 @@ object Bench {
     val results = timeAll("cold", recordErrors = true)
     val warm = timeAll("warm", recordErrors = false)
     def toJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      rs.map { case (k, v) => "\"" + k + "\":" + num3(v) }
         .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -130,9 +135,9 @@ object Bench {
     val warmTotal = warm.map(_._2).sum
     val json =
       "{" +
-        "\"metric\":\"total\",\"value\":" + f"$total%.3f" + "," +
+        "\"metric\":\"total\",\"value\":" + num3(total) + "," +
         "\"unit\":\"sec\",\"queries\":" + toJson(results) + "," +
-        "\"warm_total\":" + f"$warmTotal%.3f" + "," +
+        "\"warm_total\":" + num3(warmTotal) + "," +
         "\"queries_warm\":" + toJson(warm) + "," +
         "\"errors\":" + errJson + "," +
         "\"sf\":\"" + sfDir + "\"}"

@@ -208,10 +208,15 @@ object Tables {
       // into a sane event-time window or raises the drift message.
       val lo = "timestamp'1990-01-01'"
       val hi = "timestamp'2100-01-01'"
+      // NULL-tolerant: a legitimately-NULL ts must pass through, not
+      // die as phantom drift (NULL fails any range compare). The path
+      // is escaped for the SQL literal — a quote in a dir name must
+      // not break expr() parsing.
+      val dirLit = eventsDir.replace("\\", "\\\\").replace("'", "\\'")
       converted.withColumn("ts", expr(
-        s"""if(ts >= $lo AND ts < $hi, ts,
+        s"""if(ts IS NULL OR (ts >= $lo AND ts < $hi), ts,
            |  raise_error(concat(
-           |    'graft events stream at $eventsDir: ts decoded to ', cast(ts as string),
+           |    'graft events stream at $dirLit: ts decoded to ', cast(ts as string),
            |    ' — the directory was seeded AFTER the stream was defined with a',
            |    ' physical ts shape different from the assumed post-conversion',
            |    ' schema (footer drift). Seed at least one file before defining',

@@ -226,10 +226,22 @@ object HyperplaneBands {
     require(tau > 0 && tau < 1 && maxMiss > 0 && maxMiss < 1)
     n match {
       case Some(count) =>
-        val bits = (bitsMin to bitsMax)
+        val bitsIdeal = (bitsMin to bitsMax)
           .find(b => (1L << b) * targetBucket >= count)
           .getOrElse(bitsMax)
-        (bits, bandsFor(tau, maxMiss, bits))
+        // maxBands applies in BOTH modes: at a permissive tau the
+        // recall bound at the occupancy-derived bits can demand an
+        // astronomical band count (tau 0.4 at bits 24 → ~576k bands —
+        // a signature frame that can never complete). Back bits off —
+        // below bitsMin if the miss bound demands it, exactly like
+        // fixed mode — until the band count fits the work cap: the
+        // recall CONTRACT is kept, the per-bucket candidate bound
+        // degrades explicitly (coarser buckets) instead of the band
+        // count exploding unbounded.
+        val bits = (bitsIdeal to 1 by -1)
+          .find(b => bandsFor(tau, maxMiss, b) <= maxBands)
+          .getOrElse(1)
+        (bits, math.min(maxBands, bandsFor(tau, maxMiss, bits)))
       case None =>
         (bitsMax to 1 by -1).iterator.flatMap { b =>
           val l = bandsFor(tau, maxMiss, b)

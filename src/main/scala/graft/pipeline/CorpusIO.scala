@@ -432,10 +432,15 @@ object CorpusIO {
     * entirely integer column arithmetic — codegen-friendly, no UDF. */
   private def mortonKey(uMin: Long, uMax: Long,
                         tMin: Long, tMax: Long): Column = {
+    // pure LONG arithmetic: a double product loses integer exactness
+    // past 2^53 ((ts span in µs) · 16 crosses it at ~18 years), which
+    // would mis-bucket boundary rows relative to the exact integer
+    // ceil-division the spec pins. (span · 16 fits a long up to
+    // ~5.7e17 µs ≈ 18,000 years — no overflow in any real range.)
     def bucket(c: Column, lo: Long, hi: Long): Column =
       least(lit((1 << ZBits) - 1),
-        floor((c - lit(lo)).cast("double") * (1 << ZBits) /
-          lit((hi - lo + 1).toDouble)).cast("int"))
+        ((c.cast("long") - lit(lo)) * (1 << ZBits) /
+          lit(hi - lo + 1)).cast("int"))
     val ub = bucket(col("user_id"), uMin, uMax)
     val tb = bucket(unix_micros(col("ts")), tMin, tMax)
     (0 until ZBits).map { i =>

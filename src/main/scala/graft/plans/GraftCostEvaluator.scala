@@ -41,9 +41,15 @@ class GraftCostEvaluator extends CostEvaluator {
           // Clamped to an explicit band [0, 1e13) — an outlier score
           // must saturate INSIDE the model-cost domain, never cross
           // into the unfeaturizable band (which would invert the
-          // "featurizable always wins" ordering)
-          SimpleCost(math.min(9_999_999_999_999L,
-            math.max(0L, (score * 1e6).toLong + 1_000_000_000_000L)))
+          // "featurizable always wins" ordering). The clamp applies
+          // to the SCALED score BEFORE the offset: (score*1e6).toLong
+          // saturates at Long.MaxValue for a diverged/infinite score,
+          // and adding the offset to that would wrap NEGATIVE — the
+          // post-offset max() would then map the catastrophically
+          // WORST plan to cost 0, the best possible.
+          val scaled = math.min(8_999_999_999_999L,
+            math.max(-1_000_000_000_000L, (score * 1e6).toLong))
+          SimpleCost(scaled + 1_000_000_000_000L)
         } catch { // unfeaturizable stage plan: see fallback doc below
           case _: Exception => unfeaturizableCost(plan)
         }

@@ -40,6 +40,12 @@ import graft.streaming.{BotFilterStream, FunnelStream, IngestDedupStream,
   * under `results/r11_streaming/` next to SCALE.md §Streaming.
   */
 object StreamScaleMain {
+  /** Locale-fixed decimal rendering: the output is committed
+    * machine-readable JSON, and the default-locale `f` interpolator
+    * renders `12,34` under e.g. de_DE — malformed JSON. */
+  private def num2(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: StreamScaleMain <dataDir> <outFile> [nBatches]")
@@ -94,7 +100,7 @@ object StreamScaleMain {
         }
         val totalRows = prog.map(_.numInputRows).sum
         sb ++= s""","bot_filter":{"total_rows":$totalRows,""" +
-          s""""wall_sec":${f"$wallSec%.2f"},""" +
+          s""""wall_sec":${num2(wallSec)},""" +
           s""""rows_per_sec_overall":${(totalRows / wallSec).toLong},""" +
           s""""batches":[${batches.mkString(",")}]}"""
       } finally deleteRec(stage)
@@ -137,7 +143,7 @@ object StreamScaleMain {
         val totalRows = prog.map(_.numInputRows).sum
         sb ++= s""","ingest_dedup":{"history_docs":$histDocs,""" +
           s""""stream_docs":$totalRows,"pairs":${pairCounts.get},""" +
-          s""""wall_sec":${f"$wallSec%.2f"},""" +
+          s""""wall_sec":${num2(wallSec)},""" +
           s""""docs_per_sec_overall":${(totalRows / wallSec).toLong},""" +
           s""""batches":[${batches.mkString(",")}]}"""
       } finally {
@@ -149,9 +155,28 @@ object StreamScaleMain {
     {
       val stage = java.nio.file.Files.createTempDirectory("scale_sess_in")
       try {
+        // Stage micro-batches in EVENT-TIME ORDER (range-partitioned on
+        // ts, files listed and consumed in range order by AvailableNow):
+        // a round-robin split would let batch 1 race the 1-hour
+        // watermark to global-max and LATE-DROP nearly every event of
+        // batches 2..N before the stateful operator — certifying a
+        // degenerate stream. Time-ordered arrival is also the honest
+        // simulation: a real firehose delivers time in order, which is
+        // exactly what makes watermark eviction (the property under
+        // test) work.
         Tables.load(spark, dataDir, "events")
-          .repartition(nBatches)
+          .repartitionByRange(nBatches, col("ts"))
+          .sortWithinPartitions(col("ts"))
           .write.mode("overwrite").parquet(stage.toString)
+        // FileStreamSource orders by file MODIFICATION TIME, and the
+        // parallel write stamps every part file with the same second —
+        // force distinct ascending mtimes in range (= name) order so
+        // the triggers actually consume time in order
+        new java.io.File(stage.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            f.setLastModified(((System.currentTimeMillis() / 1000) - 3600 + i) * 1000)
+          }
 
         def drainAndRecord(label: String,
                            start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -168,11 +193,16 @@ object StreamScaleMain {
             s"""{"rows":${p.numInputRows},"trigger_ms":$dur,""" +
               s""""rows_per_sec":${if (dur > 0) p.numInputRows * 1000 / dur else 0},""" +
               s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
-              s""""state_bytes":${so.map(_.memoryUsedBytes).getOrElse(-1L)}}"""
+              s""""state_bytes":${so.map(_.memoryUsedBytes).getOrElse(-1L)},""" +
+              s""""late_dropped":${so.map(_.numRowsDroppedByWatermark).getOrElse(-1L)}}"""
           }
           val totalRows = prog.map(_.numInputRows).sum
+          val totalDropped = prog
+            .flatMap(_.stateOperators.headOption.map(_.numRowsDroppedByWatermark))
+            .sum
           sb ++= s""","$label":{"total_rows":$totalRows,""" +
-            s""""wall_sec":${f"$wallSec%.2f"},""" +
+            s""""late_dropped_total":$totalDropped,""" +
+            s""""wall_sec":${num2(wallSec)},""" +
             s""""rows_per_sec_overall":${(totalRows / wallSec).toLong},""" +
             s""""batches":[${batches.mkString(",")}]}"""
         }

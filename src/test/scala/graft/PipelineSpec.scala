@@ -115,6 +115,9 @@ class PipelineSpec extends AnyFunSuite {
     // structural floor: every span covers at least one whole 8-gram
     assert(got.values.forall { case (ns, dt, ms) =>
       ns >= 1 && ms >= Dedup.SpanN && dt >= ms })
+    // the gate persists its gram frame (Verify/Bench clear it between
+    // queries) — mirror that contract so it doesn't leak into the suite
+    spark.catalog.clearCache()
   }
 
   test("dd11 spans match brute force on adversarial random corpora") {
@@ -148,6 +151,7 @@ class PipelineSpec extends AnyFunSuite {
       val expect = bruteForceSpans(docs)
       assert(got == expect,
         s"round $round: got $got\nexpect $expect\ncorpus ${docs.toMap}")
+      spark.catalog.clearCache() // one persisted gram frame per round
     }
   }
 
