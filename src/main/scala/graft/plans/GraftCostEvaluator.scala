@@ -38,18 +38,7 @@ class GraftCostEvaluator extends CostEvaluator {
           // one): 1e6 preserves score differences well above the
           // comparator's noise floor, and the +1e12 offset keeps every
           // model cost strictly below the unfeaturizable fallback.
-          // Clamped to an explicit band [0, 1e13) — an outlier score
-          // must saturate INSIDE the model-cost domain, never cross
-          // into the unfeaturizable band (which would invert the
-          // "featurizable always wins" ordering). The clamp applies
-          // to the SCALED score BEFORE the offset: (score*1e6).toLong
-          // saturates at Long.MaxValue for a diverged/infinite score,
-          // and adding the offset to that would wrap NEGATIVE — the
-          // post-offset max() would then map the catastrophically
-          // WORST plan to cost 0, the best possible.
-          val scaled = math.min(8_999_999_999_999L,
-            math.max(-1_000_000_000_000L, (score * 1e6).toLong))
-          SimpleCost(scaled + 1_000_000_000_000L)
+          SimpleCost(GraftCostEvaluator.modelCost(score))
         } catch { // unfeaturizable stage plan: see fallback doc below
           case _: Exception => unfeaturizableCost(plan)
         }
@@ -73,4 +62,25 @@ class GraftCostEvaluator extends CostEvaluator {
   private def shuffleCount(plan: SparkPlan, offset: Long): Cost =
     SimpleCost(offset +
       plan.collect { case s: ShuffleExchangeLike => s }.size.toLong)
+}
+
+object GraftCostEvaluator {
+  /** Monotone map from a model score to the long cost domain, SHIFTED
+    * non-negative (a negative score must still order below a bigger
+    * one): 1e6 preserves score differences well above the
+    * comparator's noise floor, the +1e12 offset keeps every model
+    * cost strictly below the unfeaturizable fallback band (1e13+).
+    * Clamped to [0, 1e13) — and the clamp applies to the SCALED score
+    * BEFORE the offset: `(score * 1e6).toLong` saturates at
+    * Long.MaxValue for a diverged/infinite score, and adding the
+    * offset to the saturated value would wrap NEGATIVE, mapping the
+    * catastrophically WORST plan to cost 0 — the best possible
+    * (regression-tested in PlannerInjectionSpec). NaN maps to the
+    * band floor's midpoint (scaled 0 → 1e12) — indifferent, never
+    * best-or-worst. */
+  private[graft] def modelCost(score: Double): Long = {
+    val scaled = math.min(8_999_999_999_999L,
+      math.max(-1_000_000_000_000L, (score * 1e6).toLong))
+    scaled + 1_000_000_000_000L
+  }
 }

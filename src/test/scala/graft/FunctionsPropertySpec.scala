@@ -128,6 +128,26 @@ class FunctionsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scale-mode bandPlan is work-capped at any (tau, n) and keeps the miss bound") {
+    // regression: the scale mode used to ignore maxBands entirely —
+    // tau 0.4 on a 1e9-row corpus derived ~576k bands, a signature
+    // frame that can never complete. The cap must hold everywhere,
+    // and whenever bits could stay at the occupancy-derived value
+    // (bands fit), the miss bound must hold exactly as before.
+    for (tau <- Seq(0.1, 0.4, 0.7, 0.9, 0.99);
+         n <- Seq(1000L, 100_000L, 10_000_000L, 1_000_000_000L)) {
+      val (b, l) = HyperplaneBands.bandPlan(tau, 1e-4, n = Some(n))
+      assert(b >= 1 && l <= 64, s"uncapped plan ($b,$l) at tau=$tau n=$n")
+      val p = 1.0 - math.acos(tau) / math.Pi
+      if (l < 64) // cap not binding: the recall contract is intact
+        assert(math.pow(1.0 - math.pow(p, b), l) <= 1e-4 + 1e-12,
+          s"miss bound violated at tau=$tau n=$n -> ($b,$l)")
+    }
+    // selective-threshold sanity: the cap must NOT perturb the plans
+    // the committed dd10 artifacts pin (occupancy-derived bits)
+    assert(HyperplaneBands.bandPlan(0.9, 1e-3, n = Some(20001L)) == ((11, 35)))
+  }
+
   private def evalIntersect(a: Array[Long], b: Array[Long]): Long = {
     val e = graft.functions.SortedIntersectCount(
       BoundReference(0, ArrayType(org.apache.spark.sql.types.LongType), nullable = false),

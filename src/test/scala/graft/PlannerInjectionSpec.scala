@@ -229,15 +229,35 @@ class PlannerInjectionSpec extends AnyFunSuite {
       // strictly below the unfeaturizable fallback's 1e13 offset —
       // the two cost domains must order sensibly when AQE compares a
       // featurizable plan against one whose featurization threw
-      val expected = math.max(0L, (model.predict(Seq(gen.transform(
-        PlanFeatures.fromSparkPlan(plan)))).head * 1e6).toLong +
-        1_000_000_000_000L)
+      val expected = graft.plans.GraftCostEvaluator.modelCost(
+        model.predict(Seq(gen.transform(
+          PlanFeatures.fromSparkPlan(plan)))).head)
       assert(learned == expected)
       assert(learned < 10_000_000_000_000L,
         "model cost must stay below the unfeaturizable fallback band")
       assert(ev.evaluateCost(plan).asInstanceOf[SimpleCost].value == learned,
         "deterministic")
     } finally PlanChoice.uninstall()
+  }
+
+  test("cost clamp: a diverged score saturates worst-in-band, never wraps to best") {
+    import graft.plans.GraftCostEvaluator.modelCost
+    val top = 9_999_999_999_999L // band ceiling, below the 1e13 fallback
+    // overflow regression: (score*1e6).toLong saturates at
+    // Long.MaxValue; adding the offset to THAT wrapped negative and
+    // the old post-offset max() mapped the worst plan to cost 0
+    Seq(Double.PositiveInfinity, Double.MaxValue, 9.3e12, 1e18).foreach { s =>
+      assert(modelCost(s) == top, s"score $s must saturate at the band top")
+    }
+    Seq(Double.NegativeInfinity, -Double.MaxValue, -9.3e12).foreach { s =>
+      assert(modelCost(s) == 0L, s"score $s must saturate at the band floor")
+    }
+    // monotone in the normal range, inside [0, 1e13)
+    val xs = Seq(-1e6, -1.0, 0.0, 1.0, 1e6).map(modelCost)
+    assert(xs == xs.sorted && xs.distinct == xs, "monotone over normal scores")
+    assert(xs.forall(c => c >= 0L && c < 10_000_000_000_000L))
+    // NaN: indifferent midpoint, not an extreme
+    assert(modelCost(Double.NaN) == 1_000_000_000_000L)
   }
 
   test("AQE session with the custom cost evaluator returns correct results") {
