@@ -42,7 +42,10 @@ import graft.engine.Tables
   */
 object CorpusIO {
 
-  private def deleteRec(f: java.io.File): Unit = {
+  /** Shared recursive delete (also used by StreamScaleMain and the
+    * layout specs — one implementation instead of four drifting
+    * copies). */
+  private[graft] def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles).foreach(_.foreach(deleteRec))
     f.delete(); ()
   }

@@ -231,12 +231,6 @@ object StreamScaleMain {
     spark.stop()
   }
 
-  private def deleteRec(dir: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    } finally walk.close()
-  }
+  private def deleteRec(dir: java.nio.file.Path): Unit =
+    graft.pipeline.CorpusIO.deleteRec(dir.toFile)
 }

@@ -19,15 +19,8 @@ import graft.planopt.Candidates
 class BucketingSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def deleteRecursively(path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(path)
-    if (Files.exists(root)) {
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
-  }
+  private def deleteRecursively(path: String): Unit =
+    graft.pipeline.CorpusIO.deleteRec(new java.io.File(path))
 
   test("bucketed co-located join: no exchange under the join, same result") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString

@@ -10,14 +10,8 @@ import graft.streaming.EventStreams
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    } finally walk.close()
-  }
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    graft.pipeline.CorpusIO.deleteRec(dir.toFile)
 
   test("streaming windowed agg equals batch windowed agg") {
     val batch = SparkEntry.queries("evt1_window_agg")(spark, sf).collect()
