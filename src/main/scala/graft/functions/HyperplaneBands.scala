@@ -241,12 +241,26 @@ object HyperplaneBands {
         val bits = (bitsIdeal to 1 by -1)
           .find(b => bandsFor(tau, maxMiss, b) <= maxBands)
           .getOrElse(1)
-        (bits, math.min(maxBands, bandsFor(tau, maxMiss, bits)))
+        // If even bits=1 cannot meet the miss bound within maxBands,
+        // the (tau, maxMiss, maxBands) combination is unsatisfiable —
+        // fail LOUDLY rather than silently clamp the band count below
+        // the recall contract. (At bits=1 the per-band collision
+        // probability is 1 - acos(tau)/π > 1/2 for tau > 0, so this
+        // needs maxMiss < 2^-maxBands — unreachable for sane inputs,
+        // but a silent clamp there would be a recall lie.)
+        val bands = bandsFor(tau, maxMiss, bits)
+        require(bands <= maxBands,
+          s"unsatisfiable LSH plan: tau=$tau maxMiss=$maxMiss needs " +
+            s"$bands bands even at bits=1, but maxBands=$maxBands — " +
+            "raise maxBands or relax maxMiss")
+        (bits, bands)
       case None =>
         (bitsMax to 1 by -1).iterator.flatMap { b =>
           val l = bandsFor(tau, maxMiss, b)
           if (l >= 1 && l <= maxBands) Some((b, l)) else None
-        }.nextOption().getOrElse((1, maxBands))
+        }.nextOption().getOrElse(throw new IllegalArgumentException(
+          s"requirement failed: unsatisfiable LSH plan: tau=$tau " +
+            s"maxMiss=$maxMiss exceeds $maxBands bands even at bits=1"))
     }
   }
 }

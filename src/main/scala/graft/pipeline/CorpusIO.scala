@@ -430,22 +430,28 @@ object CorpusIO {
   private[graft] val ZBits = 4 // 16 range buckets per dimension
   private[graft] val ZFiles = 16
 
+  /** One `ZBits`-bit range bucket: floor(((c - lo) · 16) / span) in
+    * pure LONG arithmetic. Spark's Column `/` is `Divide`, which
+    * promotes LONG operands to DOUBLE — past 2^53 ((ts span in µs)
+    * · 16 crosses it at ~18 years) that loses integer exactness and
+    * mis-buckets boundary rows relative to the exact floor-division
+    * the spec's lo/hi helpers pin. SQL `DIV` is `IntegralDivide`
+    * (LONG in, LONG out), so the whole key stays integer-exact.
+    * (span · 16 fits a long up to ~5.7e17 µs ≈ 18,000 years — no
+    * overflow in any real range.) Takes the column as a SQL fragment
+    * because `DIV` has no Column-API operator. */
+  private[graft] def zBucket(cSql: String, lo: Long, hi: Long): Column =
+    least(lit((1 << ZBits) - 1),
+      expr(s"CAST(((CAST(($cSql) AS BIGINT) - ${lo}L) * ${1 << ZBits}L) " +
+        s"DIV ${hi - lo + 1}L AS INT)"))
+
   /** Morton key: `ZBits`-bit range buckets of user_id and micros-ts,
     * bits interleaved (user in the odd positions, time in the even),
     * entirely integer column arithmetic — codegen-friendly, no UDF. */
   private def mortonKey(uMin: Long, uMax: Long,
                         tMin: Long, tMax: Long): Column = {
-    // pure LONG arithmetic: a double product loses integer exactness
-    // past 2^53 ((ts span in µs) · 16 crosses it at ~18 years), which
-    // would mis-bucket boundary rows relative to the exact integer
-    // ceil-division the spec pins. (span · 16 fits a long up to
-    // ~5.7e17 µs ≈ 18,000 years — no overflow in any real range.)
-    def bucket(c: Column, lo: Long, hi: Long): Column =
-      least(lit((1 << ZBits) - 1),
-        ((c.cast("long") - lit(lo)) * (1 << ZBits) /
-          lit(hi - lo + 1)).cast("int"))
-    val ub = bucket(col("user_id"), uMin, uMax)
-    val tb = bucket(unix_micros(col("ts")), tMin, tMax)
+    val ub = zBucket("user_id", uMin, uMax)
+    val tb = zBucket("unix_micros(ts)", tMin, tMax)
     (0 until ZBits).map { i =>
       shiftright(ub, i).bitwiseAND(lit(1)) * lit(1 << (2 * i + 1)) +
         shiftright(tb, i).bitwiseAND(lit(1)) * lit(1 << (2 * i))

@@ -171,12 +171,23 @@ object StreamScaleMain {
         // FileStreamSource orders by file MODIFICATION TIME, and the
         // parallel write stamps every part file with the same second —
         // force distinct ascending mtimes in range (= name) order so
-        // the triggers actually consume time in order
-        new java.io.File(stage.toString).listFiles()
+        // the triggers actually consume time in order. The base is
+        // derived from the file count so the last stamp always stays
+        // in the past (a fixed -3600s base would push stamps past
+        // "now" once nFiles > 3600, re-mixing them with unrelated
+        // activity), and a failed setLastModified aborts the run —
+        // silently keeping the writer's identical mtimes would
+        // re-introduce exactly the watermark late-drop degeneracy
+        // this staging exists to rule out.
+        val stageFiles = new java.io.File(stage.toString).listFiles()
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .zipWithIndex.foreach { case (f, i) =>
-            f.setLastModified(((System.currentTimeMillis() / 1000) - 3600 + i) * 1000)
-          }
+        val mtimeBase =
+          System.currentTimeMillis() / 1000 - stageFiles.length - 60
+        stageFiles.zipWithIndex.foreach { case (f, i) =>
+          require(f.setLastModified((mtimeBase + i) * 1000),
+            s"setLastModified failed for $f — cannot certify " +
+              "event-time-ordered consumption on this filesystem")
+        }
 
         def drainAndRecord(label: String,
                            start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {

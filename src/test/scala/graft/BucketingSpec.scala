@@ -272,6 +272,37 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("zBucket stays integer-exact past 2^53 (Column `/` would mis-bucket)") {
+    // Spark's Column `/` (Divide) promotes LONG operands to DOUBLE:
+    // with span = 2^53 + 1 (rounds to 2^53 as a double) and
+    // c·16 = 2^53 exactly, the double formula computes 2^53/2^53 = 1.0
+    // → bucket 1, while exact floor((c·16)/span) = 0. zBucket uses SQL
+    // DIV (IntegralDivide, LONG in LONG out) — pin the exact answer
+    // and pin that the double formula really does diverge here, so
+    // this test fails if either the fix or the failure mode changes.
+    import graft.pipeline.CorpusIO
+    import spark.implicits._
+    val lo = 0L
+    val hi = 1L << 53 // span = 2^53 + 1
+    val c = 1L << 49 // c * 16 = 2^53 = span - 1 → exact bucket 0
+    val df = Seq(c).toDF("v")
+    val got = df.select(CorpusIO.zBucket("v", lo, hi).as("b"))
+      .head().getInt(0)
+    assert(got == 0, s"zBucket lost integer exactness: got $got")
+    val viaDouble = df.select(
+      least(lit(15), ((col("v") - lit(lo)) * 16 / lit(hi - lo + 1))
+        .cast("int")).as("b")).head().getInt(0)
+    assert(viaDouble == 1,
+      "double-division formula no longer diverges — update this pin")
+    // and in-range sanity: exact division and the capped top bucket
+    val probes = Seq(lo, hi / 16, hi / 2, hi - 1, hi).toDF("v")
+    val buckets = probes.select(CorpusIO.zBucket("v", lo, hi).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    val expected = probes.as[Long].collect().toSeq
+      .map(v => math.min(15L, (BigInt(v - lo) * 16 / BigInt(hi - lo + 1)).toLong).toInt)
+    assert(buckets == expected, s"got $buckets, want $expected")
+  }
+
   test("io7 compaction consolidates 64 ingest files into the size-targeted count") {
     import graft.pipeline.CorpusIO
     val smallDir = java.nio.file.Files.createTempDirectory("graft_small").toString

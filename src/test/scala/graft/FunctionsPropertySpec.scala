@@ -138,10 +138,21 @@ class FunctionsPropertySpec extends AnyFunSuite {
          n <- Seq(1000L, 100_000L, 10_000_000L, 1_000_000_000L)) {
       val (b, l) = HyperplaneBands.bandPlan(tau, 1e-4, n = Some(n))
       assert(b >= 1 && l <= 64, s"uncapped plan ($b,$l) at tau=$tau n=$n")
+      // EVERY returned plan keeps the miss bound — a plan the cap
+      // would force below the recall contract must throw instead
+      // (tested below), never be returned clamped.
       val p = 1.0 - math.acos(tau) / math.Pi
-      if (l < 64) // cap not binding: the recall contract is intact
-        assert(math.pow(1.0 - math.pow(p, b), l) <= 1e-4 + 1e-12,
-          s"miss bound violated at tau=$tau n=$n -> ($b,$l)")
+      assert(math.pow(1.0 - math.pow(p, b), l) <= 1e-4 + 1e-12,
+        s"miss bound violated at tau=$tau n=$n -> ($b,$l)")
+    }
+    // an unsatisfiable (tau, maxMiss, maxBands) combination fails
+    // LOUDLY in both modes — maxMiss < 2^-maxBands cannot be met even
+    // at bits=1 (per-band collision prob > 1/2 for tau > 0)
+    intercept[IllegalArgumentException] {
+      HyperplaneBands.bandPlan(0.5, 1e-4, n = Some(1000L), maxBands = 8)
+    }
+    intercept[IllegalArgumentException] {
+      HyperplaneBands.bandPlan(0.5, 1e-4, n = None, maxBands = 8)
     }
     // selective-threshold sanity: the cap must NOT perturb the plans
     // the committed dd10 artifacts pin (occupancy-derived bits)
