@@ -48,6 +48,75 @@ object Multimodal {
 
   private val PngMime = "image/png"
 
+  /** Per-partition PNG codec with CACHED reader/writer instances.
+    * `ImageIO.read`/`write` pay a service-registry scan plus
+    * disk-cache-policy stream construction on EVERY call — at hundreds
+    * of thousands of small blobs per partition that overhead dominates
+    * the actual codec work. One `PngCodec` per `mapPartitions` call
+    * amortizes it to zero-per-blob, which is precisely why the decode
+    * stages run as per-partition iterators and not per-row UDFs. Not
+    * thread-safe — one instance per partition iterator, never shared. */
+  private final class PngCodec {
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+    /** Decode PNG bytes; null on undecodable input (the `ImageIO.read`
+      * contract the fallback paths rely on). */
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } catch {
+        case _: java.io.IOException => null // corrupt blob: fall back
+      } finally iis.close()
+    }
+
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
+      } finally ios.close()
+      bos.toByteArray
+    }
+  }
+
+  /** Sum of RGB channel values over all pixels. The decoded PNG
+    * raster is TYPE_3BYTE_BGR with a compact data buffer — summing
+    * its bytes directly IS the channel sum (B+G+R per pixel), with no
+    * per-pixel `getRGB` sync/color-model conversion. Any other
+    * raster shape falls back to one bulk `getRGB` call. */
+  private def pixelSum(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    img.getRaster.getDataBuffer match {
+      case db: java.awt.image.DataBufferByte
+          if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+            db.getData.length == w * h * 3 =>
+        val a = db.getData
+        var s = 0L
+        var i = 0
+        while (i < a.length) { s += (a(i) & 0xff); i += 1 }
+        s
+      case _ =>
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var s = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          s += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          i += 1
+        }
+        s
+    }
+  }
+
   /** Closed-form PNG geometry/fill from the id — the contract shared
     * by the Spark-side generator and the DuckDB oracle. */
   private def pngWidth(id: Long): Int = 8 + (id % 25).toInt
@@ -62,10 +131,9 @@ object Multimodal {
     * honest treatment for blobs this container cannot decode.
     */
   private def decode(it: Iterator[MediaRecord]): Iterator[MediaFeature] = {
-    // per-partition codec state: one JVM-wide flag flip (default
-    // disk-backed stream caching costs a temp file per call) — the
-    // codec-amortization point of running decode via mapPartitions
-    javax.imageio.ImageIO.setUseCache(false)
+    // per-partition codec state: ONE reader instance for the whole
+    // iterator — the codec-amortization point of mapPartitions
+    val codec = new PngCodec
     def byteStats(r: MediaRecord): MediaFeature = {
       var cs = 1125899906842597L
       var i = 0
@@ -74,26 +142,13 @@ object Multimodal {
         width = 0, height = 0, checksum = cs)
     }
     it.map { r =>
-      // ImageIO.read returns NULL (it does not throw) on undecodable
-      // bytes — a corrupt blob must fall back, not NPE the stage
-      val img = if (r.mime == PngMime)
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-      else null
-      if (img != null) {
-        var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val p = img.getRGB(x, y)
-            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-            x += 1
-          }
-          y += 1
-        }
+      // codec.decode returns NULL on undecodable bytes — a corrupt
+      // blob must fall back, not kill the stage
+      val img = if (r.mime == PngMime) codec.decode(r.content) else null
+      if (img != null)
         MediaFeature(r.media_id, r.source, r.content.length.toLong,
-          img.getWidth, img.getHeight, sum)
-      } else byteStats(r)
+          img.getWidth, img.getHeight, pixelSum(img))
+      else byteStats(r)
     }
   }
 
@@ -118,7 +173,7 @@ object Multimodal {
     * so decode output is oracle-checkable. The constant fill keeps the
     * blob small; the bytes are genuine codec output, not a fake. */
   private def encodePng(it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
-    javax.imageio.ImageIO.setUseCache(false) // memory-backed streams
+    val codec = new PngCodec
     it.map { r =>
       val (w, h) = (pngWidth(r.media_id), pngHeight(r.media_id))
       val (cr, cg, cb) = pngRgb(r.media_id)
@@ -128,9 +183,7 @@ object Multimodal {
       g.setColor(new java.awt.Color(cr, cg, cb))
       g.fillRect(0, 0, w, h)
       g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      r.copy(mime = PngMime, content = bos.toByteArray)
+      r.copy(mime = PngMime, content = codec.encode(img))
     }
   }
 
@@ -143,11 +196,9 @@ object Multimodal {
     * re-encode PNG. Non-PNG blobs pass through unchanged. */
   private def resizeImage(tw: Int, th: Int)(
       it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
-    javax.imageio.ImageIO.setUseCache(false)
+    val codec = new PngCodec
     it.map { r =>
-      val img = if (r.mime == PngMime)
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-      else null
+      val img = if (r.mime == PngMime) codec.decode(r.content) else null
       if (img == null) r // non-image or undecodable blob: pass through
       else {
         val out = new java.awt.image.BufferedImage(
@@ -155,9 +206,7 @@ object Multimodal {
         val g = out.createGraphics()
         g.drawImage(img, 0, 0, tw, th, null)
         g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        r.copy(content = bos.toByteArray)
+        r.copy(content = codec.encode(out))
       }
     }
   }
@@ -189,27 +238,26 @@ object Multimodal {
      ((101L * id + 13L * f) % 256).toInt)
 
   /** One constant-fill PNG through the real codec. */
-  private def pngBytes(w: Int, h: Int, rgb: (Int, Int, Int)): Array[Byte] = {
+  private def pngBytes(codec: PngCodec, w: Int, h: Int,
+                       rgb: (Int, Int, Int)): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val g = img.createGraphics()
     g.setColor(new java.awt.Color(rgb._1, rgb._2, rgb._3))
     g.fillRect(0, 0, w, h)
     g.dispose()
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    codec.encode(img)
   }
 
   /** Video ingest: one container of [[FramesPerVideo]] length-prefixed
     * REAL PNG frames per document. */
   private def encodeVideo(it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
-    javax.imageio.ImageIO.setUseCache(false)
+    val codec = new PngCodec
     it.map { r =>
       val bos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
       (0 until FramesPerVideo).foreach { f =>
-        val png = pngBytes(frameWidth(r.media_id, f),
+        val png = pngBytes(codec, frameWidth(r.media_id, f),
           frameHeight(r.media_id, f), frameRgb(r.media_id, f))
         out.writeInt(png.length)
         out.write(png)
@@ -261,25 +309,13 @@ object Multimodal {
     * path. Frames in this pipeline are genuine codec output, so an
     * undecodable frame is a pipeline bug — fail loudly. */
   private def decodeFrames(it: Iterator[MediaFrame]): Iterator[FrameFeature] = {
-    javax.imageio.ImageIO.setUseCache(false)
+    val codec = new PngCodec
     it.map { fr =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(fr.frame))
+      val img = codec.decode(fr.frame)
       if (img == null) throw new IllegalStateException(
         s"undecodable frame ${fr.frame_idx} of media ${fr.media_id}")
-      var sum = 0L
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val p = img.getRGB(x, y)
-          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-          x += 1
-        }
-        y += 1
-      }
       FrameFeature(fr.media_id, fr.source, fr.frame_idx,
-        img.getWidth, img.getHeight, sum)
+        img.getWidth, img.getHeight, pixelSum(img))
     }
   }
 
