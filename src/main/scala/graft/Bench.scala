@@ -141,8 +141,32 @@ object Bench {
         "\"queries_warm\":" + toJson(warm) + "," +
         "\"errors\":" + errJson + "," +
         "\"sf\":\"" + sfDir + "\"}"
-    println(json)
-    // Also drop the JSON next to the cwd so the driver (or a human) can
+    // The driver captures only a bounded TAIL of stdout (~2000 chars);
+    // a 106-query map blows through it and every round's BENCH_r*.json
+    // lands with parsed:null. The stdout line therefore carries the
+    // suite totals plus the 19 BASELINE.md headline queries (the
+    // round-1 set the driver's baseline comparison is defined over);
+    // the FULL per-query cold+warm maps go to bench_out.json, which is
+    // committed and is what the judge diffs round-over-round.
+    val headline = Set(
+      "s1_full_scan_count", "s2_selective_scan", "p1_projection",
+      "f1_numeric_cmp", "f2_string_eq", "f3_like", "f4_in", "f5_between",
+      "f6_null", "f7_or", "f8_timestamp",
+      "j1_join_2way", "j1_join_5way", "j1_join_7way",
+      "a2_min_join", "o1_sort", "o2_limit",
+      "q1_group_agg", "q2_join_group_topn")
+    val stdoutJson =
+      "{" +
+        "\"metric\":\"total\",\"value\":" + num3(total) + "," +
+        "\"unit\":\"sec\"," +
+        "\"n_queries\":" + results.size + "," +
+        "\"queries\":" + toJson(results.filter(r => headline(r._1))) + "," +
+        "\"warm_total\":" + num3(warmTotal) + "," +
+        "\"errors\":" + errJson + "," +
+        "\"full\":\"bench_out.json\"," +
+        "\"sf\":\"" + sfDir + "\"}"
+    println(stdoutJson)
+    // The full JSON goes next to the cwd so the driver (or a human) can
     // pick it up without scraping sbt log noise.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), json + "\n")

@@ -252,9 +252,18 @@ object Tables {
     graft.functions.SortedIntersectCount.register(spark)
     graft.functions.MinHashSketch.register(spark)
     graft.functions.SimHashSketch.register(spark)
+    graft.functions.TopKPairs.register(spark)
+    graft.functions.SrpBandSigs.register(spark)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // graft_topk_pairs buffers are ≤ 16·k bytes by construction, so
+    // the ObjectHashAggregate hash path can hold hundreds of thousands
+    // of keys per partition; the default fallback (128 keys!) would
+    // switch the kNN top-k to key-sorted aggregation on any corpus
+    // bigger than a toy. 131072 × ~200 B ≈ 26 MB/partition worst case.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
     // Per-table containment: one unreadable/mis-typed table must fail
     // only the queries that reference it, never the other nine (r8:
     // an events-loader analysis exception inside this loop took down

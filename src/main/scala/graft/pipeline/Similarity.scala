@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import scala.util.control.NonFatal
 
 import graft.engine.Tables
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBands}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBands, SrpBandSigs, TopKPairs}
 
 /** Similarity search + embedding near-dup over the `embeddings`
   * table (64-dim FLOAT vectors). Exact paths are the oracle-checked
@@ -202,21 +202,30 @@ object Similarity {
     * floor-form rounding emb1 uses because engines' round() HALF
     * semantics differ), so the per-term value is a deterministic IEEE
     * double → bigint in BOTH engines and the SUM is integer-exact and
-    * order-free; bit j of band c is set iff dot >= 0. Shape mirrors
-    * the DuckDB oracle exactly: posexplode the vectors,
-    * broadcast-join the flat hyperplane frame on the component index,
-    * two codegen'd hash aggregates with map-side partial LONG sums.
-    * Two slower formulations preceded this (both bench-measured at
-    * sf0.1): an interpreted zip_with/aggregate DECIMAL fold (16.5 s —
-    * HOF lambdas execute interpreted) and the same explode/join/agg
-    * shape with DECIMAL(18,9) terms (29 s — one BigDecimal allocation
-    * per 24.6M terms). Long micro-units keep the cross-engine
-    * exactness argument (integer addition is associative) at
-    * long-sum cost: ~1 s. */
+    * order-free; bit j of band c is set iff dot >= 0. Runs as the
+    * fused [[graft.functions.SrpBandSigs]] kernel — one loop per row,
+    * no intermediate rows. Three slower formulations preceded it (all
+    * bench-measured at sf0.1): an interpreted zip_with/aggregate
+    * DECIMAL fold (16.5 s — HOF lambdas execute interpreted), an
+    * explode/join/agg shape with DECIMAL(18,9) terms (29 s — one
+    * BigDecimal allocation per 24.6M terms), and the same shape with
+    * LONG terms (~1 s, r10–r11) — which still fanned every row into
+    * dim × bands · bits joined rows (131M at sf0.1) and paid hash-agg
+    * bookkeeping per TERM. [[srpSignaturesViaJoin]] keeps that last
+    * formulation as the spec cross-check of the kernel. */
   private[graft] def srpSignatures(spark: SparkSession, e: DataFrame,
+      bands: Int = EngagedBands, bits: Int = EngagedBits): DataFrame =
+    spread(e).select(col("vec_id"),
+      posexplode(expr(s"graft_srp_bands(v, $bands, $bits)"))
+        .as(Seq("band", "sig")))
+
+  /** The r10 explode → broadcast-join → two-agg formulation of
+    * [[srpSignatures]], kept ONLY as the independent cross-check that
+    * the fused kernel computes identical signatures (PipelineSpec). */
+  private[graft] def srpSignaturesViaJoin(spark: SparkSession, e: DataFrame,
       bands: Int = EngagedBands, bits: Int = EngagedBits): DataFrame = {
     val dim = e.select(expr("size(v)")).head().getInt(0)
-    e.select(col("vec_id"), posexplode(col("v")).as(Seq("k", "x")))
+    spread(e).select(col("vec_id"), posexplode(col("v")).as(Seq("k", "x")))
       .join(broadcast(srpHyperplanesFlat(spark, dim, bands, bits)), "k")
       .groupBy(col("vec_id"), col("band"), col("j"))
       .agg(sum(expr("cast(floor(x * s * 1e9 + 0.5) as bigint)")).as("dot"))
@@ -233,11 +242,35 @@ object Similarity {
   private val PlantedSrc = 0L
   private val PlantedId = 1000000L
 
+  /** Hash-spread a narrow corpus frame across the session's shuffle
+    * parallelism before a per-row- or per-pair-heavy kernel. The test
+    * fixtures arrive as ONE parquet split (a single row group, which
+    * `maxPartitionBytes` cannot subdivide), so without this the
+    * signature/scoring kernels — O(rows × bands·bits·dim) or O(N²/P)
+    * work over O(rows) input — run on one core: measured 2.07 s → 0.32 s
+    * for sim4's scoring stage at sf0.1 on local[32]. At 100 TB the
+    * exchange is O(input rows) of raw vectors, negligible next to the
+    * kernel it feeds (and a wide input is already parallel — the
+    * exchange then just rebalances). Hash on the row id, not
+    * round-robin: RoundRobinPartitioning inserts a whole-row local
+    * sort for retry determinism that the binary vector column would
+    * pay for), and with an EXPLICIT partition count: a bare
+    * `repartition(col)` is fair game for AQE's small-shuffle
+    * coalescing — a 2000-row corpus is ~1 MB, so AQE folds it straight
+    * back to one partition and the kernel is single-core again. The
+    * explicit count pins the parallelism; the unit of work downstream
+    * is COMPUTE per row, not the bytes AQE can see. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      col("vec_id"))
+
   /** embeddings as double arrays: (vec_id, v). */
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def vecs(spark: SparkSession, sfDir: String): DataFrame = {
     CosineSimilarity.register(spark)
     DotProduct.register(spark)
     HyperplaneBands.register(spark)
+    TopKPairs.register(spark)
+    SrpBandSigs.register(spark)
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -419,18 +452,22 @@ object Similarity {
 
   /** Per-row top-k of scored (a_id, b_id, cos_sim) pairs. Rank on the
     * RAW cosine (round only the output) with b_id as the tie-break so
-    * both engines rank identically. The rank<=k filter compiles to
-    * WindowGroupLimit (Spark 3.5+): each shuffle partition keeps only
-    * its local top-k BEFORE the exchange, so the shuffle carries
-    * O(rows·k/partitions), not the full pair stream. */
+    * both engines rank identically. Implemented as the
+    * [[graft.functions.TopKPairs]] bounded aggregate, not a window:
+    * the window formulation compiles to WindowGroupLimit, which keeps
+    * per-partition top-k before the exchange but still SORTS every
+    * partition of the pair stream to do it — sim4's 4M-pair stream
+    * spent ~2.9 s of 3.4 s in that sort at sf0.1. The aggregate keeps
+    * a capacity-k insertion buffer per key (reject path: one compare),
+    * aggregates map-side, and ships one ≤k buffer per (partition, key)
+    * — same O(rows·k) exchange volume, no sort on either side. */
   private def topKPerRow(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("a_id"))
-          .orderBy(col("cos_sim").desc, col("b_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("a_id"), col("rnk").cast("long").as("rnk"), col("b_id"),
-        round(col("cos_sim"), 4).as("cos_sim"))
+      .groupBy(col("a_id"))
+      .agg(expr(s"graft_topk_pairs(cos_sim, b_id, $k)").as("tk"))
+      .select(col("a_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("a_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("p.id").as("b_id"), round(col("p.score"), 4).as("cos_sim"))
 
   /** Exact kNN JOIN: the top-k cosine neighbors for EVERY corpus row
     * (corpus×corpus), the all-rows generalization of sim1's single
@@ -445,7 +482,9 @@ object Similarity {
     // third of graft_cosine's per-pair flops, bit-identical value
     // (graft_dot accumulates like the fused kernel's terms, and
     // dot/(na*nb) is the kernel's exact final expression)
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+    // streamed side spread: the N²/P pair scoring parallelizes over
+    // the STREAMED side's partitions, and the fixture is one split
+    val a = spread(e).select(col("vec_id").as("a_id"), col("v").as("va"),
       expr("sqrt(graft_dot(v, v))").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
       expr("sqrt(graft_dot(v, v))").as("nb"))
@@ -479,7 +518,7 @@ object Similarity {
     * re-probe with wider bands). */
   def knnJoinBlocked(e: DataFrame, k: Int, bits: Int, bands: Int,
                      seed: Int = 42, bucketCap: Int = 0): DataFrame = {
-    val sig = e.select(col("vec_id"),
+    val sig = spread(e).select(col("vec_id"),
       posexplode(expr(s"graft_hyperplane_bands(v, $bits, $bands, $seed)"))
         .as(Seq("band", "sig")))
       .persist() // both self-join sides share one signature materialization
@@ -538,15 +577,18 @@ object Similarity {
         .filter(col("bkr") <= bucketCap).drop("bkr")
     else sig
     // BOTH directions (a,b) and (b,a) survive — top-k is per-row and
-    // directional. distinct BEFORE scoring: duplicate candidate pairs
-    // (a pair colliding in several bands) would occupy duplicate ranks
-    // in the window, corrupting top-k (dd5_blocked can defer dedupe to
-    // after its threshold filter; a rank filter cannot).
+    // directional. NO distinct on the raw candidates: a pair colliding
+    // in several bands is scored several times (the kernel is one
+    // fused 64-dim loop — cheap and embarrassingly parallel), and
+    // graft_topk_pairs dedupes BY ID inside its bounded buffer, so
+    // band duplicates cannot occupy duplicate ranks. A pre-score
+    // distinct would shuffle the FULL candidate stream — at permissive
+    // bands the bulk of all collisions — where the aggregate ships one
+    // ≤k buffer per key.
     val cand = sig.as("x").join(partnerSide.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
     val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
       expr("sqrt(graft_dot(v, v))").as("na"))
     val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
@@ -697,7 +739,7 @@ object Similarity {
     // oracle-able baseline; dd5_blocked_neardup is the scale path)
     "dd5_embed_neardup" -> ((spark, sfDir) => {
       val e = vecs(spark, sfDir)
-      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      val a = spread(e).select(col("vec_id").as("a_id"), col("v").as("va"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
       a.crossJoin(broadcast(b))
         .filter(col("a_id") < col("b_id"))
@@ -745,7 +787,10 @@ object Similarity {
     * re-score of candidates only. */
   private def blockedNearDupOn(e: DataFrame, tau: Double): DataFrame = {
     val (bits, bands) = HyperplaneBands.params(tau, 1e-4)
-    val sig = e.select(col("vec_id"),
+    // spread: signature generation AND the broadcast band self-join +
+    // per-candidate scoring below all run on this frame's partitioning
+    // (broadcast joins preserve it), and the fixture is one split
+    val sig = spread(e).select(col("vec_id"),
       posexplode(expr(s"graft_hyperplane_bands(v, $bits, $bands, 42)"))
         .as(Seq("band", "sig")))
       .persist() // both self-join sides share one signature materialization

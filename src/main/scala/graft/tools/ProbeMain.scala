@@ -5,9 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Scratch profiling main for local iteration — not part of the
   * driver contract. Times sub-stages of whatever is under
-  * investigation this round (r6: where dd2_ngram_jaccard's warm
-  * seconds go — shingle materialization vs candidate generation vs
-  * verification).
+  * investigation this round (r12: where the kNN-join family's warm
+  * seconds go — pair scoring vs the window top-k machinery).
   */
 object ProbeMain {
   def t[A](label: String)(f: => A): A = {
@@ -27,32 +26,41 @@ object ProbeMain {
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.Tables.registerAll(spark, sfDir)
 
-    import graft.pipeline.Dedup
+    import graft.pipeline.Similarity
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
     (1 to 3).foreach { pass =>
       spark.catalog.clearCache()
       println(s"--- pass $pass ---")
-      val sets = Dedup.shingleSets(spark, sfDir)
-      t("shingleSets materialize")(sets.count())
-      val ex = Dedup.shingles(spark, sfDir)
-      t("explode+count shingles")(println("  shingles=" + ex.count()))
-      val cand = Dedup.cappedCandidates(ex)
-      t("cappedCandidates")(println("  cands=" + cand.count()))
-      t("verifiedPairs")(noop(
-        Dedup.verifiedPairs(sets, Dedup.cappedCandidates(Dedup.shingles(spark, sfDir)), 0.8)))
-      t("dd2 end-to-end")(noop(
-        graft.SparkEntry.queries("dd2_ngram_jaccard")(spark, sfDir)))
-      // fused vs unrolled minhash signature pass (same JVM, same data)
-      t("minhash fused agg")(noop(Dedup.minhashSignatures(ex)))
-      t("minhash unrolled 96-col agg")(noop(
-        ex.groupBy(col("doc_id"))
-          .agg(min(xxhash64(col("h"), lit(0))).as("m0"),
-            (1 until 96).map(i =>
-              min(xxhash64(col("h"), lit(i))).as(s"m$i")): _*)))
-      t("dd3 end-to-end")(noop(
-        graft.SparkEntry.queries("dd3_minhash_lsh")(spark, sfDir)))
+      // sim4: exact N^2 kNN join — how much is pair scoring, how much
+      // is the per-row top-k window?
+      val e = Similarity.vecs(spark, sfDir)
+      t("vecs count")(println("  n=" + e.count() +
+        " partitions=" + e.rdd.getNumPartitions))
+      def scoredPairs(streamed: DataFrame) = {
+        val a = streamed.select(col("vec_id").as("a_id"), col("v").as("va"),
+          expr("sqrt(graft_dot(v, v))").as("na"))
+        val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+          expr("sqrt(graft_dot(v, v))").as("nb"))
+        a.crossJoin(broadcast(b))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
+      }
+      t("scoring only, streamed side as-read")(
+        println("  sum=" + scoredPairs(e).agg(sum("cos_sim")).collect()(0)))
+      t("scoring only, streamed side repartitioned")(
+        println("  sum=" + scoredPairs(e.repartition(cpus.toInt))
+          .agg(sum("cos_sim")).collect()(0)))
+      t("sim4 end-to-end (scoring + window top-k)")(noop(
+        graft.SparkEntry.queries("sim4_knn_join")(spark, sfDir)))
+      t("sim5 end-to-end")(noop(
+        graft.SparkEntry.queries("sim5_knn_blocked")(spark, sfDir)))
+      t("sim6 end-to-end")(noop(
+        graft.SparkEntry.queries("sim6_knn_capped")(spark, sfDir)))
+      t("sim7 end-to-end")(noop(
+        graft.SparkEntry.queries("sim7_knn_engaged")(spark, sfDir)))
     }
     spark.stop()
   }

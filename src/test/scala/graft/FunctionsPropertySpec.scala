@@ -181,4 +181,45 @@ class FunctionsPropertySpec extends AnyFunSuite {
       assert(evalIntersect(a, a) == a.length.toLong, "self-intersection")
     }
   }
+
+  test("topk-pairs buffer: equals a sort-based reference under ties, " +
+      "duplicate ids, arbitrary split + merge (400 random streams)") {
+    // The aggregate's contract is exactly what the window formulation
+    // computed: top-k DISTINCT ids by (score DESC, id ASC), a repeated
+    // id keeping its best entry. Scores are drawn from a tiny lattice
+    // to force ties and ids from a small range to force duplicates;
+    // each stream is split randomly across two buffers and merged,
+    // mirroring partial/final aggregation.
+    def ranksBefore(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    (1 to 400).foreach { _ =>
+      val k = 1 + rng.nextInt(8)
+      val n = rng.nextInt(80)
+      val entries = Array.fill(n)(
+        (rng.nextInt(5) * 0.25 - 0.5, (rng.nextInt(20) + 1).toLong))
+      val ref = entries.groupBy(_._2).toSeq
+        .map { case (id, es) => (es.map(_._1).max, id) } // best per id
+        .sortWith(ranksBefore).take(k)
+      val b1 = new graft.functions.TopKPairs.Buffer(k)
+      val b2 = new graft.functions.TopKPairs.Buffer(k)
+      entries.foreach { case (s, id) =>
+        (if (rng.nextBoolean()) b1 else b2).insert(s, id) }
+      var j = 0
+      while (j < b2.size) { b1.insert(b2.scores(j), b2.ids(j)); j += 1 }
+      val got = (0 until b1.size).map(i => (b1.scores(i), b1.ids(i))).toSeq
+      assert(got == ref, s"k=$k entries=${entries.toSeq}")
+    }
+  }
+
+  test("topk-pairs buffer: -0.0 folds to 0.0 so ties rank by id") {
+    val b = new graft.functions.TopKPairs.Buffer(3)
+    b.insert(-0.0, 7L)
+    b.insert(0.0, 3L)
+    b.insert(-1.0, 1L)
+    val got = (0 until b.size).map(i => (b.scores(i), b.ids(i)))
+    assert(got == Seq((0.0, 3L), (0.0, 7L), (-1.0, 1L)))
+    // and the stored zero is POSITIVE zero in both entries
+    assert((0 until 2).forall(i =>
+      java.lang.Double.doubleToRawLongBits(b.scores(i)) == 0L))
+  }
 }

@@ -524,10 +524,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(knn0 == sim1.toSeq)
   }
 
-  test("kNN join plan: WindowGroupLimit truncates before the exchange") {
+  test("kNN join plan: bounded top-k aggregate, no sort, no full-stream " +
+      "exchange after scoring") {
+    // r12: topKPerRow moved from WindowGroupLimit (which still sorts
+    // every partition of the pair stream) to the graft_topk_pairs
+    // bounded aggregate — the plan must show the object agg with a
+    // map-side partial, and NO sort anywhere (the point of the move).
     val plan = SparkEntry.queries("sim4_knn_join")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_topk_pairs"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Sort "), plan)
   }
 
   test("blocked kNN join: full recall and no cross product on clustered data") {
@@ -691,6 +699,22 @@ class PipelineSpec extends AnyFunSuite {
       val minCos = engaged.map(_.getDouble(3)).min
       assert(minCos >= 0.9, s"engaged cap surfaced a non-neighbor: $minCos")
     } finally sig.unpersist()
+  }
+
+  test("fused SRP kernel (graft_srp_bands) matches the explode/join/agg " +
+      "formulation signature-for-signature") {
+    // srpSignatures moved from the r10 frame shape (posexplode →
+    // broadcast-join the flat hyperplane frame → two LONG aggs) to
+    // the fused per-row kernel; the md5 sign derivation and the
+    // micro-unit floor/round arithmetic must be IDENTICAL, band for
+    // band, or the sim7/dd10 oracle contracts silently drift.
+    val e = Similarity.clusteredVecs(spark, sf)
+    def sigSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fused = sigSet(Similarity.srpSignatures(spark, e))
+    val viaJoin = sigSet(Similarity.srpSignaturesViaJoin(spark, e))
+    assert(fused.nonEmpty)
+    assert(fused == viaJoin)
   }
 
   test("adaptive banding (dd10): plan tracks corpus size; recall structural; " +
