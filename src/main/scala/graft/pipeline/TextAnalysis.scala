@@ -280,6 +280,32 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_sampled"),
           sum(col("nb")).cast("long").as("sampled_bytes"))
     }),
+    // deterministic GLOBAL SHUFFLE — the training-order randomization
+    // step between curation and shard writes (every epoch-0 data
+    // loader assumes the corpus arrives in random order; doing it in
+    // the engine keeps it reproducible). Spark-first scalable shape:
+    // a md5-keyed permutation materialized as (shard, pos) — shard
+    // from the hash's first byte (uniform by construction), position
+    // by row_number over (hash, doc_id) WITHIN the shard, so the sort
+    // parallelizes over shards and no global total order is ever
+    // computed on one node (shard count scales with the cluster at
+    // 100 TB; a single ORDER BY md5 would range-sort fine too, but
+    // global contiguous ranks would then need a sequential pass).
+    // Cross-engine exact: md5 hex compares lexicographically the same
+    // in both engines, conv(hex,16,10) ≡ DuckDB's 0x-cast.
+    "shuf1_global_shuffle" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(spark, sfDir)
+        .select(col("doc_id"),
+          md5(concat(lit("shuf"), col("doc_id").cast("string"))
+            .cast("binary")).as("h"))
+        .withColumn("shard", expr(
+          s"cast(conv(substr(h, 1, 2), 16, 10) % $ShuffleShards as bigint)"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+    }),
     // training-shard packing: assign docs to fixed token-budget shards
     // by a running token sum per SOURCE (shard_id = floor of the
     // pre-doc cumulative count / budget) — the sequence-packing step
@@ -452,6 +478,12 @@ object TextAnalysis {
 
   /** Token budget per packed training shard (pack1). */
   private val ShardTokenBudget = 4096
+
+  /** Output shards of the deterministic global shuffle (shuf1). 16 at
+    * gate scale; a 100 TB run sets this to O(cluster cores) — the
+    * per-shard sort is the only super-linear work and it divides by
+    * the shard count. */
+  private val ShuffleShards = 16
 
   /** Per-source sample quota in the composed training mix (pipe2). */
   private val MixQuota = 50
@@ -632,6 +664,16 @@ object TextAnalysis {
         |  FROM documents
         |) WHERE rn <= 50
         |GROUP BY source""".stripMargin,
+    "shuf1_global_shuffle" ->
+      s"""SELECT
+         |  CAST(CAST('0x' || substr(h, 1, 2) AS BIGINT) % $ShuffleShards
+         |    AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY CAST('0x' || substr(h, 1, 2) AS BIGINT) % $ShuffleShards
+         |    ORDER BY h, doc_id) AS BIGINT) AS pos,
+         |  doc_id
+         |FROM (SELECT doc_id, md5('shuf' || CAST(doc_id AS VARCHAR)) AS h
+         |      FROM documents)""".stripMargin,
     "pack1_token_shards" ->
       s"""SELECT source, CAST((cum - n_tok) // $ShardTokenBudget AS BIGINT) AS shard_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,
