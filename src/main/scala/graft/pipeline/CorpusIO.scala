@@ -473,6 +473,114 @@ object CorpusIO {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** io12: BLOOM-FILTER FILE SKIPPING — the point-lookup complement
+    * of io10/io11's min-max pruning. Clustering prunes the dimensions
+    * it sorted; a point lookup on a high-cardinality key the layout
+    * did NOT cluster (here: a document's content fingerprint, under a
+    * natural ingest layout ordered by (source, doc_id)) gets nothing
+    * from min/max — every file's [min, max] fingerprint range spans
+    * the whole domain. The file-skipping answer is a tiny per-file
+    * Bloom index: one [[graft.functions.BloomSketch]] bitmap per
+    * output file ([[BloomWords]]·64 bits, [[BloomK]] probes), built
+    * in a single map-side aggregation pass over the layout. A reader
+    * probes the index BEFORE listing the scan; "no" proves the file
+    * cannot contain the key (the aggregate's no-false-negative
+    * contract), so the pruned read is result-EXACT at the sized false
+    * -positive rate's cost only. This is the parquet/Delta/Iceberg
+    * bloom-skipping story, and the exact-dup fast path of an ingest
+    * pipeline at 100 TB: "is this content hash already in the
+    * corpus?" touches FPR·F + true-match files instead of F.
+    *
+    * Scale contract: the index is metadata-sized (files × 2 KiB —
+    * ~2 GiB per million files), same storage class as io11's stats
+    * row; the probe batch is the bounded ingest micro-batch. The
+    * driver-side probe loop here is F·Q over THAT metadata — past
+    * memory scale it becomes a broadcast join of probes against the
+    * index TABLE, same plan shape, never a corpus scan. The gate
+    * answers each probe (match count + canonical doc) through the
+    * pruned read; the DuckDB oracle recomputes the true answers with
+    * a plain join, so a false NEGATIVE (a missed file) fails the
+    * cross-engine hash — exactness of skipping is the gated
+    * property, selectivity is spec-pinned. */
+  private[graft] val BloomFiles = 16
+  private[graft] val BloomWords = 256 // 16 Kibit per file
+  private[graft] val BloomK = 6
+
+  /** Content fingerprint both engines compute identically: md5 hex of
+    * the text (Spark md5 takes binary; DuckDB takes varchar). */
+  private def contentHash(c: Column): Column = md5(c.cast("binary"))
+
+  /** Natural ingest layout: files ordered by (source, doc_id) — the
+    * shape a per-source ingest actually writes — so content
+    * fingerprints scatter across ALL files and min/max on them is
+    * useless. The bloom index, not clustering, must do the pruning. */
+  private[graft] def bloomLayoutWrite(spark: SparkSession, sfDir: String,
+                                      dir: String): Unit =
+    Tables.load(spark, sfDir, "documents")
+      .repartitionByRange(BloomFiles, col("source"), col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** One map-side pass: per-file bloom bitmap over
+    * xxhash64(contentHash). F bitmap rows — metadata-sized. */
+  private[graft] def bloomIndex(spark: SparkSession,
+                                dir: String): Array[(String, Array[Long])] = {
+    graft.functions.BloomSketch.register(spark)
+    spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file"),
+        xxhash64(contentHash(col("text"))).as("fp"))
+      .groupBy(col("file"))
+      .agg(expr(s"graft_bloom(fp, $BloomWords, $BloomK)").as("bm"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+  }
+
+  /** The ingest probe batch, derived deterministically from the corpus
+    * so the oracle can rebuild it: every doc_id ≡ 3 (mod 20) probes
+    * its own content hash (present), and a synthetic 'absent-' hash
+    * under the NEGATED id (absent — exercises the skipping side). */
+  private[graft] def bloomProbes(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    val base = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 20 === 3)
+    base.select(col("doc_id").as("probe_id"),
+        contentHash(col("text")).as("h"))
+      .unionAll(base.select((-col("doc_id")).as("probe_id"),
+        contentHash(concat(lit("absent-"), col("doc_id").cast("string")))
+          .as("h")))
+  }
+
+  /** Probe answers through an arbitrary (possibly pruned) corpus
+    * relation — shared by the gate and [[lazyShapes]] so a schema
+    * drift in one shows in the other. */
+  private def bloomProbeRollup(probes: DataFrame, docs: DataFrame): DataFrame =
+    probes.join(
+        docs.select(contentHash(col("text")).as("h"), col("doc_id")),
+        Seq("h"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("doc_id")).as("n_match"),
+        // no-match sentinel: -1, not NULL — gated outputs stay
+        // null-free (driver-hash nullable-int serializer risk)
+        coalesce(min(col("doc_id")), lit(-1L)).as("match_doc"))
+
+  private[graft] def bloomSkippingGate(spark: SparkSession,
+                                       sfDir: String): DataFrame = {
+    val dir = tempDir("graft_io_bloom")
+    try {
+      bloomLayoutWrite(spark, sfDir, dir)
+      val index = bloomIndex(spark, dir)
+      val probes = bloomProbes(spark, sfDir)
+      // bounded batch: the probe keys, hashed like the index build
+      val probeFps = probes.select(xxhash64(col("h")).as("fp"))
+        .distinct().collect().map(_.getLong(0))
+      val selected = index.collect { case (f, bm)
+        if probeFps.exists(graft.functions.BloomSketch.mightContain(bm, _, BloomK)) => f }
+      val pruned =
+        if (selected.isEmpty) spark.read.parquet(dir).limit(0)
+        else spark.read.parquet(selected.toIndexedSeq: _*)
+      eager(bloomProbeRollup(probes, pruned))
+    } finally deleteRec(new java.io.File(dir))
+  }
+
   /** All-column events fingerprint (io10's gate rollup): ts hashed as
     * exact integer micros (`unix_micros` ≡ DuckDB `epoch_us` — no
     * cross-engine timestamp FORMATTING in the hash), the double
@@ -626,7 +734,8 @@ object CorpusIO {
         zorderLayoutWrite(spark, sfDir, dir)
         eager(eventsFingerprint(spark.read.parquet(dir)))
       } finally deleteRec(new java.io.File(dir))
-    }))
+    }),
+    "io12_bloom_skipping" -> bloomSkippingGate _)
 
   /** Schema-identical LAZY plans for the eager gates above: every io
     * gate exports a corpus copy when invoked, so structural specs that
@@ -663,7 +772,10 @@ object CorpusIO {
       "io10_range_layout" -> ((spark, sfDir) =>
         eventsFingerprint(Tables.load(spark, sfDir, "events"))),
       "io11_zorder_layout" -> ((spark, sfDir) =>
-        eventsFingerprint(Tables.load(spark, sfDir, "events"))))
+        eventsFingerprint(Tables.load(spark, sfDir, "events"))),
+      "io12_bloom_skipping" -> ((spark, sfDir) =>
+        bloomProbeRollup(bloomProbes(spark, sfDir),
+          Tables.load(spark, sfDir, "documents"))))
   }
 
   private def fingerprintSql(where: String): String =
@@ -770,6 +882,24 @@ object CorpusIO {
         |      event_type, props)) AS h
         |  FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // bloom skipping must be result-EXACT: the oracle answers every
+    // probe with a plain join over the full table, so a skipped file
+    // that actually held a match (a false negative) fails the hash;
+    // the SELECTIVITY of the skipping is spec-pinned
+    "io12_bloom_skipping" ->
+      """WITH probes AS (
+        |  SELECT doc_id AS probe_id, md5(text) AS h
+        |  FROM documents WHERE doc_id % 20 = 3
+        |  UNION ALL
+        |  SELECT -doc_id, md5('absent-' || CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 20 = 3)
+        |SELECT p.probe_id,
+        |  CAST(count(d.doc_id) AS BIGINT) AS n_match,
+        |  COALESCE(min(d.doc_id), -1) AS match_doc
+        |FROM probes p LEFT JOIN
+        |  (SELECT doc_id, md5(text) AS h FROM documents) d
+        |  ON d.h = p.h
+        |GROUP BY p.probe_id""".stripMargin,
     // the partitioned layout must not change the join's RESULT — the
     // oracle is the plain join over the original parquet
     "io6_dpp_join" ->

@@ -272,6 +272,65 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("io12 bloom skipping: no false negatives, beats min/max on scattered keys") {
+    import graft.pipeline.CorpusIO
+    import graft.functions.BloomSketch
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    try {
+      CorpusIO.bloomLayoutWrite(spark, sf, dir)
+      val index = CorpusIO.bloomIndex(spark, dir)
+      assert(index.length > 1 && index.length <= CorpusIO.BloomFiles,
+        s"expected 2..${CorpusIO.BloomFiles} indexed files, got ${index.length}")
+      // ground truth: each doc's fingerprint and the file that holds it
+      val truth = spark.read.parquet(dir)
+        .select(col("_metadata.file_path").as("file"),
+          xxhash64(md5(col("text").cast("binary"))).as("fp"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val byFile = index.toMap
+      // NO FALSE NEGATIVES — the exactness contract file skipping
+      // rests on: every doc's own file must answer "maybe"
+      truth.foreach { case (f, fp) =>
+        assert(BloomSketch.mightContain(byFile(f), fp, CorpusIO.BloomK),
+          s"false negative: fingerprint $fp invisible in its own file")
+      }
+      // absent keys (synthetic, verified disjoint from the corpus)
+      val corpusFps = truth.map(_._2).toSet
+      val absent = (0 until 200).map(i => XXH64.hashLong(i, 9999L))
+        .filterNot(corpusFps)
+      // per-file fingerprint min/max — what io10-style stats pruning
+      // would have to use on this (unclustered) dimension
+      val ranges = spark.read.parquet(dir)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min(xxhash64(md5(col("text").cast("binary")))),
+          max(xxhash64(md5(col("text").cast("binary")))))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val bloomTouched = absent.map(fp => index.count { case (_, bm) =>
+        BloomSketch.mightContain(bm, fp, CorpusIO.BloomK) }).sum
+      val rangeTouched = absent.map(fp => ranges.count { case (lo, hi) =>
+        lo <= fp && fp <= hi }).sum
+      // SKIPPING ENGAGES where min/max cannot: bloom selects (near)
+      // zero files for absent probes; fingerprints scatter, so min/max
+      // ranges still admit a large share of them
+      assert(bloomTouched <= absent.length / 20,
+        s"bloom admitted $bloomTouched file-probes over ${absent.length} " +
+          "absent keys (FPR far above the sized bound)")
+      assert(bloomTouched < rangeTouched,
+        s"bloom ($bloomTouched) did not beat min/max ($rangeTouched)")
+      // PRUNED READ IS RESULT-EXACT: the gate (bloom-pruned file list)
+      // equals the full-table probe rollup
+      val gate = SparkEntry.queries("io12_bloom_skipping")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val full = CorpusIO.lazyShapes("io12_bloom_skipping")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gate == full, "bloom-pruned probe answers diverge from full scan")
+      // sanity on the probe mix: present probes matched, absent did not
+      assert(gate.exists { case (id, n, _) => id > 0 && n >= 1 })
+      assert(gate.forall { case (id, n, d) =>
+        (id > 0) == (n >= 1 && d >= 0) && ((id > 0) || (n == 0 && d == -1L)) })
+    } finally deleteRecursively(dir)
+  }
+
   test("zBucket stays integer-exact past 2^53 (Column `/` would mis-bucket)") {
     // Spark's Column `/` (Divide) promotes LONG operands to DOUBLE:
     // with span = 2^53 + 1 (rounds to 2^53 as a double) and

@@ -167,6 +167,44 @@ class FunctionsPropertySpec extends AnyFunSuite {
       .asInstanceOf[Long]
   }
 
+  test("bloom sketch: no false negatives, OR-merge ≡ combined build, " +
+    "FPR near the analytic bound (seeded sweep)") {
+    import graft.functions.BloomSketch
+    (1 to 20).foreach { round =>
+      val words = Seq(8, 32, 256)(rng.nextInt(3))
+      val k = 1 + rng.nextInt(8)
+      val n = 1 + rng.nextInt(200)
+      val keys = Array.fill(n)(rng.nextLong())
+      val (left, right) = keys.splitAt(rng.nextInt(n + 1))
+      // split build + OR merge must equal the single-pass build —
+      // the partial/final aggregation contract
+      val one = new Array[Long](words)
+      keys.foreach(BloomSketch.set(one, _, k))
+      val a = new Array[Long](words); left.foreach(BloomSketch.set(a, _, k))
+      val b = new Array[Long](words); right.foreach(BloomSketch.set(b, _, k))
+      val merged = a.zip(b).map { case (x, y) => x | y }
+      assert(java.util.Arrays.equals(one, merged),
+        s"round $round: OR-merge diverged from combined build")
+      // NO false negatives, ever
+      keys.foreach { v =>
+        assert(BloomSketch.mightContain(one, v, k),
+          s"round $round: inserted key $v reported absent")
+      }
+      // false-positive rate stays within 3x the analytic
+      // (1 - e^{-kn/m})^k bound (generous: small-m rounds are noisy)
+      val m = words * 64.0
+      val expFpr = math.pow(1.0 - math.exp(-k * n / m), k)
+      val trials = 2000
+      val keySet = keys.toSet
+      val fp = (0 until trials).map(_ => rng.nextLong())
+        .filterNot(keySet)
+        .count(BloomSketch.mightContain(one, _, k))
+      assert(fp <= math.max(8.0, 3.0 * expFpr * trials),
+        s"round $round: $fp false positives in $trials " +
+          f"(analytic ${expFpr * trials}%.1f, words=$words k=$k n=$n)")
+    }
+  }
+
   test("sorted intersect count equals the reference set intersection (500 random set pairs)") {
     (1 to 500).foreach { _ =>
       val universe = 1 + rng.nextInt(200)
