@@ -443,6 +443,53 @@ object TextAnalysis {
             .as("mean_kept_score"))
         .orderBy(col("lang"))
     }),
+    // txt10: CORPUS-LM QUALITY SCORING — the CCNet/KenLM-style
+    // perplexity filter re-expressed with INTEGER-exact arithmetic so
+    // the cross-engine hash cannot flake on transcendental rounding.
+    // The "LM" is the corpus's own top-K bigram table; each entry
+    // carries its rounded inverse conditional probability
+    // r = (Σ_x count(w1 x)) DIV count(w1 w2) — an exact integer
+    // surprisal weight (frequent continuations score low, rare ones
+    // high), with a flat penalty for out-of-model bigrams. Per doc:
+    // bigram count, in-model count, and the summed surprisal — the
+    // signals a CCNet-style "head/middle/tail by LM score" split
+    // cuts on. Scale shape: the LM build is ONE bounded-output
+    // corpus shuffle on gram (txt6's family) + a vocab-sized prefix
+    // rollup; the top-K model (K = LmTopK, ~4 KB) collects to the
+    // driver — io11's metadata-contract — and rides into the scoring
+    // pass as a LITERAL map, so the corpus scoring pass is pure
+    // MAP-SIDE: grams are enumerated, looked up, and summed inside
+    // the row by higher-order expressions; the corpus never shuffles
+    // to be scored (dc1's broadcast-grams precedent).
+    "txt10_lm_score" -> ((spark, sfDir) => {
+      val grams = docs(spark, sfDir)
+        .select(col("doc_id"), wordsCol.as("w"))
+        .select(col("doc_id"), expr(
+          """if(size(w) < 2, array(),
+            |  transform(sequence(0, size(w) - 2),
+            |    i -> concat_ws(' ', w[i], w[i+1])))""".stripMargin).as("grams"))
+      val bigramCounts = grams.select(explode(col("grams")).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("nb"))
+      val prefixTotals = bigramCounts
+        .groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+        .agg(sum(col("nb")).as("nu"))
+      val lm: Map[String, Long] = bigramCounts
+        .join(prefixTotals,
+          substring_index(col("gram"), " ", 1) === col("w1"))
+        .orderBy(col("nb").desc, col("gram"))
+        .limit(LmTopK)
+        .select(col("gram"), expr("nu DIV nb").as("ratio"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val lmMap = typedLit(lm)
+      def hit(g: Column): Column = element_at(lmMap, g)
+      grams.select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_bigrams"),
+        size(filter(col("grams"), g => hit(g).isNotNull)).cast("long")
+          .as("n_in_lm"),
+        aggregate(col("grams"), lit(0L),
+          (acc, g) => acc + coalesce(hit(g), lit(LmOovPenalty)))
+          .as("surprisal"))
+    }),
     // txt8: OVERLAPPING WINDOW CHUNKING — the RAG/pretraining
     // segmentation verb: each doc's whitespace tokens split into
     // 64-token windows at stride 48 (16-token overlap), n_chunks =
@@ -487,6 +534,13 @@ object TextAnalysis {
 
   /** Per-source sample quota in the composed training mix (pipe2). */
   private val MixQuota = 50
+
+  /** Bigram-LM size (txt10): bounded at any corpus scale, so the
+    * model collects to the driver and broadcasts as a literal map. */
+  private val LmTopK = 256
+
+  /** Flat integer surprisal for a bigram outside the LM (txt10). */
+  private val LmOovPenalty = 100L
 
   /** pipe2's oracle: every stage of the composed mix re-derived in
     * DuckDB — 1-based `range` walks gram starts exactly like dc1's
@@ -755,6 +809,37 @@ object TextAnalysis {
         |FROM s JOIN t ON s.lang = t.lang
         |WHERE CAST(s.score6 AS DOUBLE) >= t.thr
         |GROUP BY s.lang, t.thr ORDER BY s.lang""".stripMargin,
+    // txt10: full LM re-derivation — bigram counts, prefix context
+    // totals, top-K by (count DESC, gram) with integer-DIV ratios,
+    // then per-doc scoring. The no-gram NULL row from the LEFT JOIN
+    // must not collect the OOV penalty (CASE guard), and DuckDB's
+    // 1-based list indexing mirrors txt6's oracle.
+    "txt10_lm_score" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i + 1])) AS gram
+         |  FROM d),
+         |b AS (SELECT gram, CAST(count(*) AS BIGINT) AS nb
+         |      FROM g GROUP BY 1),
+         |u AS (SELECT split_part(gram, ' ', 1) AS w1,
+         |        CAST(sum(nb) AS BIGINT) AS nu
+         |      FROM b GROUP BY 1),
+         |lm AS (
+         |  SELECT gram, CAST(nu // nb AS BIGINT) AS ratio
+         |  FROM b JOIN u ON split_part(b.gram, ' ', 1) = u.w1
+         |  ORDER BY nb DESC, gram LIMIT $LmTopK)
+         |SELECT d.doc_id,
+         |  CAST(count(g.gram) AS BIGINT) AS n_bigrams,
+         |  CAST(count(lm.ratio) AS BIGINT) AS n_in_lm,
+         |  CAST(COALESCE(sum(CASE WHEN g.gram IS NULL THEN 0
+         |    ELSE COALESCE(lm.ratio, $LmOovPenalty) END), 0) AS BIGINT)
+         |    AS surprisal
+         |FROM d LEFT JOIN g ON d.doc_id = g.doc_id
+         |  LEFT JOIN lm ON g.gram = lm.gram
+         |GROUP BY d.doc_id""".stripMargin,
     // per-row chunk windows re-derived with DuckDB list slicing
     // (1-based inclusive [a:b], truncating past the end — same
     // semantics as Spark's slice(arr, start, len))

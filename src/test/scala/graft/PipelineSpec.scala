@@ -804,6 +804,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("txt10 LM scoring: plain-Scala LM recomputation, map-side scoring plan") {
+    // third independent formulation next to the Spark HOF pipeline
+    // and the DuckDB oracle: build the top-K bigram LM and score
+    // every doc in plain Scala
+    val raw = graft.engine.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bigrams(text: String): Seq[String] = {
+      val w = text.trim.split("\\s+", -1)
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map(p => s"${p(0)} ${p(1)}").toSeq
+    }
+    val counts = raw.values.toSeq.flatMap(bigrams)
+      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val prefix = counts.toSeq
+      .groupBy(_._1.split(" ", 2)(0))
+      .map { case (w1, gs) => w1 -> gs.map(_._2).sum }
+    val lm: Map[String, Long] = counts.toSeq
+      .sortBy { case (g, n) => (-n, g) }.take(256)
+      .map { case (g, n) => g -> prefix(g.split(" ", 2)(0)) / n }.toMap
+    val expect = raw.map { case (id, text) =>
+      val gs = bigrams(text)
+      val inLm = gs.count(lm.contains)
+      val sup = gs.map(g => lm.getOrElse(g, 100L)).sum
+      id -> ((gs.length.toLong, inLm.toLong, sup))
+    }
+    val df = SparkEntry.queries("txt10_lm_score")(spark, sf)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
+    // the CORPUS SCORING pass is map-side: the LM collected during
+    // plan construction, so the returned frame's plan is scan →
+    // project with ZERO exchanges (the LM-build shuffle ran in its
+    // own bounded job, not on this path)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"corpus scoring pass shuffles:\n$plan")
+  }
+
   test("shuf1 global shuffle: exact permutation, shard-local ranks, one shuffle") {
     val df = SparkEntry.queries("shuf1_global_shuffle")(spark, sf)
     val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
