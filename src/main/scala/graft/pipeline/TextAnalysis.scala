@@ -443,6 +443,34 @@ object TextAnalysis {
             .as("mean_kept_score"))
         .orderBy(col("lang"))
     }),
+    // bpe1: BPE TOKENIZER TRAINING, round 1 — the first merge's pair
+    // statistics, cross-engine exact. Training (pipeline/Bpe.scala)
+    // is the standard two-phase split: a bounded top-K word-frequency
+    // dict from ONE corpus shuffle, then a driver-side merge loop
+    // over that metadata-sized dict. Round 1's pair counts are plain
+    // SQL — adjacent char pairs are 2-char substrings, weighted by
+    // word frequency — so the gate pins the corpus-scale phase and
+    // the trainer's argmax seam in both engines (the spec pins
+    // gate-rank-1 == trainer-first-merge). Overlap semantics match
+    // the trainer: "aaa" yields (a,a) twice in both formulations.
+    "bpe1_pair_counts" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dict = docs(spark, sfDir)
+        .select(explode(wordsCol).as("word"))
+        .filter(length(col("word")) >= Bpe.MinWordLen)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(Bpe.DictSize)
+      dict.select(col("n"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).cast("long").as("weight"))
+        .orderBy(col("weight").desc, col("pair")).limit(BpePairTopK)
+        // rank over 20 bounded rows — the unpartitioned window is
+        // post-limit, never corpus-sized
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("weight").desc, col("pair"))).cast("long"))
+        .select(col("rnk"), col("pair"), col("weight"))
+    }),
     // txt10: CORPUS-LM QUALITY SCORING — the CCNet/KenLM-style
     // perplexity filter re-expressed with INTEGER-exact arithmetic so
     // the cross-engine hash cannot flake on transcendental rounding.
@@ -453,14 +481,18 @@ object TextAnalysis {
     // high), with a flat penalty for out-of-model bigrams. Per doc:
     // bigram count, in-model count, and the summed surprisal — the
     // signals a CCNet-style "head/middle/tail by LM score" split
-    // cuts on. Scale shape: the LM build is ONE bounded-output
-    // corpus shuffle on gram (txt6's family) + a vocab-sized prefix
-    // rollup; the top-K model (K = LmTopK, ~4 KB) collects to the
-    // driver — io11's metadata-contract — and rides into the scoring
-    // pass as a LITERAL map, so the corpus scoring pass is pure
-    // MAP-SIDE: grams are enumerated, looked up, and summed inside
-    // the row by higher-order expressions; the corpus never shuffles
-    // to be scored (dc1's broadcast-grams precedent).
+    // cuts on. Scale shape, all whole-stage codegen: the LM build is
+    // a bounded-output corpus shuffle on gram (txt6's family) + a
+    // vocab-sized prefix rollup, LIMITed to K = LmTopK rows; the
+    // corpus side streams through a BroadcastHashJoin against that
+    // bounded model (never shuffling to be scored — dc1's
+    // broadcast-grams precedent) and the per-doc rollup's partial
+    // aggregation runs before its exchange, so the one corpus-keyed
+    // shuffle carries one row per (doc, task), not per gram. (An
+    // earlier in-row formulation via a literal map + HOFs was
+    // plan-prettier — zero exchanges — but element_at on a literal
+    // map is an interpreted O(K) scan per gram: 12.7s vs ~1s at
+    // sf0.1. The join form is the one codegen keeps.)
     "txt10_lm_score" -> ((spark, sfDir) => {
       val grams = docs(spark, sfDir)
         .select(col("doc_id"), wordsCol.as("w"))
@@ -473,22 +505,20 @@ object TextAnalysis {
       val prefixTotals = bigramCounts
         .groupBy(substring_index(col("gram"), " ", 1).as("w1"))
         .agg(sum(col("nb")).as("nu"))
-      val lm: Map[String, Long] = bigramCounts
+      val lm = bigramCounts
         .join(prefixTotals,
           substring_index(col("gram"), " ", 1) === col("w1"))
         .orderBy(col("nb").desc, col("gram"))
         .limit(LmTopK)
         .select(col("gram"), expr("nu DIV nb").as("ratio"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val lmMap = typedLit(lm)
-      def hit(g: Column): Column = element_at(lmMap, g)
-      grams.select(col("doc_id"),
-        size(col("grams")).cast("long").as("n_bigrams"),
-        size(filter(col("grams"), g => hit(g).isNotNull)).cast("long")
-          .as("n_in_lm"),
-        aggregate(col("grams"), lit(0L),
-          (acc, g) => acc + coalesce(hit(g), lit(LmOovPenalty)))
-          .as("surprisal"))
+      grams.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+        .join(broadcast(lm), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("gram")).as("n_bigrams"),
+          count(col("ratio")).as("n_in_lm"),
+          coalesce(sum(when(col("gram").isNull, lit(0L))
+              .otherwise(coalesce(col("ratio"), lit(LmOovPenalty)))),
+            lit(0L)).as("surprisal"))
     }),
     // txt8: OVERLAPPING WINDOW CHUNKING — the RAG/pretraining
     // segmentation verb: each doc's whitespace tokens split into
@@ -541,6 +571,9 @@ object TextAnalysis {
 
   /** Flat integer surprisal for a bigram outside the LM (txt10). */
   private val LmOovPenalty = 100L
+
+  /** Gated pair-stat rows in BPE training round 1 (bpe1). */
+  private val BpePairTopK = 20
 
   /** pipe2's oracle: every stage of the composed mix re-derived in
     * DuckDB — 1-based `range` walks gram starts exactly like dc1's
@@ -809,6 +842,28 @@ object TextAnalysis {
         |FROM s JOIN t ON s.lang = t.lang
         |WHERE CAST(s.score6 AS DOUBLE) >= t.thr
         |GROUP BY s.lang, t.thr ORDER BY s.lang""".stripMargin,
+    // bpe1: the same two-phase derivation in DuckDB — bounded dict by
+    // (count DESC, word), adjacent pairs as 2-char substrings
+    // (range(1, len) is exclusive-end ≡ Spark's sequence(1, len-1)
+    // inclusive; the len>=2 dict filter keeps both non-degenerate)
+    "bpe1_pair_counts" ->
+      s"""WITH w AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+         |          AS word FROM documents)
+         |  WHERE len(word) >= ${Bpe.MinWordLen}
+         |  GROUP BY word ORDER BY n DESC, word LIMIT ${Bpe.DictSize}),
+         |p AS (
+         |  SELECT n, unnest(list_transform(range(1, len(word)),
+         |    i -> substr(word, i, 2))) AS pair
+         |  FROM w),
+         |a AS (SELECT pair, CAST(sum(n) AS BIGINT) AS weight
+         |      FROM p GROUP BY 1
+         |      ORDER BY weight DESC, pair LIMIT $BpePairTopK)
+         |SELECT CAST(row_number() OVER (ORDER BY weight DESC, pair)
+         |    AS BIGINT) AS rnk,
+         |  pair, weight
+         |FROM a""".stripMargin,
     // txt10: full LM re-derivation — bigram counts, prefix context
     // totals, top-K by (count DESC, gram) with integer-DIV ratios,
     // then per-doc scoring. The no-gram NULL row from the LEFT JOIN

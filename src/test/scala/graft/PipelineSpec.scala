@@ -804,7 +804,7 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("txt10 LM scoring: plain-Scala LM recomputation, map-side scoring plan") {
+  test("txt10 LM scoring: plain-Scala LM recomputation, broadcast-join scoring plan") {
     // third independent formulation next to the Spark HOF pipeline
     // and the DuckDB oracle: build the top-K bigram LM and score
     // every doc in plain Scala
@@ -838,14 +838,19 @@ class PipelineSpec extends AnyFunSuite {
     expect.foreach { case (id, e) =>
       assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
     }
-    // the CORPUS SCORING pass is map-side: the LM collected during
-    // plan construction, so the returned frame's plan is scan →
-    // project with ZERO exchanges (the LM-build shuffle ran in its
-    // own bounded job, not on this path)
+    // plan shape: the corpus streams through a BroadcastHashJoin
+    // against the bounded LM (it never shuffles to be scored), and
+    // the per-doc rollup splits partial/final so its one exchange
+    // carries per-doc partials, not per-gram rows
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(!plan.contains("Exchange"),
-      s"corpus scoring pass shuffles:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LM lookup is not a broadcast join:\n$plan")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length == 1,
+      s"expected exactly one doc_id exchange (the partial-agg'd " +
+        s"rollup):\n$plan")
+    assert("HashAggregate\\(keys=\\[doc_id".r.findAllIn(plan).length == 2,
+      s"per-doc rollup lost its partial/final split:\n$plan")
   }
 
   test("shuf1 global shuffle: exact permutation, shard-local ranks, one shuffle") {
