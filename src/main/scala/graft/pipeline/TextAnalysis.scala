@@ -285,22 +285,27 @@ object TextAnalysis {
     // loader assumes the corpus arrives in random order; doing it in
     // the engine keeps it reproducible). Spark-first scalable shape:
     // a md5-keyed permutation materialized as (shard, pos) — shard
-    // from the hash's first byte (uniform by construction), position
-    // by row_number over (hash, doc_id) WITHIN the shard, so the sort
-    // parallelizes over shards and no global total order is ever
-    // computed on one node (shard count scales with the cluster at
-    // 100 TB; a single ORDER BY md5 would range-sort fine too, but
-    // global contiguous ranks would then need a sequential pass).
-    // Cross-engine exact: md5 hex compares lexicographically the same
-    // in both engines, conv(hex,16,10) ≡ DuckDB's 0x-cast.
+    // from the hash's first TWO bytes mod an ADAPTIVE shard count
+    // (dd10's corpus-count contract: the count is one metastore
+    // lookup at 100 TB, and two bytes keep the mod bias under
+    // 1/65536 ≈ exact uniformity at any shard count the formula
+    // yields), position by row_number over (hash, doc_id) WITHIN
+    // the shard, so the sort parallelizes over shards and no global
+    // total order is ever computed on one node (a single ORDER BY
+    // md5 would range-sort fine too, but global contiguous ranks
+    // would then need a sequential pass). Cross-engine exact: md5
+    // hex compares lexicographically the same in both engines,
+    // conv(hex,16,10) ≡ DuckDB's 0x-cast, and the oracle re-derives
+    // the same shard count by the same integer-ceil formula.
     "shuf1_global_shuffle" -> ((spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
-      docs(spark, sfDir)
-        .select(col("doc_id"),
+      val d = docs(spark, sfDir)
+      val shards = shuffleShards(d.count())
+      d.select(col("doc_id"),
           md5(concat(lit("shuf"), col("doc_id").cast("string"))
             .cast("binary")).as("h"))
         .withColumn("shard", expr(
-          s"cast(conv(substr(h, 1, 2), 16, 10) % $ShuffleShards as bigint)"))
+          s"cast(conv(substr(h, 1, 4), 16, 10) % $shards as bigint)"))
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
           .cast("long"))
@@ -556,11 +561,19 @@ object TextAnalysis {
   /** Token budget per packed training shard (pack1). */
   private val ShardTokenBudget = 4096
 
-  /** Output shards of the deterministic global shuffle (shuf1). 16 at
-    * gate scale; a 100 TB run sets this to O(cluster cores) — the
-    * per-shard sort is the only super-linear work and it divides by
-    * the shard count. */
-  private val ShuffleShards = 16
+  /** shuf1's ADAPTIVE shard count: ceil(n / rows-per-shard) with a
+    * floor — pure integer arithmetic so the DuckDB oracle re-derives
+    * it exactly. The per-shard sort is the only super-linear work
+    * and it divides by the shard count, so holding rows-per-shard
+    * constant keeps per-shard sort cost flat as the corpus grows
+    * (16 shards at gate scale, 25 at the sf1 ScaleUp corpus; a
+    * 100 TB run raises the constant so shards land at O(cluster
+    * cores)). */
+  private val ShuffleRowsPerShard = 2000L
+  private val ShuffleMinShards = 16L
+  private[graft] def shuffleShards(n: Long): Long =
+    math.max(ShuffleMinShards,
+      (n + ShuffleRowsPerShard - 1L) / ShuffleRowsPerShard)
 
   /** Per-source sample quota in the composed training mix (pipe2). */
   private val MixQuota = 50
@@ -751,16 +764,23 @@ object TextAnalysis {
         |  FROM documents
         |) WHERE rn <= 50
         |GROUP BY source""".stripMargin,
+    // the shard count re-derives by the same integer-ceil formula
+    // (GREATEST floor + // ceil-division — exact on BIGINT)
     "shuf1_global_shuffle" ->
-      s"""SELECT
-         |  CAST(CAST('0x' || substr(h, 1, 2) AS BIGINT) % $ShuffleShards
+      s"""WITH s AS (
+         |  SELECT GREATEST($ShuffleMinShards,
+         |    (count(*) + ${ShuffleRowsPerShard - 1L}) // $ShuffleRowsPerShard)
+         |    AS n_shards
+         |  FROM documents)
+         |SELECT
+         |  CAST(CAST('0x' || substr(h, 1, 4) AS BIGINT) % s.n_shards
          |    AS BIGINT) AS shard,
          |  CAST(row_number() OVER (
-         |    PARTITION BY CAST('0x' || substr(h, 1, 2) AS BIGINT) % $ShuffleShards
+         |    PARTITION BY CAST('0x' || substr(h, 1, 4) AS BIGINT) % s.n_shards
          |    ORDER BY h, doc_id) AS BIGINT) AS pos,
          |  doc_id
          |FROM (SELECT doc_id, md5('shuf' || CAST(doc_id AS VARCHAR)) AS h
-         |      FROM documents)""".stripMargin,
+         |      FROM documents), s""".stripMargin,
     "pack1_token_shards" ->
       s"""SELECT source, CAST((cum - n_tok) // $ShardTokenBudget AS BIGINT) AS shard_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -43,7 +43,9 @@ object ExplainMain {
     "x14_intersect", "x15_except", "x16_scalar_subquery",
     "x17_full_outer_join", "evt6_view_click_join",
     "x18_approx_distinct", "x19_approx_percentile", "x20_union_distinct",
-    "sim6_knn_capped", "sim7_knn_engaged", "evt7_retention", "txt7_redact")
+    "sim6_knn_capped", "sim7_knn_engaged", "evt7_retention", "txt7_redact",
+    "shuf1_global_shuffle", "txt10_lm_score", "bpe1_pair_counts",
+    "io12_bloom_skipping")
 
   /** Queries where a BroadcastNestedLoopJoin is the DECLARED pattern:
     * the exact O(N²) oracle baselines (corpus side broadcast, ground

@@ -892,6 +892,13 @@ class PipelineSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
     assert(!plan.contains("Exchange rangepartitioning"),
       s"global range sort crept into the shuffle plan:\n$plan")
+    // the shard count is corpus-count-adaptive (integer-ceil with a
+    // floor): flat at gate scales, engaged at the sf1 corpus and
+    // beyond — holding per-shard sort cost constant as data grows
+    assert(TextAnalysis.shuffleShards(500L) == 16L)
+    assert(TextAnalysis.shuffleShards(5000L) == 16L)
+    assert(TextAnalysis.shuffleShards(50000L) == 25L)
+    assert(TextAnalysis.shuffleShards(1000000000L) == 500000L)
   }
 
   test("txt8 chunking: independent recomputation of windows and checksums") {
