@@ -499,12 +499,21 @@ object TextAnalysis {
     // map is an interpreted O(K) scan per gram: 12.7s vs ~1s at
     // sf0.1. The join form is the one codegen keeps.)
     "txt10_lm_score" -> ((spark, sfDir) => {
+      // gram enumeration via zip_with over two slices — NOT txt6's
+      // transform(sequence, i -> w[i] ...) form: when a projection
+      // selects ONLY the generator, CollapseProject inlines the
+      // word-split into the lambda, and a lambda that indexes `w`
+      // re-runs the regex split PER ELEMENT (measured: 8.8s vs 0.9s
+      // at sf0.1 for the identical output). zip_with references `w`
+      // only OUTSIDE the lambda, so the split stays once-per-row
+      // under any collapse.
       val grams = docs(spark, sfDir)
         .select(col("doc_id"), wordsCol.as("w"))
         .select(col("doc_id"), expr(
-          """if(size(w) < 2, array(),
-            |  transform(sequence(0, size(w) - 2),
-            |    i -> concat_ws(' ', w[i], w[i+1])))""".stripMargin).as("grams"))
+          """zip_with(
+            |  slice(w, 1, greatest(size(w) - 1, 0)),
+            |  slice(w, 2, greatest(size(w) - 1, 0)),
+            |  (a, b) -> concat_ws(' ', a, b))""".stripMargin).as("grams"))
       val bigramCounts = grams.select(explode(col("grams")).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("nb"))
       val prefixTotals = bigramCounts
