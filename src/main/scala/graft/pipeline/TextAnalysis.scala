@@ -560,7 +560,59 @@ object TextAnalysis {
                |    concat_ws(' ', slice(w, cast(1 + i * $ChunkStride as int), $ChunkWindow))
                |    as binary)), 1, 8), 16, 10) as bigint))""".stripMargin)
             .as("chunk_hash_sum"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // txt11: KEY-TERM EXTRACTION — per-document TF-IDF with the
+    // transcendental removed, txt10's integer-surprisal trick applied
+    // to idf: weight(term) = length(bin(N DIV df)) = floor(log2(N/df))
+    // + 1, an exact integer in BOTH engines (Spark bin() and DuckDB
+    // bin() emit the same minimal binary string), log-damped like real
+    // idf so a single rare typo cannot drown a document's true topic
+    // terms, and >= 1 so in-every-doc terms still tie-break by tf.
+    // score = tf * weight; top-3 terms per doc by (score DESC, term).
+    // Scale shape: ONE corpus explode -> (doc_id, term) hash-agg
+    // (exchange 1, partial agg first so the shuffle carries per-task
+    // term counts), tf persisted for its two consumers; df = per-term
+    // count over those already-distinct pairs (exchange 2,
+    // vocabulary-sized output, broadcast back so tf never re-keys;
+    // each tf row matches exactly one df row, no fan-out), then one
+    // doc_id exchange where rank<=3 compiles to WindowGroupLimit so
+    // each task truncates to its local top-3 per doc BEFORE the
+    // shuffle, and the final per-doc pivot rollup reuses that same
+    // doc_id partitioning. Every stage is linear in corpus size; N is
+    // one metastore count (dd10/shuf1's corpus-count contract). At
+    // 100 TB the vocabulary outgrows a broadcast and AQE flips the
+    // score join to sort-merge on term — still linear, one extra
+    // tf exchange.
+    "txt11_keyterms" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nDocs = docs(spark, sfDir).count()
+      val tf = docs(spark, sfDir)
+        .select(col("doc_id"), explode(wordsCol).as("term"))
+        .filter(length(col("term")) >= KeytermMinLen)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        // referenced by both the df rollup and the score join — without
+        // this the corpus is exploded and aggregated TWICE (static
+        // planning does not reuse the exchange across the broadcast
+        // boundary); dd11's grams.persist() precedent
+        .persist()
+      val dfreq = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term")
+        .select(col("doc_id"), col("term"),
+          (col("tf") * expr(s"length(bin($nDocs DIV df))"))
+            .cast("long").as("score"))
+      scored
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+        .filter(col("rnk") <= KeytermTopK)
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("rnk") === 1, col("term"))).as("t1"),
+          max(when(col("rnk") === 2, col("term"))).as("t2"),
+          max(when(col("rnk") === 3, col("term"))).as("t3"),
+          max(when(col("rnk") === 1, col("score"))).cast("long")
+            .as("top_score"))
+    })
   )
 
   /** txt8's chunking geometry: 64-token windows at stride 48. */
@@ -596,6 +648,12 @@ object TextAnalysis {
 
   /** Gated pair-stat rows in BPE training round 1 (bpe1). */
   private val BpePairTopK = 20
+
+  /** txt11 key-term knobs: terms shorter than MinLen are function
+    * words (every Markers entry is <= 3 chars), TopK terms gate per
+    * doc. */
+  private val KeytermMinLen = 4
+  private val KeytermTopK = 3
 
   /** pipe2's oracle: every stage of the composed mix re-derived in
     * DuckDB — 1-based `range` walks gram starts exactly like dc1's
@@ -944,6 +1002,35 @@ object TextAnalysis {
         |  CAST(sum(CAST('0x' || substr(md5(array_to_string(
         |    words[(1 + i * 48):(i * 48 + 64)], ' ')), 1, 8) AS BIGINT))
         |    AS BIGINT) AS chunk_hash_sum
-        |FROM x GROUP BY doc_id, n_tokens, n_chunks ORDER BY doc_id""".stripMargin
+        |FROM x GROUP BY doc_id, n_tokens, n_chunks ORDER BY doc_id""".stripMargin,
+    // txt11: full TF-IDF re-derivation — same integer idf weight
+    // (bin() emits the identical minimal binary string in DuckDB),
+    // same (score DESC, term) tie-break.
+    "txt11_keyterms" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS term FROM d)
+         |  WHERE length(term) >= $KeytermMinLen GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY 1),
+         |r AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(tf.tf * length(bin((SELECT n_docs FROM n) // df.df))
+         |      AS BIGINT) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * length(bin((SELECT n_docs FROM n) // df.df))
+         |        DESC, tf.term) AS rnk
+         |  FROM tf JOIN df USING (term))
+         |SELECT doc_id,
+         |  max(CASE WHEN rnk = 1 THEN term END) AS t1,
+         |  max(CASE WHEN rnk = 2 THEN term END) AS t2,
+         |  max(CASE WHEN rnk = 3 THEN term END) AS t3,
+         |  CAST(max(CASE WHEN rnk = 1 THEN score END) AS BIGINT)
+         |    AS top_score
+         |FROM r WHERE rnk <= $KeytermTopK GROUP BY doc_id""".stripMargin
   )
 }

@@ -853,6 +853,52 @@ class PipelineSpec extends AnyFunSuite {
       s"per-doc rollup lost its partial/final split:\n$plan")
   }
 
+  test("txt11 key terms: plain-Scala TF-IDF recomputation, top-k plan shape") {
+    // third independent formulation next to the Spark pipeline and
+    // the DuckDB oracle: recompute every doc's integer TF-IDF top-3
+    val raw = graft.engine.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def terms(text: String): Seq[String] =
+      text.trim.split("\\s+", -1).toSeq.filter(_.length >= 4)
+    val tf: Map[Long, Map[String, Long]] = raw.map { case (id, text) =>
+      id -> terms(text).groupBy(identity)
+        .map { case (t, o) => t -> o.size.toLong }
+    }
+    val df: Map[String, Long] = tf.values.toSeq.flatMap(_.keys)
+      .groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val n = raw.size.toLong
+    def bitLen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val expect = tf.collect { case (id, m) if m.nonEmpty =>
+      val ranked = m.toSeq
+        .map { case (t, f) => (t, f * bitLen(n / df(t))) }
+        .sortBy { case (t, s) => (-s, t) }.take(3)
+      id -> ((ranked.map(_._1).padTo(3, null).toList, ranked.head._2))
+    }
+    val got = SparkEntry.queries("txt11_keyterms")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((List(r.getString(1), r.getString(2), r.getString(3)),
+          r.getLong(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, expected $e")
+    }
+    // plan shape: rank<=3 compiles to WindowGroupLimit (tasks truncate
+    // to local top-3 per doc before the one doc_id exchange), the df
+    // model broadcasts back onto persisted tf, and the corpus parquet
+    // is scanned ONCE (tf persisted for its two consumers)
+    val q = SparkEntry.queries("txt11_keyterms")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-3 filter did not compile to WindowGroupLimit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df model is not a broadcast join:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length <= 1,
+      s"corpus scanned more than once — tf persist lost:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("shuf1 global shuffle: exact permutation, shard-local ranks, one shuffle") {
     val df = SparkEntry.queries("shuf1_global_shuffle")(spark, sf)
     val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
