@@ -612,6 +612,48 @@ object TextAnalysis {
           max(when(col("rnk") === 3, col("term"))).as("t3"),
           max(when(col("rnk") === 1, col("score"))).cast("long")
             .as("top_score"))
+    }),
+    // cms1: COUNT-MIN SKETCH heavy-hitter frequencies — the
+    // frequency-estimation member of the sketch family (membership =
+    // io12 bloom, distinct = x18 HLL, quantile = x19, similarity =
+    // dd3/dd4 minhash/simhash): at 100 TB "how often does this token /
+    // domain / fingerprint occur" is answered in ONE map-side pass
+    // (graft_cms partials are constant 256 KiB, merge = element-wise
+    // sum) where the exact rollup shuffles the full key universe.
+    // Gate = x18's tolerance-contract pattern: the exact top-K terms
+    // (ground truth, its own shuffle — in production ONLY the sketch
+    // pass runs) are probed against the sketch IN-PLAN (the probe
+    // arithmetic is SQL-reachable by construction — CmsSketch
+    // .estimateSql), emitting two 0/1 contract flags the oracle
+    // expects to be identically 1: lower_ok (estimates never
+    // undercount — structural: min over rows that each hold true
+    // count + non-negative collisions) and bound_ok (overcount within
+    // the sized ceil(2N/width) margin — measured-deterministic for
+    // this data+hash at sf0.001→sf1, same pinning contract as x18's
+    // 5% HLL tolerance). A drifting sketch fails the cross-engine
+    // hash on the flag columns.
+    "cms1_heavy_hitters" -> ((spark, sfDir) => {
+      import graft.functions.CmsSketch
+      CmsSketch.register(spark)
+      val terms = docs(spark, sfDir)
+        .select(explode(wordsCol).as("term"))
+        .filter(length(col("term")) >= KeytermMinLen)
+      val sketch = terms
+        .select(xxhash64(col("term")).as("k"))
+        .agg(expr(s"graft_cms(k, $CmsDepth, $CmsWidth)").as("cms"),
+          count(lit(1)).as("n_total"))
+      val top = terms.groupBy(col("term"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+        .limit(CmsTopK)
+      top.crossJoin(broadcast(sketch))
+        .withColumn("est", expr(CmsSketch.estimateSql(
+          "cms", "xxhash64(term)", CmsDepth, CmsWidth)))
+        .select(col("term"), col("exact_cnt"),
+          (col("est") >= col("exact_cnt")).cast("long").as("lower_ok"),
+          (col("est") <= col("exact_cnt") +
+            expr(s"(2 * n_total + ${CmsWidth - 1}) DIV $CmsWidth"))
+            .cast("long").as("bound_ok"))
     })
   )
 
@@ -654,6 +696,12 @@ object TextAnalysis {
     * doc. */
   private val KeytermMinLen = 4
   private val KeytermTopK = 3
+
+  /** cms1 sketch geometry (4 × 8 Ki counters = 256 KiB) and gated
+    * heavy-hitter count. */
+  private val CmsDepth = 4
+  private val CmsWidth = 8192
+  private val CmsTopK = 20
 
   /** pipe2's oracle: every stage of the composed mix re-derived in
     * DuckDB — 1-based `range` walks gram starts exactly like dc1's
@@ -1031,6 +1079,20 @@ object TextAnalysis {
          |  max(CASE WHEN rnk = 3 THEN term END) AS t3,
          |  CAST(max(CASE WHEN rnk = 1 THEN score END) AS BIGINT)
          |    AS top_score
-         |FROM r WHERE rnk <= $KeytermTopK GROUP BY doc_id""".stripMargin
+         |FROM r WHERE rnk <= $KeytermTopK GROUP BY doc_id""".stripMargin,
+    // cms1: the oracle recomputes the exact heavy hitters and expects
+    // both sketch-contract flags to be identically 1 (x18's
+    // tolerance-contract pattern — a sketch drifting past its sizing
+    // fails the hash on the flag columns).
+    "cms1_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |f AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+         |  FROM t WHERE length(term) >= $KeytermMinLen GROUP BY 1)
+         |SELECT term, exact_cnt,
+         |  CAST(1 AS BIGINT) AS lower_ok, CAST(1 AS BIGINT) AS bound_ok
+         |FROM f ORDER BY exact_cnt DESC, term LIMIT $CmsTopK""".stripMargin
   )
 }

@@ -61,7 +61,9 @@ object ExplainMain {
     // the banded equi-join pipeline (pinned bnlj:0); its exact-kNN
     // recall baseline lives only in PipelineSpec, so a BNLJ creeping
     // into the gate plan is a hard violation, not a declared pattern
-    "dd5_embed_neardup")  // exact near-dup baseline, declared quadratic
+    "dd5_embed_neardup",  // exact near-dup baseline, declared quadratic
+    "cms1_heavy_hitters") // single-row sketch broadcast against the
+                          // bounded top-K probe side
 
   /** Mechanically extracted plan properties; all counts from the
     * FORMATTED explain's per-node detail blocks. */
