@@ -635,9 +635,7 @@ object TextAnalysis {
     "cms1_heavy_hitters" -> ((spark, sfDir) => {
       import graft.functions.CmsSketch
       CmsSketch.register(spark)
-      val terms = docs(spark, sfDir)
-        .select(explode(wordsCol).as("term"))
-        .filter(length(col("term")) >= KeytermMinLen)
+      val terms = termStream(docs(spark, sfDir))
       val sketch = terms
         .select(xxhash64(col("term")).as("k"))
         .agg(expr(s"graft_cms(k, $CmsDepth, $CmsWidth)").as("cms"),
@@ -691,17 +689,24 @@ object TextAnalysis {
   /** Gated pair-stat rows in BPE training round 1 (bpe1). */
   private val BpePairTopK = 20
 
-  /** txt11 key-term knobs: terms shorter than MinLen are function
-    * words (every Markers entry is <= 3 chars), TopK terms gate per
-    * doc. */
-  private val KeytermMinLen = 4
+  /** txt11/cms1 term filter: terms shorter than MinLen are function
+    * words (every Markers entry is <= 3 chars). Shared with
+    * [[graft.streaming.CmsStream]] so the streaming twin cannot
+    * drift semantically. */
+  private[graft] val KeytermMinLen = 4
   private val KeytermTopK = 3
 
   /** cms1 sketch geometry (4 × 8 Ki counters = 256 KiB) and gated
     * heavy-hitter count. */
-  private val CmsDepth = 4
-  private val CmsWidth = 8192
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 8192
   private val CmsTopK = 20
+
+  /** The cms1 sketch-pass input: the term stream the sketch
+    * summarizes — shared by the gate and the streaming twin. */
+  private[graft] def termStream(docs: DataFrame): DataFrame =
+    docs.select(explode(wordsCol).as("term"))
+      .filter(length(col("term")) >= KeytermMinLen)
 
   /** pipe2's oracle: every stage of the composed mix re-derived in
     * DuckDB — 1-based `range` walks gram starts exactly like dc1's

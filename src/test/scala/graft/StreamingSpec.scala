@@ -38,6 +38,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming count-min sketch drains to the bit-identical batch sketch") {
+    import org.apache.spark.sql.functions._
+    graft.functions.CmsSketch.register(spark)
+    // batch ground truth: one-pass sketch over the whole corpus
+    val batchRow = graft.pipeline.TextAnalysis.termStream(
+        graft.engine.Tables.load(spark, sf, "documents"))
+      .select(xxhash64(col("term")).as("k"))
+      .agg(expr(s"graft_cms(k, ${graft.pipeline.TextAnalysis.CmsDepth}, " +
+        s"${graft.pipeline.TextAnalysis.CmsWidth})").as("cms"),
+        count(lit(1)).as("n_total")).head
+    val (batchCms, batchN) = (batchRow.getSeq[Long](0), batchRow.getLong(1))
+    // stream the same corpus one file per trigger: 4 micro-batches,
+    // each updating the ONE sketch buffer in the state store
+    val dir = java.nio.file.Files.createTempDirectory("cms_stream_in")
+    try {
+      graft.engine.Tables.load(spark, sf, "documents").repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+      val q = graft.streaming.CmsStream.sketchStream(spark, sf, dir.toString)
+        .writeStream.format("memory").queryName("cms_stream_test")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+      val got = spark.sql("SELECT * FROM cms_stream_test").head
+      // element-wise-sum merge is associative+commutative, so ANY
+      // micro-batch slicing must produce the bit-identical sketch
+      assert(got.getLong(1) == batchN, "term count diverged")
+      assert(got.getSeq[Long](0) == batchCms, "sketch arrays diverged")
+    } finally deleteRecursively(dir)
+  }
+
   test("stateful streaming sessionization matches batch session counts") {
     import graft.streaming.SessionizeStream
     graft.engine.Tables.registerAll(spark, sf)
