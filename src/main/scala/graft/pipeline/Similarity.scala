@@ -518,10 +518,11 @@ object Similarity {
     * re-probe with wider bands). */
   def knnJoinBlocked(e: DataFrame, k: Int, bits: Int, bands: Int,
                      seed: Int = 42, bucketCap: Int = 0): DataFrame = {
+    // not persisted: knnFromSignatures consumes this once (its
+    // vector-carrying join is what both self-join sides share)
     val sig = spread(e).select(col("vec_id"),
       posexplode(expr(s"graft_hyperplane_bands(v, $bits, $bands, $seed)"))
         .as(Seq("band", "sig")))
-      .persist() // both self-join sides share one signature materialization
     // Dense-bucket candidate cap (the r8 sf1 scale finding): with a
     // FIXED (bits, bands), bucket occupancy grows linearly with the
     // corpus, so uncapped candidate pairs grow with Σ bucketSize² —
@@ -570,32 +571,40 @@ object Similarity {
     * the tie-hash differ. */
   private[graft] def knnFromSignatures(e: DataFrame, sig: DataFrame,
       k: Int, bucketCap: Int, capOrder: Column): DataFrame = {
+    // Vectors + norms ride ON the signature frame: one bounded vec_id
+    // join (N·bands signature rows against N vectors, persisted for
+    // the self-join's two sides), so every candidate pair is scored
+    // WHERE IT IS BORN — inside the band join's partition — and the
+    // duplicated candidate stream is never exchanged again. The r12
+    // sf1 measurement that forced this shape: a pair in the clustered
+    // fixture collides in up to all 64 permissive bands, and looking
+    // vectors up AFTER the band join re-shuffled every duplicate
+    // through two joins — 16.7 GB of spill and sim5 at 268 s (5× the
+    // r11 distinct-based shape); scoring in-place costs bands× extra
+    // persisted bytes (bounded: N·bands·dim floats) and one fused
+    // 64-dim loop per duplicate, and the map-side partials of the
+    // top-k aggregate absorb the duplicates before the one a_id
+    // exchange. No distinct anywhere: graft_topk_pairs dedupes BY ID
+    // inside its bounded buffer, so band duplicates cannot occupy
+    // duplicate ranks.
+    val withVec = sig.join(
+        e.select(col("vec_id"), col("v"),
+          expr("sqrt(graft_dot(v, v))").as("nrm")), "vec_id")
+      .persist()
     val partnerSide = if (bucketCap > 0)
-      sig.withColumn("bkr", row_number().over(
+      withVec.withColumn("bkr", row_number().over(
           Window.partitionBy(col("band"), col("sig"))
             .orderBy(capOrder, col("vec_id"))))
         .filter(col("bkr") <= bucketCap).drop("bkr")
-    else sig
+    else withVec
     // BOTH directions (a,b) and (b,a) survive — top-k is per-row and
-    // directional. NO distinct on the raw candidates: a pair colliding
-    // in several bands is scored several times (the kernel is one
-    // fused 64-dim loop — cheap and embarrassingly parallel), and
-    // graft_topk_pairs dedupes BY ID inside its bounded buffer, so
-    // band duplicates cannot occupy duplicate ranks. A pre-score
-    // distinct would shuffle the FULL candidate stream — at permissive
-    // bands the bulk of all collisions — where the aggregate ships one
-    // ≤k buffer per key.
-    val cand = sig.as("x").join(partnerSide.as("y"),
+    // directional.
+    val scored = withVec.as("x").join(partnerSide.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
-      expr("sqrt(graft_dot(v, v))").as("na"))
-    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
-      expr("sqrt(graft_dot(v, v))").as("nb"))
-    val scored = cand.join(va, "a_id").join(vb, "b_id")
-      .select(col("a_id"), col("b_id"),
-        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        (expr("graft_dot(x.v, y.v)") /
+          (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
     topKPerRow(scored, k)
   }
 
@@ -698,10 +707,11 @@ object Similarity {
     // dropped and the hash gate covers the regime a 100 TB user runs.
     "sim7_knn_engaged" -> ((spark, sfDir) => {
       val e = clusteredVecs(spark, sfDir)
-      // persisted for the two-sided band self-join; the gate frame is
-      // lazy, so release rides on the harness cleanup contract
-      // (Verify/Bench clear cached relations after each query)
-      val sig = srpSignatures(spark, e).persist()
+      // knnFromSignatures persists its vector-carrying signature
+      // frame for the two-sided band self-join; release rides on the
+      // harness cleanup contract (Verify/Bench clear cached relations
+      // after each query)
+      val sig = srpSignatures(spark, e)
       knnFromSignatures(e, sig, KnnK, EngagedCap, expr(engagedCapOrderSql))
     }),
     "sim2_ann_lsh" -> ((spark, sfDir) => {
