@@ -257,13 +257,27 @@ object Tables {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    // graft_topk_pairs buffers are ≤ 16·k bytes by construction, so
-    // the ObjectHashAggregate hash path can hold hundreds of thousands
-    // of keys per partition; the default fallback (128 keys!) would
-    // switch the kNN top-k to key-sorted aggregation on any corpus
-    // bigger than a toy. 131072 × ~200 B ≈ 26 MB/partition worst case.
+    // ObjectHashAggregate fallback threshold (default: 128 keys!) —
+    // the default would switch graft_topk_pairs' kNN top-k (and the
+    // dd3/dd4 signature aggs) to key-sorted aggregation on any corpus
+    // bigger than a toy. This conf is SESSION-GLOBAL and counts KEYS,
+    // not bytes, so it must be sized by the LARGEST buffer of any
+    // aggregate that runs under a high-cardinality GROUP BY (r12
+    // review finding — 131072 here would license minhash to 130 MB
+    // per partition and a hypothetical keyed graft_cms to 32 GB):
+    //   graft_topk_pairs  ~200 B × 32768 ≈ 6.5 MB/partition
+    //   graft_minhash     ~1 KiB × 32768 ≈  32 MB/partition (worst)
+    //   graft_simhash     ~1 KiB × 32768 ≈  32 MB/partition
+    //   graft_bloom / graft_cms: large buffers (2 KiB / 256 KiB) but
+    //   only ever aggregated globally or by a ≤16-key file grouping —
+    //   a NEW query keying one of these by a high-cardinality column
+    //   must re-derive this bound first.
+    // 32768 covers the measured per-map-partition key cardinality at
+    // sf1 (~16k doc/a_id keys) with 2× headroom; past that the hash
+    // path degrades gracefully to sort-based partials — the designed
+    // fallback, not a cliff.
     spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "32768")
     // Per-table containment: one unreadable/mis-typed table must fail
     // only the queries that reference it, never the other nine (r8:
     // an events-loader analysis exception inside this loop took down

@@ -54,6 +54,24 @@ object Bpe {
       .limit(DictSize)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Initial symbol split: CODE POINTS, not UTF-16 code units —
+    * Spark's substring/length and DuckDB's substr/len (the bpe1 gate's
+    * pair enumeration) both count code points, so a supplementary-
+    * plane character (an emoji) must be ONE trainer symbol or the
+    * spec-pinned trainer-round-1 == gate-rank-1 equivalence breaks,
+    * and a code-unit split would emit unpaired-surrogate "tokens"
+    * (r12 review finding). */
+  private[graft] def symbols(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** One left-to-right merge pass: every non-overlapping occurrence
     * of (a, b) becomes a+b. Left-to-right non-overlap is the
     * published semantics ("aaa" under (a,a) → ["aa", "a"]). */
@@ -78,7 +96,7 @@ object Bpe {
   def train(dict: Seq[(String, Long)], nMerges: Int)
       : (Vector[(String, String)], Map[String, Vector[String]]) = {
     var words: Vector[(String, Vector[String], Long)] = dict.toVector
-      .map { case (w, n) => (w, w.map(_.toString).toVector, n) }
+      .map { case (w, n) => (w, symbols(w), n) }
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
@@ -109,7 +127,7 @@ object Bpe {
     * reproduces the segmentation training itself would have produced,
     * because merges are replayed in exactly training order. */
   def encode(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var syms = word.map(_.toString).toVector
+    var syms = symbols(word)
     var done = syms.length < 2
     while (!done) {
       var best = Int.MaxValue

@@ -285,11 +285,13 @@ object TextAnalysis {
     // loader assumes the corpus arrives in random order; doing it in
     // the engine keeps it reproducible). Spark-first scalable shape:
     // a md5-keyed permutation materialized as (shard, pos) — shard
-    // from the hash's first TWO bytes mod an ADAPTIVE shard count
-    // (dd10's corpus-count contract: the count is one metastore
-    // lookup at 100 TB, and two bytes keep the mod bias under
-    // 1/65536 ≈ exact uniformity at any shard count the formula
-    // yields), position by row_number over (hash, doc_id) WITHIN
+    // from the hash's first SIX bytes (48 bits: a 16-bit key would
+    // silently cap effective shards at 65536, breaking the adaptive
+    // shard-count contract past ~131M docs — r12 review finding) mod
+    // an ADAPTIVE shard count (dd10's corpus-count contract: the
+    // count is one metastore lookup at 100 TB; 48 bits keep the mod
+    // bias under shards/2^48 at any shard count the formula can
+    // reach), position by row_number over (hash, doc_id) WITHIN
     // the shard, so the sort parallelizes over shards and no global
     // total order is ever computed on one node (a single ORDER BY
     // md5 would range-sort fine too, but global contiguous ranks
@@ -305,7 +307,7 @@ object TextAnalysis {
           md5(concat(lit("shuf"), col("doc_id").cast("string"))
             .cast("binary")).as("h"))
         .withColumn("shard", expr(
-          s"cast(conv(substr(h, 1, 4), 16, 10) % $shards as bigint)"))
+          s"cast(conv(substr(h, 1, 12), 16, 10) % $shards as bigint)"))
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
           .cast("long"))
@@ -893,10 +895,10 @@ object TextAnalysis {
          |    AS n_shards
          |  FROM documents)
          |SELECT
-         |  CAST(CAST('0x' || substr(h, 1, 4) AS BIGINT) % s.n_shards
+         |  CAST(CAST('0x' || substr(h, 1, 12) AS BIGINT) % s.n_shards
          |    AS BIGINT) AS shard,
          |  CAST(row_number() OVER (
-         |    PARTITION BY CAST('0x' || substr(h, 1, 4) AS BIGINT) % s.n_shards
+         |    PARTITION BY CAST('0x' || substr(h, 1, 12) AS BIGINT) % s.n_shards
          |    ORDER BY h, doc_id) AS BIGINT) AS pos,
          |  doc_id
          |FROM (SELECT doc_id, md5('shuf' || CAST(doc_id AS VARCHAR)) AS h

@@ -69,6 +69,27 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("supplementary-plane chars are single symbols (code points, " +
+    "not UTF-16 units)") {
+    // U+1F600 is a surrogate PAIR in UTF-16; the trainer must treat it
+    // as one symbol like Spark's substring/length and DuckDB's
+    // substr/len do, or trainer-round-1 diverges from the bpe1 gate
+    // and encode emits unpaired-surrogate tokens
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Bpe.symbols(s"a${emoji}b") == Vector("a", emoji, "b"))
+    // round-1 pair stats on an astral word match the code-point
+    // 2-gram enumeration the gate uses
+    val (merges, segs) = Bpe.train(Seq((s"a${emoji}b", 3L)), 1)
+    assert(merges.head == ("a", emoji) || merges.head == (emoji, "b"))
+    // the published tie-break is (count DESC, left, right): both pairs
+    // have count 3, and "a" < emoji lexicographically
+    assert(merges.head == ("a", emoji))
+    assert(segs(s"a${emoji}b") == Vector(s"a$emoji", "b"))
+    // encode round-trips losslessly through real code points
+    val ranks = merges.zipWithIndex.toMap
+    assert(Bpe.encode(s"a${emoji}b", ranks).mkString == s"a${emoji}b")
+  }
+
   test("gate rank-1 pair equals the trainer's first merge") {
     val top = SparkEntry.queries("bpe1_pair_counts")(spark, sf)
       .orderBy("rnk").collect()
