@@ -670,6 +670,82 @@ object CorpusIO {
     finally deleteRec(new java.io.File(dir))
   }
 
+  /** io13: SNAPSHOT ISOLATION + TIME TRAVEL via versioned manifests —
+    * the Delta/Iceberg table-format mechanism reduced to its core: a
+    * table VERSION is an immutable list of file groups (a manifest),
+    * writers never mutate data files (copy-on-write at file-group
+    * granularity), and a reader at version v lists exactly manifest
+    * v's groups — so yesterday's corpus stays byte-stable under
+    * today's upsert, a concurrent reader can never see a half-applied
+    * batch, and any training run is reproducible by version pin.
+    *
+    * Layout: v1 lands range-bucketed by doc_id into [[TtBuckets]]
+    * file groups. The change batch is TAIL-LOCAL — the realistic
+    * daily shape (recent keys churn): every doc in the top tenth of
+    * the id range (doc_id >= cut, cut = (max DIV 10)·9 — integer-
+    * exact in both engines) is revised io8-style, inserts key above
+    * max — so COW rewrites ONLY the groups intersecting the touched
+    * range into one new group, carrying their untouched below-cut
+    * rows with them (file-group granularity is the point), and
+    * manifest v2 = v1's untouched groups ++ the rewrite.
+    *
+    * The gate reads BOTH versions through their manifests and emits
+    * the per-(version, source) fingerprint rollup; the oracle
+    * recomputes both contents from the original table, so stale v1
+    * bytes, a torn v2, or a COW rewrite that drops a carried row all
+    * fail the hash. Scale: manifests are metadata (file lists, the
+    * io12 index-table storage class); COW cost is bounded by the
+    * touched key range, never the corpus; old versions cost only
+    * retained storage until vacuum. PipelineSpec pins the sharing
+    * mechanics — below-cut groups are REFERENCED by both manifests
+    * (same physical paths), exactly one rewrite group exists, and
+    * the v1 rollup re-read AFTER a v2 re-commit is byte-identical
+    * (isolation). */
+  private[graft] val TtBuckets = 8
+
+  /** Writes v1 + the v2 COW rewrite under `dir`, returning the two
+    * manifests (lists of file-group paths). */
+  private[graft] def timeTravelVersions(spark: SparkSession, sfDir: String,
+                                        dir: String): (Seq[String], Seq[String]) = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val width = maxId / TtBuckets + 1
+    val cut = maxId / 10 * 9
+    val cutBkt = (cut / width).toInt
+    docs.withColumn("bkt", expr(s"cast(doc_id div $width as int)"))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$dir/v1")
+    val groups = new java.io.File(s"$dir/v1").listFiles()
+      .filter(_.getName.startsWith("bkt=")).map(_.toString).sorted.toSeq
+    def bktOf(path: String): Int = path.split("bkt=").last.toInt
+    // COW rewrite: the touched groups' FULL content (below-cut rows
+    // carried unchanged), updates applied, inserts appended
+    val tail = docs.filter(expr(s"doc_id div $width >= $cutBkt"))
+    val updated = tail
+      .withColumn("text", when(col("doc_id") >= cut,
+        concat(col("text"), lit("+rev2"))).otherwise(col("text")))
+      .withColumn("n_chars", when(col("doc_id") >= cut,
+        col("n_chars") + lit(5)).otherwise(col("n_chars")))
+    val inserts = docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1L))
+      .withColumn("lang", lit("xx"))
+    updated.unionByName(inserts)
+      .write.mode("overwrite").parquet(s"$dir/v2rw")
+    (groups, groups.filter(bktOf(_) < cutBkt) :+ s"$dir/v2rw")
+  }
+
+  private def timeTravelGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = tempDir("graft_io_tt")
+    try {
+      val (v1, v2) = timeTravelVersions(spark, sfDir, dir)
+      val r1 = fingerprint(spark.read.parquet(v1: _*))
+        .withColumn("version", lit(1L))
+      val r2 = fingerprint(spark.read.parquet(v2: _*))
+        .withColumn("version", lit(2L))
+      eager(r1.unionByName(r2))
+    } finally deleteRec(new java.io.File(dir))
+  }
+
   private def upsertMerged(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tempDir("graft_io_upsert")
     try {
@@ -735,7 +811,8 @@ object CorpusIO {
         eager(eventsFingerprint(spark.read.parquet(dir)))
       } finally deleteRec(new java.io.File(dir))
     }),
-    "io12_bloom_skipping" -> bloomSkippingGate _)
+    "io12_bloom_skipping" -> bloomSkippingGate _,
+    "io13_time_travel" -> timeTravelGate _)
 
   /** Schema-identical LAZY plans for the eager gates above: every io
     * gate exports a corpus copy when invoked, so structural specs that
@@ -775,7 +852,10 @@ object CorpusIO {
         eventsFingerprint(Tables.load(spark, sfDir, "events"))),
       "io12_bloom_skipping" -> ((spark, sfDir) =>
         bloomProbeRollup(bloomProbes(spark, sfDir),
-          Tables.load(spark, sfDir, "documents"))))
+          Tables.load(spark, sfDir, "documents"))),
+      "io13_time_travel" -> ((spark, sfDir) =>
+        fingerprint(Tables.load(spark, sfDir, "documents"))
+          .withColumn("version", lit(1L))))
   }
 
   private def fingerprintSql(where: String): String =
@@ -900,6 +980,44 @@ object CorpusIO {
         |  (SELECT doc_id, md5(text) AS h FROM documents) d
         |  ON d.h = p.h
         |GROUP BY p.probe_id""".stripMargin,
+    // both snapshot contents re-derived from the original table:
+    // v1 = the corpus as-is, v2 = tail tenth revised io8-style plus
+    // the re-keyed inserts; cut/max re-derived with the same integer
+    // arithmetic the writer used
+    "io13_time_travel" ->
+      """WITH m AS (
+        |  SELECT (max(doc_id) // 10) * 9 AS cut, max(doc_id) AS mx
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= (SELECT cut FROM m)
+        |      THEN text || '+rev2' ELSE text END AS text,
+        |    lang, source,
+        |    CASE WHEN doc_id >= (SELECT cut FROM m)
+        |      THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT mx FROM m) + 1, text, 'xx', source,
+        |    n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |vv AS (
+        |  SELECT 1 AS version, doc_id, text, lang, source, n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 2, doc_id, text, lang, source, n_chars FROM v2),
+        |f AS (
+        |  SELECT version, source,
+        |    md5(concat_ws('|', doc_id, lang, source, n_chars, text)) AS h,
+        |    length(text) AS len
+        |  FROM vv)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+        |  CAST(sum(CAST(CAST('0x' || substr(h, 1, 12) AS BIGINT)
+        |    AS DECIMAL(38,0))) AS VARCHAR) AS hash_sum,
+        |  CAST(sum(len) AS BIGINT) AS len_total,
+        |  CAST(version AS BIGINT) AS version
+        |FROM f GROUP BY version, source""".stripMargin,
     // the partitioned layout must not change the join's RESULT — the
     // oracle is the plain join over the original parquet
     "io6_dpp_join" ->

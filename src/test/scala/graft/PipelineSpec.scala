@@ -338,6 +338,38 @@ class PipelineSpec extends AnyFunSuite {
         s"lang=en/ holds $enFiles of $allFiles")
   }
 
+  test("io13 time travel: COW shares untouched groups; v1 is byte-stable " +
+    "under a v2 re-commit (snapshot isolation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt_spec")
+    try {
+      val (v1, v2) = graft.pipeline.CorpusIO
+        .timeTravelVersions(spark, sf, dir.toString)
+      // manifest mechanics: every v2 group except the rewrite IS a v1
+      // group (same physical path — storage shared, not copied), and
+      // exactly one rewrite group exists
+      val shared = v1.toSet intersect v2.toSet
+      assert(shared.nonEmpty, "COW shared no groups — tail-local batch " +
+        "rewrote the whole table")
+      assert((v2.toSet -- v1.toSet).size == 1,
+        s"expected exactly one rewrite group: ${v2.toSet -- v1.toSet}")
+      assert(v2.toSet - (v2.toSet -- v1.toSet).head == shared)
+      // snapshot isolation: a later writer producing ANOTHER version
+      // only ever writes NEW groups — overwrite the rewrite group
+      // with different content and assert the v1 read is
+      // byte-identical (v1's groups are immutable data files)
+      def v1Rollup(): Seq[String] =
+        spark.read.parquet(v1: _*).orderBy(org.apache.spark.sql.functions
+            .col("doc_id"))
+          .collect().map(_.toString).toSeq
+      val before = v1Rollup()
+      val rw = (v2.toSet -- v1.toSet).head
+      spark.read.parquet(v1.head).limit(3)
+        .write.mode("overwrite").parquet(rw)
+      assert(v1Rollup() == before,
+        "v1 content changed under a v2-group rewrite")
+    } finally graft.pipeline.CorpusIO.deleteRec(dir.toFile)
+  }
+
   test("upsert merge applies CDC without shuffling the corpus") {
     val merged = graft.pipeline.CorpusIO.upsertMergePlan(spark, sf)
     val plan = merged.queryExecution.executedPlan.toString
