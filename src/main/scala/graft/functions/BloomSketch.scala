@@ -1,14 +1,9 @@
 package graft.functions
 
-import java.nio.ByteBuffer
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, XXH64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -41,19 +36,12 @@ case class BloomSketch(
     numHashes: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]]
-  with UnaryLike[Expression] {
+  extends LongArraySketchAgg {
 
   require(words >= 1 && words <= (1 << 20),
     s"words must be in [1, 2^20], got $words")
   require(numHashes >= 1 && numHashes <= 32,
     s"k must be in [1, 32], got $numHashes")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects a bigint column, got ${other.catalogString}")
-  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -75,21 +63,6 @@ case class BloomSketch(
 
   override def eval(buf: Array[Long]): Any =
     new GenericArrayData(java.util.Arrays.copyOf(buf, words))
-
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * words)
-    var i = 0
-    while (i < words) { bb.putLong(buf(i)); i += 1 }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Long](words)
-    var i = 0
-    while (i < words) { buf(i) = bb.getLong(); i += 1 }
-    buf
-  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BloomSketch =
     copy(mutableAggBufferOffset = newOffset)
@@ -147,13 +120,8 @@ object BloomSketch {
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.length == 3, s"$name expects (col, words, k)")
-    def intLit(e: Expression, what: String): Int = e match {
-      case Literal(v: Number, _) => v.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$name: $what must be an integer literal, got $other")
-    }
-    BloomSketch(children.head, intLit(children(1), "words"),
-      intLit(children(2), "k"))
+    BloomSketch(children.head, BuilderArgs.intLit(name, children(1), "words"),
+      BuilderArgs.intLit(name, children(2), "k"))
   }
 
   /** Idempotent per-session registration (same pattern as

@@ -1,14 +1,9 @@
 package graft.functions
 
-import java.nio.ByteBuffer
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, XXH64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -44,18 +39,11 @@ case class CmsSketch(
     width: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]]
-  with UnaryLike[Expression] {
+  extends LongArraySketchAgg {
 
   require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
   require(width >= 2 && width <= (1 << 24) && (width & (width - 1)) == 0,
     s"width must be a power of two in [2, 2^24], got $width")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects a bigint column, got ${other.catalogString}")
-  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -78,21 +66,6 @@ case class CmsSketch(
 
   override def eval(buf: Array[Long]): Any =
     new GenericArrayData(java.util.Arrays.copyOf(buf, buf.length))
-
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * buf.length)
-    var i = 0
-    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Long](bytes.length / 8)
-    var i = 0
-    while (i < buf.length) { buf(i) = bb.getLong(); i += 1 }
-    buf
-  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketch =
     copy(mutableAggBufferOffset = newOffset)
@@ -170,13 +143,8 @@ object CmsSketch {
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.length == 3, s"$name expects (col, depth, width)")
-    def intLit(e: Expression, what: String): Int = e match {
-      case Literal(v: Number, _) => v.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$name: $what must be an integer literal, got $other")
-    }
-    CmsSketch(children.head, intLit(children(1), "depth"),
-      intLit(children(2), "width"))
+    CmsSketch(children.head, BuilderArgs.intLit(name, children(1), "depth"),
+      BuilderArgs.intLit(name, children(2), "width"))
   }
 
   /** Idempotent per-session registration (same pattern as

@@ -155,19 +155,10 @@ object HyperplaneBands {
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.length == 4, s"$name expects 4 arguments")
-    def intLit(e: Expression, arg: String): Int = e match {
-      case Literal(v: Number, _) => v.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$name: $arg must be an integer literal, got $other")
-    }
-    def longLit(e: Expression, arg: String): Long = e match {
-      case Literal(v: Number, _) => v.longValue()
-      case other => throw new IllegalArgumentException(
-        s"$name: $arg must be a long literal, got $other")
-    }
     HyperplaneBands(Cast(children.head, ArrayType(DoubleType)),
-      intLit(children(1), "bitsPerBand"), intLit(children(2), "nBands"),
-      longLit(children(3), "seed"))
+      BuilderArgs.intLit(name, children(1), "bitsPerBand"),
+      BuilderArgs.intLit(name, children(2), "nBands"),
+      BuilderArgs.longLit(name, children(3), "seed"))
   }
 
   /** Idempotent per-session registration (fallback for sessions built

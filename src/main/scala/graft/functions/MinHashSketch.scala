@@ -1,14 +1,9 @@
 package graft.functions
 
-import java.nio.ByteBuffer
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, XXH64}
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -47,17 +42,10 @@ case class MinHashSketch(
     numHashes: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]]
-  with UnaryLike[Expression] {
+  extends LongArraySketchAgg {
 
   require(numHashes >= 1 && numHashes <= 4096,
     s"numHashes must be in [1, 4096], got $numHashes")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects a bigint column, got ${other.catalogString}")
-  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -101,21 +89,6 @@ case class MinHashSketch(
     if (buf(numHashes) == 0L) null
     else new GenericArrayData(java.util.Arrays.copyOf(buf, numHashes))
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * (numHashes + 1))
-    var i = 0
-    while (i <= numHashes) { bb.putLong(buf(i)); i += 1 }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Long](numHashes + 1)
-    var i = 0
-    while (i <= numHashes) { buf(i) = bb.getLong(); i += 1 }
-    buf
-  }
-
   override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSketch =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): MinHashSketch =
@@ -135,12 +108,7 @@ object MinHashSketch {
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.length == 2, s"$name expects (col, k)")
-    val k = children(1) match {
-      case Literal(v: Number, _) => v.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$name: k must be an integer literal, got $other")
-    }
-    MinHashSketch(children.head, k)
+    MinHashSketch(children.head, BuilderArgs.intLit(name, children(1), "k"))
   }
 
   /** Idempotent per-session registration (same pattern as

@@ -1,14 +1,9 @@
 package graft.functions
 
-import java.nio.ByteBuffer
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** `graft_simhash(col)` — the 64-bit Charikar SimHash of a group of
@@ -30,14 +25,7 @@ case class SimHashSketch(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]]
-  with UnaryLike[Expression] {
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects a bigint column, got ${other.catalogString}")
-  }
+  extends LongArraySketchAgg {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
@@ -75,21 +63,6 @@ case class SimHashSketch(
       b += 1
     }
     out
-  }
-
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * 65)
-    var b = 0
-    while (b < 65) { bb.putLong(buf(b)); b += 1 }
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Long](65)
-    var b = 0
-    while (b < 65) { buf(b) = bb.getLong(); b += 1 }
-    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SimHashSketch =

@@ -144,12 +144,8 @@ object SrpBandSigs {
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.length == 3, s"$name expects (v, bands, bits)")
-    def lit(e: Expression, what: String): Int = e match {
-      case Literal(v: Number, _) => v.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$name: $what must be an integer literal, got $other")
-    }
-    SrpBandSigs(children.head, lit(children(1), "bands"), lit(children(2), "bits"))
+    SrpBandSigs(children.head, BuilderArgs.intLit(name, children(1), "bands"),
+      BuilderArgs.intLit(name, children(2), "bits"))
   }
 
   /** Idempotent per-session registration (same pattern as
