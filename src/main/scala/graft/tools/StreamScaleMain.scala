@@ -67,6 +67,37 @@ object StreamScaleMain {
     val sb = new StringBuilder
     sb ++= s"""{"data_dir":"$dataDir","n_batches":$nBatches"""
 
+    // Shared drain-and-record harness for the watermark/state twins
+    // (lifted out of the sessionize block so the cms twin reuses it).
+    def drainAndRecord(label: String,
+                       start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val t0 = System.nanoTime()
+      val q = start()
+      val drained = q.awaitTermination(1800000)
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      require(drained, s"$label stream did not drain in 30min")
+      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      q.stop()
+      val batches = prog.map { p =>
+        val so = p.stateOperators.headOption
+        val dur = p.durationMs.getOrDefault("triggerExecution", 0L).toLong
+        s"""{"rows":${p.numInputRows},"trigger_ms":$dur,""" +
+          s""""rows_per_sec":${if (dur > 0) p.numInputRows * 1000 / dur else 0},""" +
+          s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
+          s""""state_bytes":${so.map(_.memoryUsedBytes).getOrElse(-1L)},""" +
+          s""""late_dropped":${so.map(_.numRowsDroppedByWatermark).getOrElse(-1L)}}"""
+      }
+      val totalRows = prog.map(_.numInputRows).sum
+      val totalDropped = prog
+        .flatMap(_.stateOperators.headOption.map(_.numRowsDroppedByWatermark))
+        .sum
+      sb ++= s""","$label":{"total_rows":$totalRows,""" +
+        s""""late_dropped_total":$totalDropped,""" +
+        s""""wall_sec":${num2(wallSec)},""" +
+        s""""rows_per_sec_overall":${(totalRows / wallSec).toLong},""" +
+        s""""batches":[${batches.mkString(",")}]}"""
+    }
+
     // ---- BotFilterStream: stateful twin ----
     {
       val stage = java.nio.file.Files.createTempDirectory("scale_bot_in")
@@ -189,35 +220,6 @@ object StreamScaleMain {
               "event-time-ordered consumption on this filesystem")
         }
 
-        def drainAndRecord(label: String,
-                           start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-          val t0 = System.nanoTime()
-          val q = start()
-          val drained = q.awaitTermination(1800000)
-          val wallSec = (System.nanoTime() - t0) / 1e9
-          require(drained, s"$label stream did not drain in 30min")
-          val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-          q.stop()
-          val batches = prog.map { p =>
-            val so = p.stateOperators.headOption
-            val dur = p.durationMs.getOrDefault("triggerExecution", 0L).toLong
-            s"""{"rows":${p.numInputRows},"trigger_ms":$dur,""" +
-              s""""rows_per_sec":${if (dur > 0) p.numInputRows * 1000 / dur else 0},""" +
-              s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
-              s""""state_bytes":${so.map(_.memoryUsedBytes).getOrElse(-1L)},""" +
-              s""""late_dropped":${so.map(_.numRowsDroppedByWatermark).getOrElse(-1L)}}"""
-          }
-          val totalRows = prog.map(_.numInputRows).sum
-          val totalDropped = prog
-            .flatMap(_.stateOperators.headOption.map(_.numRowsDroppedByWatermark))
-            .sum
-          sb ++= s""","$label":{"total_rows":$totalRows,""" +
-            s""""late_dropped_total":$totalDropped,""" +
-            s""""wall_sec":${num2(wallSec)},""" +
-            s""""rows_per_sec_overall":${(totalRows / wallSec).toLong},""" +
-            s""""batches":[${batches.mkString(",")}]}"""
-        }
-
         drainAndRecord("sessionize", () =>
           SessionizeStream.sessions(spark, dataDir, stage.toString,
               maxFilesPerTrigger = Some(1))
@@ -228,6 +230,27 @@ object StreamScaleMain {
           FunnelStream.funnel(spark, dataDir, stage.toString,
               maxFilesPerTrigger = Some(1))
             .writeStream.format("noop").outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      } finally deleteRec(stage)
+    }
+
+    // ---- CmsStream: the sketch twin ----
+    // No mtime/event-time staging needed: the sketch's element-wise-
+    // sum merge is associative + commutative, so ANY micro-batch
+    // order yields the identical final state — the certified claims
+    // here are throughput and that state stays ONE buffer (a single
+    // state row, constant bytes) as volume grows.
+    {
+      val stage = java.nio.file.Files.createTempDirectory("scale_cms_in")
+      try {
+        Tables.load(spark, dataDir, "documents")
+          .repartition(nBatches)
+          .write.mode("overwrite").parquet(stage.toString)
+        drainAndRecord("cms_sketch", () =>
+          graft.streaming.CmsStream.sketchStream(spark, dataDir,
+              stage.toString)
+            .writeStream.format("noop").outputMode("complete")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start())
       } finally deleteRec(stage)
