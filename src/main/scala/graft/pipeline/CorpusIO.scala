@@ -731,16 +731,39 @@ object CorpusIO {
       .withColumn("lang", lit("xx"))
     updated.unionByName(inserts)
       .write.mode("overwrite").parquet(s"$dir/v2rw")
-    (groups, groups.filter(bktOf(_) < cutBkt) :+ s"$dir/v2rw")
+    val manifests = (groups,
+      groups.filter(bktOf(_) < cutBkt) :+ s"$dir/v2rw")
+    // the manifests are REAL files (one group path per line under
+    // _manifests/), not in-memory lists: commit order is
+    // data-files-then-manifest, so a reader that resolves version v
+    // through [[timeTravelManifest]] can never observe a version
+    // whose files are still being written — the atomic-commit half
+    // of the isolation story (the immutable-data-file half is
+    // spec-pinned)
+    Files.createDirectories(Paths.get(s"$dir/_manifests"))
+    Files.writeString(Paths.get(s"$dir/_manifests/v1"),
+      manifests._1.mkString("\n"))
+    Files.writeString(Paths.get(s"$dir/_manifests/v2"),
+      manifests._2.mkString("\n"))
+    manifests
   }
+
+  /** Resolve a version's file groups through its committed manifest
+    * file — the read path a time-travel reader actually takes. */
+  private[graft] def timeTravelManifest(dir: String, v: Int): Seq[String] =
+    Files.readString(Paths.get(s"$dir/_manifests/v$v"))
+      .split("\n").toSeq.filter(_.nonEmpty)
 
   private def timeTravelGate(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = tempDir("graft_io_tt")
     try {
-      val (v1, v2) = timeTravelVersions(spark, sfDir, dir)
-      val r1 = fingerprint(spark.read.parquet(v1: _*))
+      timeTravelVersions(spark, sfDir, dir)
+      // read BOTH versions strictly through the committed manifests
+      val r1 = fingerprint(
+          spark.read.parquet(timeTravelManifest(dir, 1): _*))
         .withColumn("version", lit(1L))
-      val r2 = fingerprint(spark.read.parquet(v2: _*))
+      val r2 = fingerprint(
+          spark.read.parquet(timeTravelManifest(dir, 2): _*))
         .withColumn("version", lit(2L))
       eager(r1.unionByName(r2))
     } finally deleteRec(new java.io.File(dir))

@@ -350,6 +350,10 @@ class PipelineSpec extends AnyFunSuite {
       val shared = v1.toSet intersect v2.toSet
       assert(shared.nonEmpty, "COW shared no groups — tail-local batch " +
         "rewrote the whole table")
+      // the committed manifest FILES resolve to exactly these groups
+      // (the read path the gate takes)
+      assert(graft.pipeline.CorpusIO.timeTravelManifest(dir.toString, 1) == v1)
+      assert(graft.pipeline.CorpusIO.timeTravelManifest(dir.toString, 2) == v2)
       assert((v2.toSet -- v1.toSet).size == 1,
         s"expected exactly one rewrite group: ${v2.toSet -- v1.toSet}")
       assert(v2.toSet - (v2.toSet -- v1.toSet).head == shared)
