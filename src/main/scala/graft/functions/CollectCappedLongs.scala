@@ -116,12 +116,8 @@ object CollectCappedLongs {
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.length == 2, s"$name expects (col, limit)")
-    val limit = children(1) match {
-      case Literal(v: Number, _) => v.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$name: limit must be an integer literal, got $other")
-    }
-    CollectCappedLongs(children.head, limit)
+    CollectCappedLongs(children.head,
+      BuilderArgs.intLit(name, children(1), "limit"))
   }
 
   /** Idempotent per-session registration (same pattern as

@@ -8,15 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.LongType
 
-/** Shared plumbing for the sketch-aggregate family
-  * ([[MinHashSketch]], [[SimHashSketch]], [[BloomSketch]],
-  * [[CmsSketch]]): each buffers a flat fixed-size `Array[Long]` over
-  * one BIGINT key column, so the state serde and the input type
-  * check live once here instead of four drifting copies. The buffer
-  * length is a constant of each aggregate's constructor parameters,
-  * so deserialize can size purely from the byte count. */
 /** Literal-argument extraction shared by the function builders —
-  * five near-identical local copies before this (r12 simplify
+  * seven near-identical local copies before this (r12 simplify
   * pass). */
 private[functions] object BuilderArgs {
   def intLit(fn: String, e: Expression, what: String): Int = e match {
@@ -33,6 +26,13 @@ private[functions] object BuilderArgs {
   }
 }
 
+/** Shared plumbing for the sketch-aggregate family
+  * ([[MinHashSketch]], [[SimHashSketch]], [[BloomSketch]],
+  * [[CmsSketch]]): each buffers a flat fixed-size `Array[Long]` over
+  * one BIGINT key column, so the state serde and the input type
+  * check live once here instead of four drifting copies. The buffer
+  * length is a constant of each aggregate's constructor parameters,
+  * so deserialize can size purely from the byte count. */
 private[functions] trait LongArraySketchAgg
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 

@@ -197,12 +197,8 @@ object TopKPairs {
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.length == 3, s"$name expects (score, id, k)")
-    val k = children(2) match {
-      case Literal(v: Number, _) => v.intValue()
-      case other => throw new IllegalArgumentException(
-        s"$name: k must be an integer literal, got $other")
-    }
-    TopKPairs(children(0), children(1), k)
+    TopKPairs(children(0), children(1),
+      BuilderArgs.intLit(name, children(2), "k"))
   }
 
   /** Idempotent per-session registration (same pattern as

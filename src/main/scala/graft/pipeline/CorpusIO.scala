@@ -719,8 +719,14 @@ object CorpusIO {
       .filter(_.getName.startsWith("bkt=")).map(_.toString).sorted.toSeq
     def bktOf(path: String): Int = path.split("bkt=").last.toInt
     // COW rewrite: the touched groups' FULL content (below-cut rows
-    // carried unchanged), updates applied, inserts appended
-    val tail = docs.filter(expr(s"doc_id div $width >= $cutBkt"))
+    // carried unchanged), updates applied, inserts appended. The
+    // tail is read back from the just-written TOUCHED GROUPS, not
+    // re-derived from the source table — the literal COW mechanism
+    // (a rewrite reads only the files it replaces), and at gate
+    // scale it cuts one of the source scans to a 1-2 group read.
+    val touched = groups.filter(bktOf(_) >= cutBkt)
+    val tail = spark.read.parquet(touched: _*)
+      .select(docs.columns.map(col): _*)
     val updated = tail
       .withColumn("text", when(col("doc_id") >= cut,
         concat(col("text"), lit("+rev2"))).otherwise(col("text")))
@@ -735,16 +741,23 @@ object CorpusIO {
       groups.filter(bktOf(_) < cutBkt) :+ s"$dir/v2rw")
     // the manifests are REAL files (one group path per line under
     // _manifests/), not in-memory lists: commit order is
-    // data-files-then-manifest, so a reader that resolves version v
-    // through [[timeTravelManifest]] can never observe a version
-    // whose files are still being written — the atomic-commit half
-    // of the isolation story (the immutable-data-file half is
-    // spec-pinned)
+    // data-files-then-manifest AND the manifest itself lands by
+    // write-temp-then-atomic-rename (a bare writeString truncates
+    // in place, so a racing reader could see an empty or partial
+    // group list — the exact torn state this mechanism exists to
+    // rule out), so a reader that resolves version v through
+    // [[timeTravelManifest]] can never observe a version whose
+    // files are still being written — the atomic-commit half of the
+    // isolation story (the immutable-data-file half is spec-pinned)
     Files.createDirectories(Paths.get(s"$dir/_manifests"))
-    Files.writeString(Paths.get(s"$dir/_manifests/v1"),
-      manifests._1.mkString("\n"))
-    Files.writeString(Paths.get(s"$dir/_manifests/v2"),
-      manifests._2.mkString("\n"))
+    def commit(v: String, groups: Seq[String]): Unit = {
+      val tmp = Paths.get(s"$dir/_manifests/.$v.tmp")
+      Files.writeString(tmp, groups.mkString("\n"))
+      Files.move(tmp, Paths.get(s"$dir/_manifests/$v"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    commit("v1", manifests._1)
+    commit("v2", manifests._2)
     manifests
   }
 

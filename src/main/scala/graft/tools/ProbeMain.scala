@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Scratch probe — rewritten per investigation; not part of any gate. */
 object ProbeMain {

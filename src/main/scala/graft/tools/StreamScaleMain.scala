@@ -67,10 +67,15 @@ object StreamScaleMain {
     val sb = new StringBuilder
     sb ++= s"""{"data_dir":"$dataDir","n_batches":$nBatches"""
 
-    // Shared drain-and-record harness for the watermark/state twins
-    // (lifted out of the sessionize block so the cms twin reuses it).
+    // Shared drain-and-record harness for every noop-sink twin
+    // (the ingest twin stays hand-rolled: foreachBatch with a pair
+    // counter and history-index fields the progress API can't see).
+    // `extraBatchFields` appends twin-specific per-batch metrics.
     def drainAndRecord(label: String,
-                       start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+                       start: () => org.apache.spark.sql.streaming.StreamingQuery,
+                       extraBatchFields:
+                         org.apache.spark.sql.streaming.StreamingQueryProgress
+                           => String = _ => ""): Unit = {
       val t0 = System.nanoTime()
       val q = start()
       val drained = q.awaitTermination(1800000)
@@ -85,7 +90,8 @@ object StreamScaleMain {
           s""""rows_per_sec":${if (dur > 0) p.numInputRows * 1000 / dur else 0},""" +
           s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
           s""""state_bytes":${so.map(_.memoryUsedBytes).getOrElse(-1L)},""" +
-          s""""late_dropped":${so.map(_.numRowsDroppedByWatermark).getOrElse(-1L)}}"""
+          s""""late_dropped":${so.map(_.numRowsDroppedByWatermark).getOrElse(-1L)}""" +
+          extraBatchFields(p) + "}"
       }
       val totalRows = prog.map(_.numInputRows).sum
       val totalDropped = prog
@@ -107,33 +113,16 @@ object StreamScaleMain {
         Tables.load(spark, dataDir, "events")
           .repartition(nBatches)
           .write.mode("overwrite").parquet(stage.toString)
-        val t0 = System.nanoTime()
-        val q = BotFilterStream.bots(spark, dataDir, stage.toString,
-            maxFilesPerTrigger = Some(1))
-          .writeStream.format("noop")
-          .outputMode("update")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        val drained = q.awaitTermination(1800000)
-        val wallSec = (System.nanoTime() - t0) / 1e9
-        require(drained, "bot stream did not drain in 30min")
-        val prog = q.recentProgress.toSeq
-          .filter(_.numInputRows > 0)
-        q.stop()
-        val batches = prog.map { p =>
-          val so = p.stateOperators.headOption
-          val dur = p.durationMs.getOrDefault("triggerExecution", 0L).toLong
-          s"""{"rows":${p.numInputRows},"trigger_ms":$dur,""" +
-            s""""rows_per_sec":${if (dur > 0) p.numInputRows * 1000 / dur else 0},""" +
-            s""""state_rows":${so.map(_.numRowsTotal).getOrElse(-1L)},""" +
-            s""""state_rows_updated":${so.map(_.numRowsUpdated).getOrElse(-1L)},""" +
-            s""""state_bytes":${so.map(_.memoryUsedBytes).getOrElse(-1L)}}"""
-        }
-        val totalRows = prog.map(_.numInputRows).sum
-        sb ++= s""","bot_filter":{"total_rows":$totalRows,""" +
-          s""""wall_sec":${num2(wallSec)},""" +
-          s""""rows_per_sec_overall":${(totalRows / wallSec).toLong},""" +
-          s""""batches":[${batches.mkString(",")}]}"""
+        drainAndRecord("bot_filter", () =>
+          BotFilterStream.bots(spark, dataDir, stage.toString,
+              maxFilesPerTrigger = Some(1))
+            .writeStream.format("noop")
+            .outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(),
+          extraBatchFields = p => p.stateOperators.headOption
+            .map(so => s""","state_rows_updated":${so.numRowsUpdated}""")
+            .getOrElse(""))
       } finally deleteRec(stage)
     }
 
