@@ -28,6 +28,12 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("driver contract: SparkEntry.entry returns rows (smoke)") {
+    // the driver smoke-checks entry() rows>0 each round; pin it here
+    // so a breakage surfaces in the suite, not in the round report
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("s1 full-scan count equals direct parquet count") {
     val expect = Tables.load(spark, sf, "lineitem").count()
     val got = Relational.defs("s1_full_scan_count")(spark, sf)
