@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.Tables
-import graft.pipeline.{CorpusIO, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Clustering, CorpusIO, Dedup, EntityResolution, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.queries.{Extended, JoinVariants, Relational}
 import graft.streaming.EventStreams
 
@@ -25,12 +25,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ JoinVariants.defs ++ Extended.defs ++
       Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
-      Multimodal.defs ++ EventStreams.defs ++ CorpusIO.defs
+      Multimodal.defs ++ EventStreams.defs ++ CorpusIO.defs ++
+      Graph.defs ++ Clustering.defs ++ EntityResolution.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ JoinVariants.oracle ++ Extended.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ TextAnalysis.oracle ++
-      Multimodal.oracle ++ EventStreams.oracle ++ CorpusIO.oracle
+      Multimodal.oracle ++ EventStreams.oracle ++ CorpusIO.oracle ++
+      Graph.oracle ++ Clustering.oracle ++ EntityResolution.oracle
 }

@@ -1,0 +1,229 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering + cluster-scoped semantic dedup — the
+  * SemDeDup curation verb (Abbas et al. 2023: k-means the corpus
+  * embeddings, then remove semantic duplicates WITHIN each cluster,
+  * so the pair search is cluster-bounded instead of corpus-quadratic).
+  *
+  * Everything is EXACT integer arithmetic so the DuckDB oracle
+  * reproduces each assignment and each drop decision bit-for-bit:
+  * embeddings quantize to q = floor(double(x)·10^6) (float→double is
+  * exact, the product rounds identically under IEEE in both engines),
+  * distances are integer squared-L2, centroid updates are
+  * sum div count (matching truncation in Spark `div` / DuckDB `//`),
+  * and the cosine threshold τ = 0.9 is the exact rational test
+  * 100·dot² ≥ 81·n1·n2 (DECIMAL(38,0) cross-multiplication — dot²
+  * overflows BIGINT).
+  *
+  * clu1: k-means assignment (k=8, 2 Lloyd iterations, deterministic
+  * init = the k corpus rows with the smallest (md5(vec_id), vec_id)).
+  * Scale shape: centroids are metadata-sized (k·dim longs) — each
+  * iteration is ONE map-side assignment pass against the broadcast
+  * (literal-inlined) centroids plus ONE bounded hash-agg
+  * (k·dim output rows) to refit; the corpus is never self-joined and
+  * never shuffled by row. The k·dim collect per iteration is the
+  * same bounded-metadata collect as sim3's IVF coarse quantizer.
+  *
+  * sdd1: SemDeDup over the clu1 clusters on a corpus with planted
+  * exact duplicates (~25% of rows copied to vec_id+100000, the
+  * md5-prefix rule both engines re-derive — dd5_blocked_tau09's
+  * two-sided-gate pattern): a row is dropped iff some SMALLER-id
+  * cluster-mate sits within cosine τ. The pair join is scoped to the
+  * cluster — at 100 TB k grows with the corpus (the SemDeDup paper
+  * contract) so per-cluster membership stays bounded and the pair
+  * volume is Σ cluster² « corpus²; the gate pins that every planted
+  * copy is dropped (recall) and no original is (precision).
+  */
+object Clustering {
+
+  private val K = 8
+  private val LloydIters = 2
+  /** Quantization scale for embedding floats. */
+  private val QScale = 1000000L
+
+  private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Quantized integer feature vector — exact in both engines. */
+  private val qvCol: Column =
+    expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $QScale) as bigint))")
+
+  /** The ~25% planted-duplicate corpus (sdd1): copies carry
+    * vec_id+100000 so they always lose the keep-smallest rule. */
+  private def plantedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    base.union(base
+      .filter(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+  }
+
+  /** One map-side assignment pass against literal-inlined centroids:
+    * argmin_c Σ(q_i - c_i)², ties to the smallest cluster id, via
+    * array_min over (dist, cluster) structs (struct ordering is
+    * lexicographic — identical to the oracle's ORDER BY dist, c). */
+  private def assignExpr(centroids: Seq[(Long, Array[Long])]): Column = {
+    val structs = centroids.map { case (c, cv) =>
+      val lits = cv.mkString("L, ") + "L"
+      s"""named_struct(
+         |  'd', aggregate(zip_with(qv, array($lits), (a, b) -> (a - b) * (a - b)),
+         |                 0L, (acc, x) -> acc + x),
+         |  'c', ${c}L)""".stripMargin
+    }
+    expr(s"array_min(array(${structs.mkString(", ")}))")
+  }
+
+  /** k-means over a (vec_id, embedding) corpus: quantize, seed from
+    * the md5-smallest rows, run [[LloydIters]] assignment+refit
+    * rounds, return (vec_id, qv, cluster, dist2). */
+  private[graft] def kmeans(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val q = corpus
+      .select(col("vec_id"), qvCol.as("qv"))
+      .persist() // scanned once per Lloyd round + once for the output
+    // deterministic seeds: k rows, rank = position in (md5, vec_id)
+    // order; k·dim longs — metadata-sized, same collect contract as
+    // sim3's IVF quantizer fit
+    val seedIds = corpus
+      .select(col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(K)
+      .collect().map(_.getLong(0))
+    val seedSet = seedIds.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
+    var centroids: Seq[(Long, Array[Long])] = q
+      .filter(col("vec_id").isin(seedIds: _*))
+      .collect()
+      .map(r => (seedSet(r.getLong(0)), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    for (_ <- 1 until LloydIters) {
+      val assigned = q.select(col("vec_id"), col("qv"),
+        assignExpr(centroids).getField("c").as("cluster"))
+      // refit: ONE bounded hash-agg — k·dim output rows
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          val byPos = new Array[Long](rows.length)
+          rows.foreach(r => byPos(r.getInt(1)) = r.getLong(2))
+          (c, byPos)
+        }.toSeq.sortBy(_._1)
+    }
+    val fin = assignExpr(centroids)
+    // q stays persisted for the caller's materialization of this
+    // final pass; Verify/Bench clear caches between queries
+    q.select(col("vec_id"), col("qv"),
+      fin.getField("c").as("cluster"), fin.getField("d").as("dist2"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "clu1_kmeans" -> ((spark, sfDir) =>
+      kmeans(spark, embeddings(spark, sfDir))
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("dist2").cast("long").as("dist2"))),
+    "sdd1_semantic_dedup" -> ((spark, sfDir) => {
+      val feat = kmeans(spark, plantedCorpus(spark, sfDir))
+        .select(col("vec_id"), col("cluster"), col("qv"),
+          expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)").as("nrm"))
+        .persist() // both sides of the cluster-scoped pair join + output
+      val f1 = feat.select(col("vec_id").as("id1"), col("cluster").as("cl1"),
+        col("qv").as("v1"), col("nrm").as("n1"))
+      val f2 = feat.select(col("vec_id").as("id2"), col("cluster").as("cl2"),
+        col("qv").as("v2"), col("nrm").as("n2"))
+      // cluster-scoped pairs only — the SemDeDup contract; the
+      // keep-smallest rule needs just "has any smaller-id mate in τ"
+      val dups = f1.join(f2, col("cl1") === col("cl2") && col("id1") < col("id2"))
+        .select(col("id2").as("vec_id"),
+          expr("aggregate(zip_with(v1, v2, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .as("dot"), col("n1"), col("n2"))
+        .filter(col("dot") > 0 &&
+          lit(100).cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") *
+            col("dot").cast("decimal(38,0)") >=
+          lit(81).cast("decimal(38,0)") * col("n1").cast("decimal(38,0)") *
+            col("n2").cast("decimal(38,0)"))
+        .select(col("vec_id")).distinct()
+      val out = feat.join(dups.withColumnRenamed("vec_id", "dup_id"),
+          col("vec_id") === col("dup_id"), "left")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          when(col("dup_id").isNull, 0L).otherwise(1L).as("is_dup"))
+      out
+    })
+  )
+
+  /** Shared oracle scaffolding: quantize → seed → assign → refit →
+    * assign, as unrolled CTEs (DuckDB re-derives the identical
+    * integer arithmetic; `//` truncates like Spark's `div`). */
+  private def kmeansCtes(corpusSql: String): String =
+    s"""corpus AS ($corpusSql),
+       |q AS (
+       |  SELECT vec_id, u.i AS pos,
+       |         CAST(floor(CAST(u.e AS DOUBLE) * $QScale) AS BIGINT) AS qv
+       |  FROM corpus t, LATERAL (SELECT unnest(t.embedding) AS e,
+       |       generate_subscripts(t.embedding, 1) AS i) u),
+       |seed AS (
+       |  SELECT vec_id, row_number() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS c
+       |  FROM corpus),
+       |c0 AS (
+       |  SELECT s.c AS cluster, q.pos, q.qv AS cv
+       |  FROM seed s JOIN q ON s.vec_id = q.vec_id WHERE s.c <= $K),
+       |a1 AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT q.vec_id, c.cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cluster) AS rn
+       |    FROM q JOIN c0 c ON q.pos = c.pos
+       |    GROUP BY q.vec_id, c.cluster) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT a.cluster, q.pos, CAST(SUM(q.qv) // COUNT(*) AS BIGINT) AS cv
+       |  FROM a1 a JOIN q ON a.vec_id = q.vec_id GROUP BY a.cluster, q.pos),
+       |a2 AS (
+       |  SELECT vec_id, cluster, dist2 FROM (
+       |    SELECT q.vec_id, c.cluster,
+       |      SUM((q.qv - c.cv) * (q.qv - c.cv)) AS dist2,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cluster) AS rn
+       |    FROM q JOIN c1 c ON q.pos = c.pos
+       |    GROUP BY q.vec_id, c.cluster) WHERE rn = 1)""".stripMargin
+
+  private val PlantedCorpusSql =
+    """SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "clu1_kmeans" ->
+      s"""WITH ${kmeansCtes("SELECT vec_id, embedding FROM embeddings")}
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+         |  CAST(dist2 AS BIGINT) AS dist2 FROM a2""".stripMargin,
+    "sdd1_semantic_dedup" ->
+      s"""WITH ${kmeansCtes(PlantedCorpusSql)},
+         |feat AS (
+         |  SELECT a.vec_id, a.cluster,
+         |    LIST(q.qv ORDER BY q.pos) AS v,
+         |    SUM(q.qv * q.qv) AS nrm
+         |  FROM a2 a JOIN q ON a.vec_id = q.vec_id
+         |  GROUP BY a.vec_id, a.cluster),
+         |pairs AS (
+         |  SELECT b.vec_id,
+         |    (SELECT SUM(x.a * x.b)
+         |     FROM (SELECT unnest(s.v) AS a, unnest(b.v) AS b) x) AS dot,
+         |    s.nrm AS n1, b.nrm AS n2
+         |  FROM feat s JOIN feat b
+         |    ON s.cluster = b.cluster AND s.vec_id < b.vec_id),
+         |dups AS (
+         |  SELECT DISTINCT vec_id FROM pairs
+         |  WHERE dot > 0
+         |    AND 100 * CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))
+         |     >= 81 * CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)))
+         |SELECT f.vec_id, CAST(f.cluster AS BIGINT) AS cluster,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+         |FROM feat f LEFT JOIN dups d ON f.vec_id = d.vec_id""".stripMargin
+  )
+}

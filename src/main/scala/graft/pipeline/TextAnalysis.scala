@@ -654,6 +654,64 @@ object TextAnalysis {
           (col("est") <= col("exact_cnt") +
             expr(s"(2 * n_total + ${CmsWidth - 1}) DIV $CmsWidth"))
             .cast("long").as("bound_ok"))
+    }),
+    // srch1: BM25 RETRIEVAL — full-text ranked search over the
+    // corpus (the retrieval verb behind decontamination probes,
+    // eval-set leakage audits, and targeted curation queries), with
+    // the BM25 rational function made EXACT: with k1 = 12/10 and
+    // b = 3/4, substituting avgdl = T/D and clearing denominators
+    // gives the integer-exact per-term weight
+    //   idf · (22·T·tf·10^6) div (10·T·tf + 3·T + 9·dl·D)
+    // where idf = length(bin(D div df)) (txt11's integer-surprisal
+    // trick), T = total filtered tokens, D = doc count, dl = doc
+    // length. Both engines evaluate identical integer arithmetic, so
+    // the full ranking hashes cross-engine. (At extreme corpus sizes
+    // T enters only through the T·tf / (T·tf + ... ) RATIO, so both
+    // sides can be rescaled by a common divisor of T and dl·D before
+    // the 10^6 blow-up — the formula never needs more than ~128-bit
+    // headroom and a DECIMAL form is a drop-in.)
+    // The query workload is derived from the corpus itself: the
+    // mid-frequency terms ranked 11–20 by (df DESC, term) become 10
+    // two-term queries (term_i, term_{i+1 mod 10}). Scale shape: tf
+    // = one corpus explode + hash-agg (persisted — feeds dl, df, and
+    // the probe join); df/dl are bounded rollups; the query set is
+    // METADATA (10 rows, driver-built like txt10's LM literal) and
+    // broadcast-joins against tf, so scoring is map-side over tf;
+    // the final top-5 per query window carries O(queries·docs)
+    // pre-truncated by WindowGroupLimit to O(queries·5) per task.
+    "srch1_bm25" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(spark, sfDir)
+        .select(col("doc_id"), explode(wordsCol).as("term"))
+        .filter(length(col("term")) >= KeytermMinLen)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist() // feeds dl, df, and the probe join
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val Array(totT, totD) = dl.agg(sum(col("dl")), count(lit(1)))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // bounded vocabulary head → driver metadata (txt10's LM-collect
+      // contract); ranks 11..20 in (df DESC, term) order
+      val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .drop(10).zipWithIndex.map { case ((t, _), i) => (i + 1L, t) }
+      val queries = spark.createDataFrame(
+        (qterms ++ qterms.map { case (qid, t) =>
+          (if (qid == 10L) 1L else qid + 1L, t) }).toSeq)
+        .toDF("qid", "qterm")
+      tf.join(broadcast(queries), col("term") === col("qterm"))
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(expr(s"length(bin($totD DIV df)) * " +
+          s"(22 * $totT * tf * 1000000 DIV " +
+          s"(10 * $totT * tf + 3 * $totT + 9 * dl * $totD))")).as("score"))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("doc_id"), col("score").cast("long").as("score"),
+          col("rnk").cast("long").as("rnk"))
     })
   )
 
@@ -1100,6 +1158,44 @@ object TextAnalysis {
          |  FROM t WHERE length(term) >= $KeytermMinLen GROUP BY 1)
          |SELECT term, exact_cnt,
          |  CAST(1 AS BIGINT) AS lower_ok, CAST(1 AS BIGINT) AS bound_ok
-         |FROM f ORDER BY exact_cnt DESC, term LIMIT $CmsTopK""".stripMargin
+         |FROM f ORDER BY exact_cnt DESC, term LIMIT $CmsTopK""".stripMargin,
+    // srch1: the full BM25 pipeline re-derived — same integer
+    // rational weight, same corpus-derived two-term query workload.
+    "srch1_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |    FROM documents) WHERE length(term) >= $KeytermMinLen),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM toks GROUP BY 1),
+         |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS T,
+         |                 CAST(count(*) AS BIGINT) AS D FROM dl),
+         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |qterms AS (
+         |  SELECT term, row_number() OVER (ORDER BY df DESC, term) - 10 AS qrank
+         |  FROM dfr
+         |  QUALIFY row_number() OVER (ORDER BY df DESC, term) BETWEEN 11 AND 20),
+         |queries AS (
+         |  SELECT qrank AS qid, term FROM qterms
+         |  UNION ALL
+         |  SELECT CASE WHEN qrank = 10 THEN 1 ELSE qrank + 1 END AS qid, term
+         |  FROM qterms),
+         |scored AS (
+         |  SELECT q.qid, tf.doc_id,
+         |    SUM(length(bin((SELECT D FROM stats) // dfr.df)) *
+         |        (22 * (SELECT T FROM stats) * tf.tf * 1000000 //
+         |         (10 * (SELECT T FROM stats) * tf.tf
+         |          + 3 * (SELECT T FROM stats)
+         |          + 9 * dl.dl * (SELECT D FROM stats)))) AS score
+         |  FROM queries q JOIN tf ON q.term = tf.term
+         |  JOIN dfr ON tf.term = dfr.term JOIN dl ON tf.doc_id = dl.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT qid, doc_id, CAST(score AS BIGINT) AS score,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, doc_id) AS rnk
+         |      FROM scored) WHERE rnk <= 5""".stripMargin
   )
 }

@@ -269,6 +269,46 @@ object EventStreams {
           countDistinct(when(col("is_bot") === 1L, col("user_id")))
             .as("n_bot_users"))
         .orderBy(col("event_type"))
+    }),
+    // evt9: RATE-SPIKE ANOMALY DETECTION — the ingest-monitoring verb
+    // (alert when a source/type's hourly volume departs its own
+    // history; on a 100 TB/day feed this is how pipeline regressions
+    // and upstream floods are caught). The 3σ rule is made EXACT
+    // integer arithmetic so both engines agree bit-for-bit even at
+    // the threshold: with per-(type, hour) count x and per-type
+    // window stats (n, S=Σx, Q=Σx²),
+    //   z > 3  ⇔  n·x > S  ∧  (n·x − S)² > 9·(n·Q − S²)
+    // (both sides of the variance inequality cleared of divisions —
+    // no float σ, no rounding flake). A deterministic burst is
+    // planted (evt8's fixture pattern): the 'error' events of the
+    // corpus's FIRST hour are replicated 4 extra times, so the gate
+    // always has a true positive to find on top of the natural 3σ
+    // tail. Scale shape: one corpus pass into the (type, hour)
+    // hash-agg (partial aggs first, bounded output = types × hours);
+    // the per-type stats rollup and the flag join touch only that
+    // bounded window table — the raw stream is scanned exactly once.
+    "evt9_anomaly" -> ((spark, sfDir) => {
+      val e = Tables.load(spark, sfDir, "events")
+      val h0 = e.agg(date_trunc("hour", min(col("ts")))).collect().head
+        .getTimestamp(0)
+      val planted = e
+        .filter(col("event_type") === "error" &&
+          date_trunc("hour", col("ts")) === lit(h0))
+        .withColumn("r", explode(expr("sequence(1, 4)")))
+      val base = e.select(col("event_type"), col("ts"))
+        .union(planted.select(col("event_type"), col("ts")))
+      val w = base
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("win"))
+        .agg(count(lit(1)).as("cnt"))
+      val st = w.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+          sum(col("cnt") * col("cnt")).as("q"))
+      w.join(st, "event_type")
+        .select(col("event_type"), col("win"), col("cnt"),
+          when(col("n") * col("cnt") > col("s") &&
+            (col("n") * col("cnt") - col("s")) * (col("n") * col("cnt") - col("s")) >
+              lit(9L) * (col("n") * col("q") - col("s") * col("s")), 1L)
+            .otherwise(0L).as("is_anomaly"))
     })
   )
 
@@ -393,6 +433,31 @@ object EventStreams {
         |  CAST(count(DISTINCT CASE WHEN b.user_id IS NOT NULL
         |    THEN a.user_id END) AS BIGINT) AS n_bot_users
         |FROM a LEFT JOIN b ON a.user_id = b.user_id
-        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
+    // evt9: same planted first-hour error burst, same
+    // division-free 3σ inequality over (type, hour) counts.
+    "evt9_anomaly" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win
+        |  FROM events, (SELECT unnest(range(4)) AS r)
+        |  WHERE event_type = 'error'
+        |    AND date_trunc('hour', ts) =
+        |        (SELECT date_trunc('hour', min(ts)) FROM events)),
+        |w AS (SELECT event_type, win, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM base GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cnt) AS BIGINT) AS s,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS q
+        |  FROM w GROUP BY 1)
+        |SELECT w.event_type, w.win, w.cnt,
+        |  CAST(CASE WHEN st.n * w.cnt > st.s
+        |    AND (st.n * w.cnt - st.s) * (st.n * w.cnt - st.s)
+        |        > 9 * (st.n * st.q - st.s * st.s)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM w JOIN st USING (event_type)""".stripMargin
   )
 }

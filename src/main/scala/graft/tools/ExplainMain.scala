@@ -45,7 +45,9 @@ object ExplainMain {
     "x18_approx_distinct", "x19_approx_percentile", "x20_union_distinct",
     "sim6_knn_capped", "sim7_knn_engaged", "evt7_retention", "txt7_redact",
     "shuf1_global_shuffle", "txt10_lm_score", "bpe1_pair_counts",
-    "io12_bloom_skipping")
+    "io12_bloom_skipping",
+    "pr1_pagerank", "clu1_kmeans", "sdd1_semantic_dedup",
+    "er1_entity_resolution", "srch1_bm25", "evt9_anomaly")
 
   /** Queries where a BroadcastNestedLoopJoin is the DECLARED pattern:
     * the exact O(N²) oracle baselines (corpus side broadcast, ground
@@ -228,6 +230,11 @@ object ExplainMain {
     val violations = scala.collection.mutable.ArrayBuffer[String]()
     val rows = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // audit each query's STANDALONE plan: a previous query's
+        // persisted frame can otherwise be substituted by the cache
+        // manager (srch1's tf is plan-identical to txt11's) and shift
+        // the audited shape (Verify clears caches the same way)
+        spark.catalog.clearCache()
         val p = props(formattedOf(fn(spark, sfDir)), tableWidths)
         if (p.cartesian > 0)
           violations += s"$name: CartesianProduct in plan (${p.cartesian})"

@@ -1,0 +1,252 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 curation/analytics operators (pr1 pagerank, clu1 kmeans,
+  * sdd1 semantic dedup, er1 entity resolution, srch1 bm25, evt9
+  * anomaly): each gets a THIRD independent formulation — a plain-Scala
+  * driver-side recompute at sf0.001 — on top of the Spark plan and the
+  * DuckDB oracle, plus plan-shape pins for the scale contracts.
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // ---------------------------------------------------------------
+  // cross-engine arithmetic contracts the integer-exact gates ride on
+
+  test("spark div truncates toward zero (matches duckdb // and scala /)") {
+    val r = spark.sql("SELECT -7 div 2, 7 div 2, -7 div -2, CAST(floor(CAST(CAST(0.0542495064437389 AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)")
+      .collect().head
+    assert(r.getLong(0) == -3L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getLong(0) == -7L / 2L) // scala recomputes use the same semantics
+    assert(r.getLong(3) == math.floor(0.0542495064437389f.toDouble * 1e6).toLong)
+  }
+
+  // ---------------------------------------------------------------
+  // pr1 pagerank
+
+  test("pr1: ranks equal a plain-scala recompute of the 3 damped rounds") {
+    val Scale = 1000000000000L
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long"), (col("l_partkey") * 2 + 1).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0 ++ e0.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => (n, es.length.toLong) }
+    val n = deg.size.toLong
+    val base = 15L * Scale / (100L * n)
+    var ranks: Map[Long, Long] = deg.keysIterator.map(_ -> Scale / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        (dst, es.iterator.map { case (src, _) => ranks(src) / deg(src) }.sum)
+      }
+      ranks = deg.keysIterator
+        .map(v => v -> (base + 85L * contrib.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val got = SparkEntry.queries("pr1_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ranks)
+    // rank mass is conserved up to the deterministic floor losses
+    val mass = got.valuesIterator.sum
+    assert(mass <= Scale && mass > Scale * 99L / 100L, mass)
+  }
+
+  test("pr1 plan: no cartesian, edge/node tables cached for the rounds") {
+    val df = SparkEntry.queries("pr1_pagerank")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("InMemoryTableScan"), s"persisted edges missing:\n$plan")
+  }
+
+  // ---------------------------------------------------------------
+  // clu1 kmeans + sdd1 semantic dedup
+
+  /** Plain-scala lloyd recompute shared by clu1/sdd1 assertions. */
+  private def scalaKmeans(corpus: Array[(Long, Array[Float])], k: Int)
+      : Map[Long, (Long, Long)] = {
+    val q = corpus.map { case (id, v) =>
+      (id, v.map(f => math.floor(f.toDouble * 1e6).toLong))
+    }
+    val seeds = corpus.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(k)
+    var cents: Seq[(Long, Array[Long])] =
+      seeds.zipWithIndex.map { case (id, i) =>
+        ((i + 1).toLong, q.find(_._1 == id).get._2)
+      }.toSeq
+    def assign(v: Array[Long]): (Long, Long) =
+      cents.map { case (c, cv) =>
+        (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min match { case (d, c) => (c, d) }
+    for (_ <- 1 until 2) {
+      val byCluster = q.groupBy { case (_, v) => assign(v)._1 }
+      cents = byCluster.toSeq.map { case (c, members) =>
+        val dims = members.head._2.length
+        (c, Array.tabulate(dims)(i => members.map(_._2(i)).sum / members.length))
+      }.sortBy(_._1)
+    }
+    q.map { case (id, v) => id -> assign(v) }.toMap
+  }
+
+  test("clu1: assignments equal a plain-scala lloyd recompute") {
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val want = scalaKmeans(corpus, 8)
+    val got = SparkEntry.queries("clu1_kmeans")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.valuesIterator.map(_._1).toSet.subsetOf((1L to 8L).toSet))
+  }
+
+  test("sdd1: every planted copy dropped, no original dropped, " +
+    "copies co-clustered with their source") {
+    val rows = SparkEntry.queries("sdd1_semantic_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = rows.filter(_._1 >= 100000L)
+    assert(planted.nonEmpty)
+    assert(planted.forall(_._3 == 1L), "planted copy not flagged")
+    assert(rows.filter(_._1 < 100000L).forall(_._3 == 0L), "original flagged")
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    planted.foreach { case (id, c, _) =>
+      assert(c == cluster(id - 100000L), s"copy $id strayed from its source cluster")
+    }
+  }
+
+  test("sdd1 plan: the pair join is cluster-keyed, never a cartesian") {
+    val plan = SparkEntry.queries("sdd1_semantic_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  // ---------------------------------------------------------------
+  // er1 entity resolution
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("er1: resolution equals an exhaustive-pair scala recompute " +
+    "(blocking has no false dismissals)") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dirty = cust.filter { case (k, _) => md5hex(k.toString).head <= '3' }
+      .map { case (k, name) =>
+        val p = (9 + k % 9).toInt // 0-based index of the bumped digit
+        val bumped = ((name(p) - '0' + 1) % 10 + '0').toChar
+        (k + 1000000L, name.updated(p, bumped))
+      }
+    val want = dirty.map { case (did, dname) =>
+      val cands = cust.map { case (ck, cn) => (ck, lev(dname, cn)) }
+        .filter(_._2 <= 1)
+      val (bk, bd) = cands.minBy { case (ck, d) => (d, ck) }
+      (did, bk, bd.toLong, cands.length.toLong)
+    }.toSet
+    val got = SparkEntry.queries("er1_entity_resolution")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(dirty.nonEmpty && got == want)
+  }
+
+  test("er1 plan: deletion-neighborhood blocking, no nested-loop verify") {
+    val plan = SparkEntry.queries("er1_entity_resolution")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  // ---------------------------------------------------------------
+  // srch1 bm25
+
+  test("srch1: ranking equals a plain-scala bm25 recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.flatMap { case (id, t) =>
+      t.trim.split("\\s+").filter(_.length >= 4).map(w => (id, w))
+    }
+    val tf = toks.groupBy(identity).map { case ((id, w), xs) => ((id, w), xs.length.toLong) }
+    val dl = toks.groupBy(_._1).map { case (id, xs) => (id, xs.length.toLong) }
+    val totT = dl.valuesIterator.sum
+    val totD = dl.size.toLong
+    val dfm = tf.keysIterator.toSeq.groupBy(_._2).map { case (w, xs) => (w, xs.length.toLong) }
+    val qterms = dfm.toSeq.sortBy { case (w, d) => (-d, w) }
+      .slice(10, 20).map(_._1).zipWithIndex
+      .map { case (t, i) => (i + 1L, t) }
+    val queries = qterms ++ qterms.map { case (q, t) => (if (q == 10L) 1L else q + 1L, t) }
+    val idf = (df: Long) => java.lang.Long.toBinaryString(totD / df).length.toLong
+    val want = queries.groupBy(_._1).toSeq.flatMap { case (qid, qs) =>
+      val scores = docs.map(_._1).flatMap { id =>
+        val s = qs.map { case (_, term) =>
+          tf.get((id, term)).fold(0L) { t =>
+            idf(dfm(term)) *
+              (22L * totT * t * 1000000L /
+                (10L * totT * t + 3L * totT + 9L * dl(id) * totD))
+          }
+        }.sum
+        if (s > 0) Some((id, s)) else None
+      }
+      scores.sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((id, s), i) => (qid, id, s, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("srch1_bm25")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("srch1 plan: query set broadcast, top-k is WindowGroupLimit") {
+    val plan = SparkEntry.queries("srch1_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---------------------------------------------------------------
+  // evt9 anomaly
+
+  test("evt9: flags equal a plain-scala recompute; planted burst found") {
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    def hour(ms: Long): Long = ms - Math.floorMod(ms, 3600000L)
+    val h0 = hour(evs.map(_._2).min)
+    val planted = evs.filter { case (t, ms) => t == "error" && hour(ms) == h0 }
+      .flatMap(e => Seq.fill(4)(e))
+    val wins = (evs ++ planted).groupBy { case (t, ms) => (t, hour(ms)) }
+      .map { case (k, xs) => (k, xs.length.toLong) }
+    val stats = wins.groupBy(_._1._1).map { case (t, ws) =>
+      val cs = ws.valuesIterator.toSeq
+      (t, (cs.length.toLong, cs.sum, cs.map(c => c * c).sum))
+    }
+    val want = wins.map { case ((t, w), c) =>
+      val (n, s, q) = stats(t)
+      val flag = if (n * c > s && (n * c - s) * (n * c - s) > 9L * (n * q - s * s)) 1L else 0L
+      (t, w, c, flag)
+    }.toSet
+    val got = SparkEntry.queries("evt9_anomaly")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    // the planted first-hour error burst must always be flagged
+    assert(got.contains(got.find(x => x._1 == "error" && x._2 == h0).get)
+      && got.find(x => x._1 == "error" && x._2 == h0).get._4 == 1L)
+  }
+}
