@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.DotProduct
+
 /** Embedding-space clustering + cluster-scoped semantic dedup — the
   * SemDeDup curation verb (Abbas et al. 2023: k-means the corpus
   * embeddings, then remove semantic duplicates WITHIN each cluster,
@@ -18,28 +20,54 @@ import org.apache.spark.sql.functions._
   * 100·dot² ≥ 81·n1·n2 (DECIMAL(38,0) cross-multiplication — dot²
   * overflows BIGINT).
   *
-  * clu1: k-means assignment (k=8, 2 Lloyd iterations, deterministic
+  * The HOT loops ride the codegen'd [[graft.functions.DotProduct]]
+  * kernel over array<double> — still EXACT, because every
+  * intermediate is an integer below 2^53 (|q_i| ≤ ~3·10^6, so
+  * products ≤ ~10^13 and 64-element sums ≤ ~6.4·10^14 « 9·10^15):
+  * IEEE doubles represent and add such integers exactly, so the
+  * double-path dot/norm/distance equals the integer value
+  * bit-for-bit. Assignment uses the expansion
+  * d(q,c) = |q|² − 2·q·c + |c|² with |q|² computed once per row and
+  * |c|² per centroid on the driver.
+  *
+  * k is ADAPTIVE (the dd10/shuf1 corpus-count contract):
+  * k = max(8, n div 625), re-derived by the oracle from count(*), so
+  * per-cluster membership stays ~bounded (≤ ~625 expected) as the
+  * corpus grows and sdd1's pair volume is Σ cluster² ≈ 625·n —
+  * LINEAR in n, never quadratic. At gate scale (sf0.01/sf0.1) k
+  * floors at 8; the sf1 ScaleUp corpus engages k=80 (recorded in
+  * results/r13_sf1/). Centroids are metadata (k·dim longs) inlined
+  * as literals into the assignment expression — valid while k·dim
+  * stays driver-sized (it does at every tested SF); at extreme k
+  * (10^5+ clusters on a 100 TB corpus) the declared kernel is a
+  * mapPartitions pass against a broadcast centroid MATRIX (blocked
+  * gemm, the FAISS shape) — the same declared-kernel escape hatch as
+  * Multimodal's codecs and Bpe's encoder.
+  *
+  * clu1: k-means assignment (2 Lloyd iterations, deterministic
   * init = the k corpus rows with the smallest (md5(vec_id), vec_id)).
-  * Scale shape: centroids are metadata-sized (k·dim longs) — each
-  * iteration is ONE map-side assignment pass against the broadcast
-  * (literal-inlined) centroids plus ONE bounded hash-agg
-  * (k·dim output rows) to refit; the corpus is never self-joined and
-  * never shuffled by row. The k·dim collect per iteration is the
-  * same bounded-metadata collect as sim3's IVF coarse quantizer.
+  * Scale shape: each iteration is ONE map-side assignment pass
+  * against the broadcast (literal-inlined) centroids plus ONE
+  * bounded hash-agg (k·dim output rows) to refit; the corpus is
+  * never self-joined and never shuffled by row. The k·dim collect
+  * per iteration is the same bounded-metadata collect as sim3's IVF
+  * coarse quantizer.
   *
   * sdd1: SemDeDup over the clu1 clusters on a corpus with planted
   * exact duplicates (~25% of rows copied to vec_id+100000, the
   * md5-prefix rule both engines re-derive — dd5_blocked_tau09's
   * two-sided-gate pattern): a row is dropped iff some SMALLER-id
   * cluster-mate sits within cosine τ. The pair join is scoped to the
-  * cluster — at 100 TB k grows with the corpus (the SemDeDup paper
-  * contract) so per-cluster membership stays bounded and the pair
-  * volume is Σ cluster² « corpus²; the gate pins that every planted
-  * copy is dropped (recall) and no original is (precision).
+  * cluster; the gate pins that every planted copy is dropped
+  * (recall) and no original is (precision).
   */
 object Clustering {
 
-  private val K = 8
+  /** Adaptive-k divisor: expected per-cluster membership. */
+  private val RowsPerCluster = 625L
+  private val MinK = 8L
+  private[graft] def kFor(n: Long): Long = math.max(MinK, n / RowsPerCluster)
+
   private val LloydIters = 2
   /** Quantization scale for embedding floats. */
   private val QScale = 1000000L
@@ -62,15 +90,17 @@ object Clustering {
   }
 
   /** One map-side assignment pass against literal-inlined centroids:
-    * argmin_c Σ(q_i - c_i)², ties to the smallest cluster id, via
-    * array_min over (dist, cluster) structs (struct ordering is
-    * lexicographic — identical to the oracle's ORDER BY dist, c). */
+    * argmin_c (|q|² − 2·q·c + |c|²), ties to the smallest cluster id,
+    * via array_min over (dist, cluster) structs (struct ordering is
+    * lexicographic — identical to the oracle's ORDER BY dist, c).
+    * The per-centroid term is ONE codegen'd graft_dot; all values are
+    * integers < 2^53, so the double path is exact. */
   private def assignExpr(centroids: Seq[(Long, Array[Long])]): Column = {
     val structs = centroids.map { case (c, cv) =>
-      val lits = cv.mkString("L, ") + "L"
+      val lits = cv.map(v => s"${v}D").mkString(", ")
+      val cn2 = cv.map(v => v * v).sum // |c|², exact long, < 2^53
       s"""named_struct(
-         |  'd', aggregate(zip_with(qv, array($lits), (a, b) -> (a - b) * (a - b)),
-         |                 0L, (acc, x) -> acc + x),
+         |  'd', qn - 2D * graft_dot(qvd, array($lits)) + ${cn2}D,
          |  'c', ${c}L)""".stripMargin
     }
     expr(s"array_min(array(${structs.mkString(", ")}))")
@@ -78,11 +108,15 @@ object Clustering {
 
   /** k-means over a (vec_id, embedding) corpus: quantize, seed from
     * the md5-smallest rows, run [[LloydIters]] assignment+refit
-    * rounds, return (vec_id, qv, cluster, dist2). */
+    * rounds, return (vec_id, qv, qvd, cluster, dist2). */
   private[graft] def kmeans(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    DotProduct.register(spark)
     val q = corpus
       .select(col("vec_id"), qvCol.as("qv"))
+      .withColumn("qvd", expr("transform(qv, x -> cast(x as double))"))
+      .withColumn("qn", expr("graft_dot(qvd, qvd)")) // |q|², exact
       .persist() // scanned once per Lloyd round + once for the output
+    val k = kFor(corpus.count())
     // deterministic seeds: k rows, rank = position in (md5, vec_id)
     // order; k·dim longs — metadata-sized, same collect contract as
     // sim3's IVF quantizer fit
@@ -90,18 +124,20 @@ object Clustering {
       .select(col("vec_id"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
       .orderBy(col("h"), col("vec_id"))
-      .limit(K)
+      .limit(k.toInt)
       .collect().map(_.getLong(0))
-    val seedSet = seedIds.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
+    val seedRank = seedIds.zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
     var centroids: Seq[(Long, Array[Long])] = q
       .filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("qv"))
       .collect()
-      .map(r => (seedSet(r.getLong(0)), r.getSeq[Long](1).toArray))
+      .map(r => (seedRank(r.getLong(0)), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
     for (_ <- 1 until LloydIters) {
       val assigned = q.select(col("vec_id"), col("qv"),
         assignExpr(centroids).getField("c").as("cluster"))
-      // refit: ONE bounded hash-agg — k·dim output rows
+      // refit: ONE bounded hash-agg — k·dim output rows; integer
+      // sum div count, matching the oracle's // truncation
       centroids = assigned
         .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
@@ -117,8 +153,9 @@ object Clustering {
     val fin = assignExpr(centroids)
     // q stays persisted for the caller's materialization of this
     // final pass; Verify/Bench clear caches between queries
-    q.select(col("vec_id"), col("qv"),
-      fin.getField("c").as("cluster"), fin.getField("d").as("dist2"))
+    q.select(col("vec_id"), col("qv"), col("qvd"),
+      fin.getField("c").as("cluster"),
+      fin.getField("d").cast("long").as("dist2"))
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -128,38 +165,41 @@ object Clustering {
           col("dist2").cast("long").as("dist2"))),
     "sdd1_semantic_dedup" -> ((spark, sfDir) => {
       val feat = kmeans(spark, plantedCorpus(spark, sfDir))
-        .select(col("vec_id"), col("cluster"), col("qv"),
-          expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)").as("nrm"))
+        .select(col("vec_id"), col("cluster"), col("qvd"),
+          expr("cast(graft_dot(qvd, qvd) as bigint)").as("nrm"))
         .persist() // both sides of the cluster-scoped pair join + output
       val f1 = feat.select(col("vec_id").as("id1"), col("cluster").as("cl1"),
-        col("qv").as("v1"), col("nrm").as("n1"))
+        col("qvd").as("v1"), col("nrm").as("n1"))
       val f2 = feat.select(col("vec_id").as("id2"), col("cluster").as("cl2"),
-        col("qv").as("v2"), col("nrm").as("n2"))
-      // cluster-scoped pairs only — the SemDeDup contract; the
-      // keep-smallest rule needs just "has any smaller-id mate in τ"
+        col("qvd").as("v2"), col("nrm").as("n2"))
+      // cluster-scoped pairs only — adaptive k bounds membership, so
+      // pair volume is ~RowsPerCluster·n (linear); the keep-smallest
+      // rule needs just "has any smaller-id mate in τ"
       val dups = f1.join(f2, col("cl1") === col("cl2") && col("id1") < col("id2"))
         .select(col("id2").as("vec_id"),
-          expr("aggregate(zip_with(v1, v2, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-            .as("dot"), col("n1"), col("n2"))
+          expr("cast(graft_dot(v1, v2) as bigint)").as("dot"),
+          col("n1"), col("n2"))
         .filter(col("dot") > 0 &&
           lit(100).cast("decimal(38,0)") * col("dot").cast("decimal(38,0)") *
             col("dot").cast("decimal(38,0)") >=
           lit(81).cast("decimal(38,0)") * col("n1").cast("decimal(38,0)") *
             col("n2").cast("decimal(38,0)"))
         .select(col("vec_id")).distinct()
-      val out = feat.join(dups.withColumnRenamed("vec_id", "dup_id"),
+      feat.join(dups.withColumnRenamed("vec_id", "dup_id"),
           col("vec_id") === col("dup_id"), "left")
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
           when(col("dup_id").isNull, 0L).otherwise(1L).as("is_dup"))
-      out
     })
   )
 
-  /** Shared oracle scaffolding: quantize → seed → assign → refit →
-    * assign, as unrolled CTEs (DuckDB re-derives the identical
-    * integer arithmetic; `//` truncates like Spark's `div`). */
+  /** Shared oracle scaffolding: quantize → adaptive k → seed →
+    * assign → refit → assign, as unrolled CTEs (DuckDB re-derives
+    * the identical integer arithmetic; `//` truncates like Spark's
+    * `div`). */
   private def kmeansCtes(corpusSql: String): String =
     s"""corpus AS ($corpusSql),
+       |kp AS (SELECT GREATEST($MinK, count(*) // $RowsPerCluster) AS k
+       |       FROM corpus),
        |q AS (
        |  SELECT vec_id, u.i AS pos,
        |         CAST(floor(CAST(u.e AS DOUBLE) * $QScale) AS BIGINT) AS qv
@@ -171,7 +211,8 @@ object Clustering {
        |  FROM corpus),
        |c0 AS (
        |  SELECT s.c AS cluster, q.pos, q.qv AS cv
-       |  FROM seed s JOIN q ON s.vec_id = q.vec_id WHERE s.c <= $K),
+       |  FROM seed s JOIN q ON s.vec_id = q.vec_id
+       |  WHERE s.c <= (SELECT k FROM kp)),
        |a1 AS (
        |  SELECT vec_id, cluster FROM (
        |    SELECT q.vec_id, c.cluster,

@@ -71,9 +71,11 @@ class CurationSpec extends AnyFunSuite {
   // ---------------------------------------------------------------
   // clu1 kmeans + sdd1 semantic dedup
 
-  /** Plain-scala lloyd recompute shared by clu1/sdd1 assertions. */
-  private def scalaKmeans(corpus: Array[(Long, Array[Float])], k: Int)
+  /** Plain-scala lloyd recompute shared by clu1/sdd1 assertions;
+    * k re-derived by the adaptive corpus-count formula. */
+  private def scalaKmeans(corpus: Array[(Long, Array[Float])])
       : Map[Long, (Long, Long)] = {
+    val k = graft.pipeline.Clustering.kFor(corpus.length.toLong).toInt
     val q = corpus.map { case (id, v) =>
       (id, v.map(f => math.floor(f.toDouble * 1e6).toLong))
     }
@@ -100,11 +102,15 @@ class CurationSpec extends AnyFunSuite {
     val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val want = scalaKmeans(corpus, 8)
+    val want = scalaKmeans(corpus)
     val got = SparkEntry.queries("clu1_kmeans")(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == want)
-    assert(got.valuesIterator.map(_._1).toSet.subsetOf((1L to 8L).toSet))
+    val k = graft.pipeline.Clustering.kFor(corpus.length.toLong)
+    assert(got.valuesIterator.map(_._1).toSet.subsetOf((1L to k).toSet))
+    // the adaptive-k formula itself: floors at 8, grows with n
+    assert(graft.pipeline.Clustering.kFor(500L) == 8L)
+    assert(graft.pipeline.Clustering.kFor(50000L) == 80L)
   }
 
   test("sdd1: every planted copy dropped, no original dropped, " +

@@ -108,6 +108,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(closedSessions > 0)
   }
 
+  test("streaming anomaly monitor equals a plain-scala prefix recompute") {
+    import graft.streaming.AnomalyStream
+    val dir = java.nio.file.Files.createTempDirectory("evt_anom_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = AnomalyStream.anomalies(spark, sf, dir.toString)
+      .writeStream.format("memory").queryName("anom_stream_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM anom_stream_test").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // prefix-rule recompute: windows in event-time order per type;
+    // each CLOSED window flagged against stats of the ones before it
+    // (the final open window per type stays in state — not emitted)
+    val evs = graft.engine.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "unix_micros(ts) AS ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hourUs = 3600L * 1000000L
+    val want = evs.groupBy(_._1).toSeq.flatMap { case (t, es) =>
+      val wins = es.map(e => e._2 - Math.floorMod(e._2, hourUs))
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (w, xs) => (w, xs.length.toLong) }
+      var (n, s, qq) = (0L, 0L, 0L)
+      wins.dropRight(1).map { case (w, c) =>
+        val f = if (n >= 2 && n * c > s &&
+          (n * c - s) * (n * c - s) > 9L * (n * qq - s * s)) 1L else 0L
+        n += 1; s += c; qq += c * c
+        (t, w, c, f)
+      }
+    }.toSet
+    deleteRecursively(dir)
+    assert(streamed.nonEmpty && streamed == want)
+    assert(streamed.exists(_._4 == 1L), "no window ever flagged — inert monitor")
+  }
+
   test("stateful streaming funnel equals the batch funnel counts") {
     import graft.streaming.FunnelStream
     val batch = SparkEntry.queries("evt4_funnel")(spark, sf).head()
