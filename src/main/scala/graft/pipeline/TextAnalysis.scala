@@ -704,9 +704,13 @@ object TextAnalysis {
         .join(dfreq, "term")
         .join(dl, "doc_id")
         .groupBy(col("qid"), col("doc_id"))
-        .agg(sum(expr(s"length(bin($totD DIV df)) * " +
-          s"(22 * $totT * tf * 1000000 DIV " +
-          s"(10 * $totT * tf + 3 * $totT + 9 * dl * $totD))")).as("score"))
+        // the corpus totals are inlined as BIGINT literals (the L
+        // suffix matters: as INT literals, 22·T silently wraps int32
+        // in non-ANSI Spark once T passes ~9.7e7 tokens, while DuckDB
+        // auto-promotes — an asymmetric-overflow trap)
+        .agg(sum(expr(s"length(bin(${totD}L DIV df)) * " +
+          s"(22 * ${totT}L * tf * 1000000 DIV " +
+          s"(10 * ${totT}L * tf + 3 * ${totT}L + 9 * dl * ${totD}L))")).as("score"))
         .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("doc_id"))))
         .filter(col("rnk") <= 5)

@@ -303,11 +303,16 @@ object EventStreams {
       val st = w.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
           sum(col("cnt") * col("cnt")).as("q"))
+      // the variance inequality runs in DECIMAL(38,0): S² wraps BIGINT
+      // silently in non-ANSI Spark once a type's window-sum passes
+      // ~3·10^9 events (real at 100 TB/day feeds) while DuckDB
+      // promotes — decimals keep both engines exact and symmetric
+      val Seq(n, s, q, x) = Seq("n", "s", "q", "cnt")
+        .map(c => col(c).cast("decimal(38,0)"))
       w.join(st, "event_type")
         .select(col("event_type"), col("win"), col("cnt"),
-          when(col("n") * col("cnt") > col("s") &&
-            (col("n") * col("cnt") - col("s")) * (col("n") * col("cnt") - col("s")) >
-              lit(9L) * (col("n") * col("q") - col("s") * col("s")), 1L)
+          when(n * x > s &&
+            (n * x - s) * (n * x - s) > lit(9).cast("decimal(38,0)") * (n * q - s * s), 1L)
             .otherwise(0L).as("is_anomaly"))
     })
   )
@@ -449,9 +454,9 @@ object EventStreams {
         |w AS (SELECT event_type, win, CAST(count(*) AS BIGINT) AS cnt
         |      FROM base GROUP BY 1, 2),
         |st AS (
-        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(cnt) AS BIGINT) AS s,
-        |    CAST(sum(cnt * cnt) AS BIGINT) AS q
+        |  SELECT event_type, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(cnt) AS DECIMAL(38,0)) AS s,
+        |    CAST(sum(cnt * cnt) AS DECIMAL(38,0)) AS q
         |  FROM w GROUP BY 1)
         |SELECT w.event_type, w.win, w.cnt,
         |  CAST(CASE WHEN st.n * w.cnt > st.s
