@@ -83,8 +83,31 @@ object Graph {
       // returned frame (the 3 unrolled rounds each rescan them);
       // Verify/Bench clear caches between queries
       ranks
+    }),
+    // g2: CO-PURCHASE PAIR MINING (market-basket affinity) — the
+    // item-item association verb; in corpus terms, "which entities
+    // co-occur in the same container" (parts per order here, but the
+    // identical plan mines token-per-document or link-per-page
+    // co-occurrence). The self-join is keyed on the CONTAINER
+    // (l_orderkey) whose membership is bounded (≤7 items per TPC-H
+    // order), so pair fan-out is a constant ≤ C(7,2) per order —
+    // linear in order count, never corpus-quadratic; the p1 < p2
+    // guard keeps pairs canonical. One equi-join + one hash-agg;
+    // top-25 via TakeOrderedAndProject (no global sort).
+    "g2_copurchase" -> ((spark, sfDir) => {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val l2 = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+      li.join(l2, col("l_orderkey") === col("ok2") && col("l_partkey") < col("p2"))
+        .groupBy(col("l_partkey").as("p1"), col("p2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(CoPurchaseTopK)
     })
   )
+
+  /** g2's reported pair count. */
+  private val CoPurchaseTopK = 25
 
   def oracle: Map[String, String] = Map(
     "pr1_pagerank" -> {
@@ -114,6 +137,12 @@ object Graph {
          |${iter("r1", "r2")},
          |${iter("r2", "r3")}
          |SELECT node, rank FROM r3""".stripMargin
-    }
+    },
+    "g2_copurchase" ->
+      """SELECT l1.l_partkey AS p1, l2.l_partkey AS p2,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem l1 JOIN lineitem l2
+        |  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 25""".stripMargin
   )
 }

@@ -716,6 +716,56 @@ object TextAnalysis {
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("doc_id"), col("score").cast("long").as("score"),
           col("rnk").cast("long").as("rnk"))
+    }),
+    // drf1: CORPUS DRIFT MONITORING — "did source A's term
+    // distribution move away from the rest of the corpus?", the
+    // upstream-shift alarm a continuously-ingesting pipeline needs
+    // (a crawler change, a spam flood, a parser regression all show
+    // up here first). Statistic = a chi-square-style contrast per
+    // term, all-integer and exact in both engines:
+    //   score(t) = (a·B − b·A)² div (A·B) div (a+b)
+    // (a/b = term count in src0 / rest, A/B the totals; the squared
+    // cross-product needs DECIMAL(38,0) — (a·B)² passes 10^22 —
+    // then two integral divisions land back in BIGINT). A planted
+    // marker ('zzdrift' appended twice to every src0 doc, the same
+    // cross-engine text derivation both engines re-run) guarantees a
+    // true positive at every SF — the gate's top row must be the
+    // planted term by a wide margin, evt9's planted-burst pattern.
+    // Scale shape: ONE corpus explode into ONE vocabulary-sized
+    // conditional hash-agg (a and b in the same pass — the corpus is
+    // scanned once, never per-side); totals are a two-long rollup;
+    // top-20 via TakeOrderedAndProject. Linear, one shuffle.
+    "drf1_source_drift" -> ((spark, sfDir) => {
+      val toks = docs(spark, sfDir)
+        .select(col("source"),
+          when(col("source") === DriftSource,
+            concat(col("text"), lit(s" $DriftMarker $DriftMarker")))
+            .otherwise(col("text")).as("text"))
+        .select(col("source"), explode(wordsCol).as("term"))
+        .filter(length(col("term")) >= KeytermMinLen)
+      val c = toks.groupBy(col("term"))
+        .agg(sum(when(col("source") === DriftSource, 1L).otherwise(0L)).as("a"),
+          sum(when(col("source") =!= DriftSource, 1L).otherwise(0L)).as("b"))
+        .persist() // feeds the totals rollup and the scoring pass
+      val Array(ta, tb) = c.agg(sum(col("a")), sum(col("b")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      // exact integral division of the DECIMAL square: Spark's `div`
+      // on decimals rounds the quotient to scale 6 (HALF_UP) BEFORE
+      // truncating — a measured ±1 divergence from DuckDB's exact
+      // floor — so the floor is built from the exact remainder
+      // identity (x − x % d) / d (both steps exact: % is
+      // BigDecimal.remainder, and the divide of an exact multiple
+      // has an integral quotient no scale can distort); the second
+      // division is then plain BIGINT div (quotient ≤ ~2·10^11)
+      c.withColumn("c2",
+          expr(s"(cast(a as decimal(38,0)) * ${tb}L - cast(b as decimal(38,0)) * ${ta}L) * " +
+            s"(cast(a as decimal(38,0)) * ${tb}L - cast(b as decimal(38,0)) * ${ta}L)"))
+        .select(col("term"), col("a"), col("b"),
+          expr(s"cast((c2 - c2 % (cast(${ta}L as decimal(38,0)) * ${tb}L)) / " +
+            s"(cast(${ta}L as decimal(38,0)) * ${tb}L) as bigint) div (a + b)")
+            .as("score"))
+        .orderBy(col("score").desc, col("term"))
+        .limit(DriftTopK)
     })
   )
 
@@ -752,6 +802,12 @@ object TextAnalysis {
 
   /** Gated pair-stat rows in BPE training round 1 (bpe1). */
   private val BpePairTopK = 20
+
+  /** drf1: the monitored source, the planted marker token, and the
+    * reported top-k. */
+  private val DriftSource = "src0"
+  private[graft] val DriftMarker = "zzdrift"
+  private val DriftTopK = 20
 
   /** txt11/cms1 term filter: terms shorter than MinLen are function
     * words (every Markers entry is <= 3 chars). Shared with
@@ -1200,6 +1256,34 @@ object TextAnalysis {
          |  CAST(rnk AS BIGINT) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |        ORDER BY score DESC, doc_id) AS rnk
-         |      FROM scored) WHERE rnk <= 5""".stripMargin
+         |      FROM scored) WHERE rnk <= 5""".stripMargin,
+    // drf1: same planted marker, same one-pass conditional counts,
+    // same DECIMAL-exact chi-square-style contrast.
+    "drf1_source_drift" ->
+      s"""WITH toks AS (
+         |  SELECT source, term FROM (
+         |    SELECT source, unnest(regexp_split_to_array(trim(
+         |      CASE WHEN source = '$DriftSource'
+         |           THEN text || ' $DriftMarker $DriftMarker'
+         |           ELSE text END), '\\s+')) AS term
+         |    FROM documents) WHERE length(term) >= $KeytermMinLen),
+         |c AS (
+         |  SELECT term,
+         |    CAST(sum(CASE WHEN source = '$DriftSource' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN source <> '$DriftSource' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b
+         |  FROM toks GROUP BY 1),
+         |t AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+         |             CAST(sum(b) AS BIGINT) AS tb FROM c)
+         |SELECT term, a, b,
+         |  CAST((CAST(a AS HUGEINT) * (SELECT tb FROM t)
+         |        - CAST(b AS HUGEINT) * (SELECT ta FROM t))
+         |     * (CAST(a AS HUGEINT) * (SELECT tb FROM t)
+         |        - CAST(b AS HUGEINT) * (SELECT ta FROM t))
+         |     // (CAST((SELECT ta FROM t) AS HUGEINT)
+         |        * (SELECT tb FROM t))
+         |     // (a + b) AS BIGINT) AS score
+         |FROM c ORDER BY score DESC, term LIMIT $DriftTopK""".stripMargin
   )
 }

@@ -226,6 +226,63 @@ class CurationSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------
+  // drf1 source drift
+
+  test("drf1: top-20 equals a plain-scala recompute; planted marker wins") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val a = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val b = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docs.foreach { case (src, text) =>
+      val t = if (src == "src0") text + " zzdrift zzdrift" else text
+      t.trim.split("\\s+").filter(_.length >= 4)
+        .foreach(w => if (src == "src0") a(w) += 1 else b(w) += 1)
+    }
+    val (ta, tb) = (a.values.sum, b.values.sum)
+    val want = (a.keySet ++ b.keySet).toSeq.map { term =>
+      val (av, bv) = (a(term), b(term))
+      val cross = BigInt(av) * tb - BigInt(bv) * ta
+      (term, av, bv, ((cross * cross / (BigInt(ta) * tb)) / (av + bv)).toLong)
+    }.sortBy { case (t, _, _, s) => (-s, t) }.take(20)
+    val got = SparkEntry.queries("drf1_source_drift")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // the planted marker dominates: top row, src0-only by construction
+    val top = got.head
+    assert(top._1 == graft.pipeline.TextAnalysis.DriftMarker)
+    assert(top._3 == 0L && top._2 == 2L * docs.count(_._1 == "src0"))
+    assert(top._4 > got(1)._4, "planted marker does not dominate the natural tail")
+  }
+
+  // ---------------------------------------------------------------
+  // g2 co-purchase
+
+  test("g2: pair counts equal a plain-scala recompute") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = li.groupBy(_._1).toSeq.flatMap { case (_, items) =>
+      val ps = items.map(_._2).toSeq
+      for (x <- ps; y <- ps if x < y) yield (x, y)
+    }.groupBy(identity).map { case ((x, y), xs) => (x, y, xs.length.toLong) }
+      .toSeq.sortBy { case (x, y, c) => (-c, x, y) }.take(25)
+    val got = SparkEntry.queries("g2_copurchase")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("g2/drf1 plans: container-keyed equi-join, no cartesian") {
+    Seq("g2_copurchase", "drf1_source_drift").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+    }
+  }
+
+  // ---------------------------------------------------------------
   // evt9 anomaly
 
   test("evt9: flags equal a plain-scala recompute; planted burst found") {
