@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Tables
 import graft.functions.DotProduct
 
 /** Embedding-space clustering + cluster-scoped semantic dedup — the
@@ -73,7 +74,7 @@ object Clustering {
   private val QScale = 1000000L
 
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    Tables.load(spark, sfDir, "embeddings")
 
   /** Quantized integer feature vector — exact in both engines. */
   private val qvCol: Column =

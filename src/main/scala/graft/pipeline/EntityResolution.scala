@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.engine.Tables
+
 /** Entity resolution / record linkage — the "match the dirty import
   * against the master table" verb every large-scale data-integration
   * pipeline needs (and, for LLM corpora, the URL/author/source
@@ -50,7 +52,7 @@ object EntityResolution {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_entity_resolution" -> ((spark, sfDir) => {
-      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      val cust = Tables.load(spark, sfDir, "customer")
       val dirty = cust
         .filter(substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 1)
           .isin("0", "1", "2", "3"))

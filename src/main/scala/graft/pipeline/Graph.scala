@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.engine.Tables
+
 /** Graph analytics over the purchase graph — the link-structure
   * ranking verb of a web-scale corpus pipeline (CommonCrawl-style
   * page/host importance ranking feeds crawl prioritization and
@@ -47,8 +49,8 @@ object Graph {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_pagerank" -> ((spark, sfDir) => {
-      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-      val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val orders = Tables.load(spark, sfDir, "orders")
+      val lineitem = Tables.load(spark, sfDir, "lineitem")
       // one distinct (customer, part) edge per purchase relation,
       // symmetrized; the distinct is the only corpus-sized shuffle
       // of the build phase
@@ -95,7 +97,7 @@ object Graph {
     // guard keeps pairs canonical. One equi-join + one hash-agg;
     // top-25 via TakeOrderedAndProject (no global sort).
     "g2_copurchase" -> ((spark, sfDir) => {
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val li = Tables.load(spark, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
       val l2 = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
       li.join(l2, col("l_orderkey") === col("ok2") && col("l_partkey") < col("p2"))
