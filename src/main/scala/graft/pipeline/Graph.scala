@@ -95,12 +95,18 @@ object Graph {
     // order), so pair fan-out is a constant ≤ C(7,2) per order —
     // linear in order count, never corpus-quadratic; the p1 < p2
     // guard keeps pairs canonical. One equi-join + one hash-agg;
-    // top-25 via TakeOrderedAndProject (no global sort).
+    // top-25 via TakeOrderedAndProject (no global sort). The join is
+    // HINTED shuffle-hash: AQE otherwise broadcasts the 600k-row side
+    // (measured 2.3–3.6s vs 1.4–1.6s — the broadcast build dominates),
+    // and at 100 TB a corpus-sized broadcast is impossible anyway
+    // while co-partitioning on the bounded container key is exactly
+    // right (per-key hash builds are ≤7 rows, skew-free).
     "g2_copurchase" -> ((spark, sfDir) => {
       val li = Tables.load(spark, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
       val l2 = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
-      li.join(l2, col("l_orderkey") === col("ok2") && col("l_partkey") < col("p2"))
+      li.hint("shuffle_hash")
+        .join(l2, col("l_orderkey") === col("ok2") && col("l_partkey") < col("p2"))
         .groupBy(col("l_partkey").as("p1"), col("p2"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("p1"), col("p2"))

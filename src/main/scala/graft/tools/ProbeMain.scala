@@ -24,18 +24,31 @@ object ProbeMain {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // dd6 decomposition: how much is dd3's candidate path, how much
-    // the verify, how much the CC loop?
+    // g2 join-shape probe: AQE's broadcast of the 600k-row lineitem
+    // side vs a merge-hinted self-join (whose second exchange is a
+    // ReusedExchange of the first)
+    import org.apache.spark.sql.functions._
     (1 to 2).foreach { pass =>
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       println(s"--- pass $pass ---")
-      t("dd3 full gate")(noop(
-        graft.SparkEntry.queries("dd3_minhash_lsh")(spark, sfDir)))
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      t("dd6 full gate")(noop(
-        graft.SparkEntry.queries("dd6_dup_clusters")(spark, sfDir)))
+      t("g2 current (AQE choice)")(noop(
+        graft.SparkEntry.queries("g2_copurchase")(spark, sfDir)))
+      val li = graft.engine.Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val l2 = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+      t("g2 merge-hinted")(noop(
+        li.hint("merge").join(l2,
+            col("l_orderkey") === col("ok2") && col("l_partkey") < col("p2"))
+          .groupBy(col("l_partkey").as("p1"), col("p2"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(25)))
+      t("g2 shuffle-hash-hinted")(noop(
+        li.hint("shuffle_hash").join(l2,
+            col("l_orderkey") === col("ok2") && col("l_partkey") < col("p2"))
+          .groupBy(col("l_partkey").as("p1"), col("p2"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(25)))
     }
     spark.stop()
   }
