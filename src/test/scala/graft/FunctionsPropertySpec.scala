@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.BoundReference
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CosineSimilarity, HyperplaneBands}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBands}
 
 /** Property sweeps for the native expression kernels — interpreted
   * eval path over seeded random inputs (codegen parity is pinned
@@ -59,6 +59,30 @@ class FunctionsPropertySpec extends AnyFunSuite {
       val nb = math.sqrt(evalDot(b, b))
       val decomposed = evalDot(a, b) / (na * nb)
       assert(decomposed == evalCosine(a, b), "bitwise parity")
+    }
+  }
+
+  test("dot: EXACT for integer-valued doubles below 2^53 " +
+    "(the clu1/sdd1 quantized-embedding contract, 500 random pairs)") {
+    // Clustering scores quantized INTEGER vectors through graft_dot's
+    // double path; the exactness argument (products ≤ ~10^13 and
+    // 64-element running sums ≤ ~6.4·10^14 stay below 2^53, where
+    // IEEE doubles represent and add integers exactly) is pinned here
+    // against BigInt arithmetic at the full magnitude range the
+    // quantizer can produce (|q_i| ≤ 3·10^6, dim 64).
+    val e = DotProduct(
+      BoundReference(0, ArrayType(DoubleType), nullable = false),
+      BoundReference(1, ArrayType(DoubleType), nullable = false))
+    (1 to 500).foreach { _ =>
+      val n = 64
+      val a = Array.fill(n)((rng.nextInt(6000001) - 3000000).toLong)
+      val b = Array.fill(n)((rng.nextInt(6000001) - 3000000).toLong)
+      val want = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val got = e.eval(InternalRow(
+        new GenericArrayData(a.map(_.toDouble)),
+        new GenericArrayData(b.map(_.toDouble)))).asInstanceOf[Double]
+      assert(BigInt(got.toLong) == want && got == math.rint(got),
+        s"double-path dot diverged: $got vs $want")
     }
   }
 
