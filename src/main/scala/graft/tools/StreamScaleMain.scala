@@ -221,6 +221,18 @@ object StreamScaleMain {
             .writeStream.format("noop").outputMode("update")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start())
+        // AnomalyStream (r13): same time-ordered staging contract —
+        // the prefix-stats monitor closes a window when a later-hour
+        // event arrives, so out-of-order batches would silently drop
+        // whole windows; certified claims are throughput and that
+        // state stays at ONE row per event type (five longs each)
+        // regardless of volume.
+        drainAndRecord("anomaly", () =>
+          graft.streaming.AnomalyStream.anomalies(spark, dataDir,
+              stage.toString, maxFilesPerTrigger = Some(1))
+            .writeStream.format("noop").outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
       } finally deleteRec(stage)
     }
 
