@@ -170,11 +170,43 @@ class CurationSpec extends AnyFunSuite {
     assert(dirty.nonEmpty && got == want)
   }
 
+  test("er2: distance-2 resolution equals an exhaustive-pair recompute " +
+    "(depth-2 deletion neighborhoods have no false dismissals, " +
+    "including insert+delete pairs a positional wildcard cover misses)") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dirty = cust.filter { case (k, _) => md5hex(k.toString).head <= '3' }
+      .map { case (k, name) =>
+        val o1 = (9 + k % 9).toInt
+        val o2 = (9 + (k % 9 + 1 + k % 8) % 9).toInt
+        def bump(s: String, p: Int) =
+          s.updated(p, ((s(p) - '0' + 1) % 10 + '0').toChar)
+        (k + 2000000L, bump(bump(name, o1), o2))
+      }
+    val want = dirty.map { case (did, dname) =>
+      val cands = cust.map { case (ck, cn) => (ck, lev(dname, cn)) }
+        .filter(_._2 <= 2)
+      val (bk, bd) = cands.minBy { case (ck, d) => (d, ck) }
+      (did, bk, bd.toLong, cands.length.toLong)
+    }.toSet
+    val got = SparkEntry.queries("er2_entity_resolution_d2")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(dirty.nonEmpty && got == want)
+    // every planted record is exactly 2 edits from its source, so the
+    // resolved distance can never exceed 2 and is 0/1 only via a
+    // dense-keyspace collision with ANOTHER customer's neighborhood
+    assert(got.forall(_._3 <= 2L))
+  }
+
   test("er1 plan: deletion-neighborhood blocking, no nested-loop verify") {
-    val plan = SparkEntry.queries("er1_entity_resolution")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    Seq("er1_entity_resolution", "er2_entity_resolution_d2").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+    }
   }
 
   // ---------------------------------------------------------------
