@@ -93,6 +93,24 @@ class TestdataCanarySpec extends AnyFunSuite {
     }
   }
 
+  test("canary: customer names keep the 'Customer#' + 9-digit 18-char shape") {
+    // er1/er2 (entity resolution) derive their dirty fixtures and
+    // their deletion-neighborhood keys from this exact shape
+    // (SuffixStart=10, SuffixLen=9, NameLen=18); a regeneration that
+    // changes name length or suffix format must surface HERE as a
+    // named failure, not as er-gate hash mismatches.
+    import org.apache.spark.sql.functions.col
+    for (dir <- sfDirs) {
+      val bad = Tables.load(spark, dir, "customer")
+        .select(col("c_name"))
+        .filter(!col("c_name").rlike("^Customer#[0-9]{9}$"))
+        .limit(5).collect().map(_.getString(0))
+      assert(bad.isEmpty,
+        s"CUSTOMER NAME SHAPE DRIFT in $dir/customer.parquet — " +
+          s"values not matching Customer#<9 digits>: ${bad.mkString(", ")}")
+    }
+  }
+
   /** Canonical one-line parquet footer schema of a testdata file —
     * the PHYSICAL contract (primitive types + logical annotations),
     * which the logical canary above cannot see: the r8 drift was
