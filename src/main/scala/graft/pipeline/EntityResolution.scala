@@ -90,24 +90,47 @@ object EntityResolution {
         .select(col("dirty_id"), col("c_custkey").as("resolved_custkey"),
           col("dist"), col("n_cands").cast("long").as("n_cands"))
     }),
-    // er2: the edit-budget-2 GENERALIZATION — FastSS proper (Bocek
-    // et al. 2007): every record emits its DELETION neighborhood up
-    // to depth 2 — the name itself, the 18 one-char deletions, and
-    // the C(18,2) = 153 two-char deletions (172 variants) — and the
-    // block join is on VARIANT EQUALITY alone. The cover theorem:
-    // ed(a,b) ≤ k ⟹ the depth-k deletion neighborhoods intersect, so
-    // the join has zero false dismissals for FULL levenshtein ≤ 2 —
-    // including the insert+delete pairs at equal length (shifted
-    // digit runs) that a positional wildcard-pair key provably
-    // misses (the first formulation here wildcarded position pairs;
-    // the exhaustive-pair spec caught real lev-2 candidates escaping
-    // it — that cover is exact only for substitution/Hamming
-    // distance). Variants of different depths differ in LENGTH, so
-    // the single join key cleanly separates them where alignment
-    // requires it. The dirty fixture bumps TWO key-derived digit
-    // positions (always distinct), so every planted record sits at
-    // exactly distance 2 from its source — and, in the dense key
-    // space, at ≤2 from several others via shifts and collisions.
+    // er2: the edit-budget-2 GENERALIZATION, with a LENGTH-UNIFORMITY
+    // ROUTER over two exact blocking schemes (r13 verdict #1 — the
+    // FastSS-only path was the one production operator that degraded
+    // quadratically on low-entropy keyspaces):
+    //
+    //  FAST PATH (all names one length L — this corpus, and the
+    //  common SKU/id/zero-padded-key shape that made FastSS
+    //  quadratic): equal lengths force #insertions = #deletions in
+    //  any edit script, so lev ≤ 2 decomposes EXACTLY into
+    //    (a) ≤ 2 substitutions  — i.e. Hamming distance ≤ 2, or
+    //    (b) 1 deletion + 1 insertion (a one-char block shift).
+    //  Arm A covers (a) with WILDCARD-PAIR keys: each record emits
+    //  its C(L,2) position-pair wildcardings; a Hamming-≤2 pair
+    //  shares the key wildcarded at its mismatch positions, and a
+    //  matching key forces equality everywhere else — the join
+    //  output IS the Hamming ball (no false positives), so candidate
+    //  volume collapses to the true-neighbor count even on dense
+    //  decimal ids (group size per key ≤ alphabet², vs FastSS-2
+    //  groups of 5550 and Σ group² = 6.3e9 at sf1: measured 170 s →
+    //  see SCALE.md). Arm B covers (b) with the DEPTH-1 deletion
+    //  neighborhood: if b deletes a[p] and inserts x at q, deleting
+    //  x from b gives exactly a-minus-a[p], so del1(a) ∩ del1(b) ≠ ∅
+    //  — depth 1, 18 variants/record, never the C(18,2) = 153 of
+    //  depth 2. Positional wildcards ALONE provably miss case (b)
+    //  (the r12 exhaustive-pair spec caught real lev-2 shift pairs
+    //  escaping them); the union of the two arms is the exact cover.
+    //
+    //  FALLBACK (mixed lengths): FastSS proper (Bocek et al. 2007) —
+    //  depth-≤2 deletion neighborhoods joined on variant equality,
+    //  exact for full lev ≤ 2 at any length mix; kept verbatim as
+    //  [[fastssD2Candidates]]. The router is one column-pruned
+    //  min/max(length) aggregate over both sides.
+    //
+    // The dirty fixture bumps TWO key-derived digit positions
+    // (always distinct), so every planted record sits at exactly
+    // distance 2 from its source — and, in the dense key space, at
+    // ≤2 from several others via shifts and collisions. Only id
+    // pairs ride the arm joins (the r12 byte-volume lesson); the
+    // fast path never re-attaches names at all — the pair-dedup
+    // aggregate decodes the exact distance structurally (see
+    // [[equalLenD2Verified]]).
     "er2_entity_resolution_d2" -> ((spark, sfDir) => {
       val cust = Tables.load(spark, sfDir, "customer")
       // bump digit at 0-based offset o (SQL helper, applied twice)
@@ -122,59 +145,147 @@ object EntityResolution {
           .isin("0", "1", "2", "3"))
         .select((col("c_custkey") + 2000000L).as("dirty_id"),
           expr(bump(bump("c_name", p1), p2)).as("dirty_name"))
-      // depth-≤2 deletion neighborhood, emitted map-side as ONE
-      // array_distinct'd HOF array per record (interpreted lambdas,
-      // string-op dominated — dc1/txt8's documented trade): dense
-      // zero-runs make many deletion pairs inside one record collapse
-      // to the SAME variant (deleting any two of six zeros is one
-      // string), and per-record dedup BEFORE the join cuts the
-      // measured sf1 join volume 3× (Σ group² 1.9e10 → 6.3e9,
-      // fan-out rows 23M → 13.6M) with zero extra shuffles. Only the
-      // (id, variant) pair rides the join — names re-attach after
-      // the id-level candidate distinct.
-      def variants(df: DataFrame, nameCol: String, pfx: String) = {
-        val id = df.columns.head
-        val vs =
-          s"""array_distinct(concat(
-             |  array($nameCol),
-             |  transform(sequence(1, $NameLen), i ->
-             |    concat(substr($nameCol, 1, i - 1), substr($nameCol, i + 1))),
-             |  flatten(transform(sequence(1, ${NameLen - 1}), i ->
-             |    transform(sequence(i + 1, $NameLen), j ->
-             |      concat(substr($nameCol, 1, i - 1),
-             |             substr($nameCol, i + 1, j - i - 1),
-             |             substr($nameCol, j + 1)))))))""".stripMargin
-        df.select(col(id).as(s"${pfx}_id"), explode(expr(vs)).as("variant"))
-      }
-      val ck = variants(cust.select(col("c_custkey"), col("c_name")), "c_name", "c")
-        .withColumnRenamed("variant", "cvariant")
-      val dk = variants(dirty, "dirty_name", "d")
-      // the candidate DISTINCT carries only the 16-byte id pair — on
-      // low-entropy keys (dense digit runs) the variant join's output
-      // is the dominant shuffle, and dragging both 18-char names
-      // through it multiplies the exchanged bytes (measured at sf1);
-      // names re-attach via two narrow joins afterwards
-      val cand = dk.join(ck, col("variant") === col("cvariant"))
-        .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"))
-        .distinct()
-      val ver = cand
-        .join(dirty, "dirty_id")
-        .join(cust.select(col("c_custkey"), col("c_name")), "c_custkey")
-        .select(col("dirty_id"), col("c_custkey"),
-          levenshtein(col("dirty_name"), col("c_name")).cast("long").as("dist"))
-        .filter(col("dist") <= 2)
-      val w = Window.partitionBy(col("dirty_id"))
-      ver
-        .withColumn("rn", row_number().over(w.orderBy(col("dist"), col("c_custkey"))))
-        .withColumn("n_cands", count(lit(1)).over(w))
-        .filter(col("rn") === 1)
-        .select(col("dirty_id"), col("c_custkey").as("resolved_custkey"),
-          col("dist"), col("n_cands").cast("long").as("n_cands"))
+      val custNames = cust.select(col("c_custkey"), col("c_name"))
+      val ver = d2Verified(dirty, custNames)
+      // dense keyspaces verify ~10³ candidates per dirty row, so the
+      // resolve is a 50M-row reduction at sf1. min over the PACKED
+      // (dist << 61) | custkey long is the same (dist, custkey)
+      // lexicographic rank (dist ≤ 2, ids positive < 2^61 — TPC-H
+      // keys are ≤ 2^32); a long buffer keeps it a HashAggregate
+      // with a map-side partial, where min(struct) would fall to a
+      // SortAggregate and sort the whole verified set (er1's window
+      // has the same sort — fine there, its candidate sets are tiny)
+      ver.groupBy(col("dirty_id"))
+        .agg(min(shiftleft(col("dist"), 61).bitwiseOR(col("c_custkey"))).as("packed"),
+          count(lit(1)).as("n_cands"))
+        .select(col("dirty_id"),
+          col("packed").bitwiseAND(lit((1L << 61) - 1)).as("resolved_custkey"),
+          shiftright(col("packed"), 61).as("dist"),
+          col("n_cands").cast("long").as("n_cands"))
     })
   )
 
-  /** Full name length (er2 wildcards every position pairwise). */
+  /** Full name length (the DuckDB oracle enumerates every position at
+    * this fixed width; the Spark paths derive L from the data). */
   private val NameLen = 18
+
+  /** VERIFIED lev-≤2 pairs (dirty_id, c_custkey, dist), zero false
+    * dismissals AND zero false positives, schemes routed by the
+    * corpus shape — see the er2 header comment. The router is a
+    * single column-pruned aggregate over both sides (a metadata-scale
+    * action at plan-construction time, the dd10/clu1
+    * adaptive-parameter discipline): uniform length ≥ 3 and a
+    * '*'-free alphabet take the structural fast path; anything else
+    * falls back to FastSS + levenshtein. */
+  private[graft] def d2Verified(dirty: DataFrame, cust: DataFrame): DataFrame = {
+    val probe = dirty.select(length(col("dirty_name")).as("l"),
+        instr(col("dirty_name"), "*").as("s"))
+      .union(cust.select(length(col("c_name")), instr(col("c_name"), "*")))
+      .agg(min(col("l")).as("lo"), max(col("l")).as("hi"),
+        max(col("s")).as("star")).head()
+    val (lo, hi, star) = (probe.getInt(0), probe.getInt(1), probe.getInt(2))
+    if (lo == hi && lo >= 3 && star == 0) equalLenD2Verified(dirty, cust, lo)
+    else fastssD2Verified(dirty, cust)
+  }
+
+  /** Equal-length fast path: wildcard-pair keys (Hamming ≤ 2, exact
+    * ball join) ∪ depth-1 deletion neighborhood (the 1-del+1-ins
+    * shift case). Both are map-side HOF fan-outs into plain
+    * equi-joins; per-key groups are bounded by alphabet² even on
+    * dense zero-padded decimal keys, so candidate volume tracks the
+    * TRUE neighbor count instead of Σ group² over deletion variants.
+    *
+    * The distance needs NO levenshtein pass — it is decoded from the
+    * arm-A match count m per pair (exact because keys are the literal
+    * pattern strings and the router pinned '*' out of the alphabet):
+    * a Hamming-0 pair matches all C(L,2) wildcardings, Hamming-1
+    * matches the L−1 containing its mismatch, Hamming-2 exactly the
+    * one at its mismatch pair — and for equal lengths lev = Hamming
+    * whenever Hamming ≤ 2 (lev < h would force Hamming < h). Pairs
+    * seen only by arm B are lev = 2 by the FastSS bound (a shared
+    * depth-1 deletion IS a 1-del+1-ins script, and lev ≤ 1 would put
+    * them in arm A). So the pair-group aggregate that dedups the
+    * fan-out also VERIFIES it: no name re-attach joins, no 50M-row
+    * levenshtein, one exchange total past the arm joins. L ≥ 3 keeps
+    * the three m-classes distinct (router-enforced).
+    *
+    * Fan-out is C(L,2)+L keys/record — the short-key ER shape
+    * (names, SKUs, ids); long-string ER belongs to dd3/dd9 MinHash,
+    * not edit distance. */
+  private[graft] def equalLenD2Verified(dirty: DataFrame, cust: DataFrame,
+                                        len: Int): DataFrame = {
+    // C(L,2) two-position wildcardings
+    def wildPairs(nameCol: String) =
+      s"""flatten(transform(sequence(1, ${len - 1}), i ->
+         |  transform(sequence(i + 1, $len), j ->
+         |    concat(substr($nameCol, 1, i - 1), '*',
+         |           substr($nameCol, i + 1, j - i - 1), '*',
+         |           substr($nameCol, j + 1)))))""".stripMargin
+    // depth-1 deletions; array_distinct collapses equal-char runs
+    // (deleting any zero of a zero run is one variant) map-side
+    def del1(nameCol: String) =
+      s"""array_distinct(transform(sequence(1, $len), i ->
+         |  concat(substr($nameCol, 1, i - 1), substr($nameCol, i + 1))))""".stripMargin
+    // the dirty side is the smaller fan-out — shuffle_hash builds on
+    // it instead of sort-merge sorting the 153×|cust| pattern stream
+    def keys(df: DataFrame, nameCol: String, pfx: String, gen: String => String) =
+      df.select(col(df.columns.head).as(s"${pfx}_id"),
+        explode(expr(gen(nameCol))).as(s"${pfx}_key"))
+    def arm(gen: String => String, inA: Int) =
+      keys(dirty, "dirty_name", "d", gen).hint("shuffle_hash")
+        .join(keys(cust, "c_name", "c", gen), col("d_key") === col("c_key"))
+        .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"),
+          lit(inA.toLong).as("in_a"))
+    arm(wildPairs, 1).union(arm(del1, 0))
+      .groupBy(col("dirty_id"), col("c_custkey"))
+      .agg(sum(col("in_a")).as("m"))
+      .select(col("dirty_id"), col("c_custkey"),
+        when(col("m") === lit(len.toLong * (len - 1) / 2), 0L)
+          .when(col("m") === lit((len - 1).toLong), 1L)
+          .otherwise(2L).as("dist"))
+  }
+
+  /** Variable-length / exotic-alphabet fallback: FastSS candidates +
+    * an explicit levenshtein ≤ 2 verify over re-attached names. */
+  private[graft] def fastssD2Verified(dirty: DataFrame, cust: DataFrame): DataFrame =
+    fastssD2Candidates(dirty, cust)
+      .join(dirty, "dirty_id")
+      .join(cust, "c_custkey")
+      .select(col("dirty_id"), col("c_custkey"),
+        levenshtein(col("dirty_name"), col("c_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+
+  /** Variable-length fallback — FastSS proper (Bocek et al. 2007):
+    * depth-≤2 deletion neighborhoods (name + L one-char deletions +
+    * C(L,2) two-char deletions, one array_distinct'd HOF array per
+    * record — per-record dedup cut the sf1 join volume 3× because
+    * dense zero runs collapse deletion pairs) joined on variant
+    * equality. The cover theorem (ed ≤ k ⟹ depth-k neighborhoods
+    * intersect) makes this exact for full lev ≤ 2 at ANY length mix;
+    * its cost is Σ group² over variant groups, which low-entropy
+    * equal-length keyspaces turn quadratic — exactly what the router
+    * sends to the fast path instead. */
+  private[graft] def fastssD2Candidates(dirty: DataFrame, cust: DataFrame): DataFrame = {
+    def variants(df: DataFrame, nameCol: String, pfx: String) = {
+      val id = df.columns.head
+      val L = s"length($nameCol)"
+      val vs =
+        s"""array_distinct(concat(
+           |  array($nameCol),
+           |  transform(sequence(1, $L), i ->
+           |    concat(substr($nameCol, 1, i - 1), substr($nameCol, i + 1))),
+           |  flatten(transform(sequence(1, $L - 1), i ->
+           |    transform(sequence(i + 1, $L), j ->
+           |      concat(substr($nameCol, 1, i - 1),
+           |             substr($nameCol, i + 1, j - i - 1),
+           |             substr($nameCol, j + 1)))))))""".stripMargin
+      df.select(col(id).as(s"${pfx}_id"), explode(expr(vs)).as(s"${pfx}_variant"))
+    }
+    variants(dirty, "dirty_name", "d")
+      .join(variants(cust, "c_name", "c"), col("d_variant") === col("c_variant"))
+      .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"))
+      .distinct()
+  }
 
   def oracle: Map[String, String] = Map(
     "er1_entity_resolution" ->

@@ -47,7 +47,8 @@ object ExplainMain {
     "shuf1_global_shuffle", "txt10_lm_score", "bpe1_pair_counts",
     "io12_bloom_skipping",
     "pr1_pagerank", "clu1_kmeans", "sdd1_semantic_dedup",
-    "er1_entity_resolution", "srch1_bm25", "evt9_anomaly",
+    "er1_entity_resolution", "er2_entity_resolution_d2",
+    "srch1_bm25", "evt9_anomaly",
     "drf1_source_drift", "g2_copurchase")
 
   /** Queries where a BroadcastNestedLoopJoin is the DECLARED pattern:

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Scratch probe — rewritten per investigation; not part of any gate. */
 object ProbeMain {
@@ -21,34 +22,48 @@ object ProbeMain {
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.Tables.registerAll(spark, sfDir)
 
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+    // er2 stage decomposition on the dense-id corpus
+    val cust = graft.engine.Tables.load(spark, sfDir, "customer")
+    def bump(inner: String, off: String): String =
+      s"concat(substr($inner, 1, cast(9 + ($off) as int)), " +
+        s"cast((cast(substr($inner, cast(10 + ($off) as int), 1) as int) + 1) % 10 as string), " +
+        s"substr($inner, cast(11 + ($off) as int)))"
+    val p1 = "c_custkey % 9"
+    val p2 = s"(c_custkey % 9 + 1 + c_custkey % 8) % 9"
+    val dirty = cust
+      .filter(substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 1)
+        .isin("0", "1", "2", "3"))
+      .select((col("c_custkey") + 2000000L).as("dirty_id"),
+        expr(bump(bump("c_name", p1), p2)).as("dirty_name"))
+    val custNames = cust.select(col("c_custkey"), col("c_name"))
+    val len = 18
+    def wildPairs(nameCol: String) =
+      s"""flatten(transform(sequence(1, ${len - 1}), i ->
+         |  transform(sequence(i + 1, $len), j ->
+         |    concat(substr($nameCol, 1, i - 1), '*',
+         |           substr($nameCol, i + 1, j - i - 1), '*',
+         |           substr($nameCol, j + 1)))))""".stripMargin
+    def del1(nameCol: String) =
+      s"""array_distinct(transform(sequence(1, $len), i ->
+         |  concat(substr($nameCol, 1, i - 1), substr($nameCol, i + 1))))""".stripMargin
+    def keys(df: DataFrame, nameCol: String, pfx: String, gen: String => String) =
+      df.select(col(df.columns.head).as(s"${pfx}_id"),
+        explode(expr(gen(nameCol))).as(s"${pfx}_key"))
+    def arm(gen: String => String) =
+      keys(dirty, "dirty_name", "d", gen)
+        .join(keys(custNames, "c_name", "c", gen), col("d_key") === col("c_key"))
+        .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"))
 
-    // g2 join-shape probe: AQE's broadcast of the 600k-row lineitem
-    // side vs a merge-hinted self-join (whose second exchange is a
-    // ReusedExchange of the first)
-    import org.apache.spark.sql.functions._
     (1 to 2).foreach { pass =>
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       println(s"--- pass $pass ---")
-      t("g2 current (AQE choice)")(noop(
-        graft.SparkEntry.queries("g2_copurchase")(spark, sfDir)))
-      val li = graft.engine.Tables.load(spark, sfDir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val l2 = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
-      t("g2 merge-hinted")(noop(
-        li.hint("merge").join(l2,
-            col("l_orderkey") === col("ok2") && col("l_partkey") < col("p2"))
-          .groupBy(col("l_partkey").as("p1"), col("p2"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(25)))
-      t("g2 shuffle-hash-hinted")(noop(
-        li.hint("shuffle_hash").join(l2,
-            col("l_orderkey") === col("ok2") && col("l_partkey") < col("p2"))
-          .groupBy(col("l_partkey").as("p1"), col("p2"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(25)))
+      t("dirty count")(println("dirty=" + dirty.count()))
+      t("armA keygen d")(println("dkeysA=" + keys(dirty, "dirty_name", "d", wildPairs).count()))
+      t("armA keygen c")(println("ckeysA=" + keys(custNames, "c_name", "c", wildPairs).count()))
+      t("armA join")(println("armA=" + arm(wildPairs).count()))
+      t("armB join")(println("armB=" + arm(del1).count()))
+      t("union distinct")(println("cand=" + arm(wildPairs).union(arm(del1)).distinct().count()))
+      t("full er2")(graft.SparkEntry.queries("er2_entity_resolution_d2")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
     }
     spark.stop()
   }

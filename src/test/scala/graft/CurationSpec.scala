@@ -200,6 +200,46 @@ class CurationSpec extends AnyFunSuite {
     assert(got.forall(_._3 <= 2L))
   }
 
+  test("er2 router: uniform lengths take the wildcard+del1 fast path; " +
+    "mixed lengths fall back to FastSS-2; both cover all lev<=2 pairs " +
+    "on an adversarial fixture (subs, shifts, true indels)") {
+    import graft.pipeline.EntityResolution
+    import spark.implicits._
+    // base strings: zero-padded dense ids (the adversarial shape) plus,
+    // in the mixed case, genuinely shorter/longer variants so the
+    // candidates must cross length classes
+    val base = (1 to 400).map(k => (k.toLong, f"K#$k%06d"))
+    val probesEq = Seq(
+      (9001L, "K#000123"), // exact hit
+      (9002L, "K#100124"), // 2 substitutions from 000124
+      (9003L, "K#001230"), // shift (1 del + 1 ins) of 000123
+      (9004L, "X#000125"), // 1 substitution
+      (9005L, "ZZZZZZZZ")) // no candidate within 2
+    val probesMix = probesEq ++ Seq(
+      (9006L, "K#00126"),   // 1 deletion (length 7)
+      (9007L, "K#0001277")) // 1 insertion (length 9)
+    def exhaustive(cust: Seq[(Long, String)], probes: Seq[(Long, String)]) =
+      (for {
+        (did, dn) <- probes; (ck, cn) <- cust
+        d = lev(dn, cn) if d <= 2
+      } yield (did, ck, d.toLong)).toSet
+    for ((probes, expectFast) <- Seq((probesEq, true), (probesMix, false))) {
+      val custDf = base.toDF("c_custkey", "c_name")
+      val dirty = probes.toDF("dirty_id", "dirty_name")
+      // verified pairs AND their distances must both be exact — the
+      // fast path decodes dist structurally (no levenshtein pass), so
+      // this is the test that the m-class decoding is right
+      val got = EntityResolution.d2Verified(dirty, custDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == exhaustive(base, probes), s"fast=$expectFast")
+      // router dispatch: the fast path plans two explode arms UNIONed;
+      // the fallback is a single variant equi-join (no union)
+      val plan = EntityResolution.d2Verified(dirty, custDf)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("Union") == expectFast, plan)
+    }
+  }
+
   test("er1 plan: deletion-neighborhood blocking, no nested-loop verify") {
     Seq("er1_entity_resolution", "er2_entity_resolution_d2").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
