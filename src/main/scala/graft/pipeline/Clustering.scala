@@ -36,8 +36,11 @@ import graft.functions.DotProduct
   * per-cluster membership stays ~bounded (≤ ~625 expected) as the
   * corpus grows and sdd1's pair volume is Σ cluster² ≈ 625·n —
   * LINEAR in n, never quadratic. At gate scale (sf0.01/sf0.1) k
-  * floors at 8; the sf1 ScaleUp corpus engages k=80 (recorded in
-  * results/r13_sf1/). Centroids are metadata (k·dim longs) inlined
+  * floors at 8; the sf1 ScaleUp corpus engages k=32 for clu1
+  * (20,000 base rows) and k=40 for sdd1's planted corpus (25,016
+  * rows) — recorded in results/r13_sf1/engaged_summary.json — and
+  * CurationSpec pins the formula itself (kFor(50000) == 80).
+  * Centroids are metadata (k·dim longs) inlined
   * as literals into the assignment expression — valid while k·dim
   * stays driver-sized (it does at every tested SF); at extreme k
   * (10^5+ clusters on a 100 TB corpus) the declared kernel is a
@@ -58,7 +61,15 @@ import graft.functions.DotProduct
   * exact duplicates (~25% of rows copied to vec_id+100000, the
   * md5-prefix rule both engines re-derive — dd5_blocked_tau09's
   * two-sided-gate pattern): a row is dropped iff some SMALLER-id
-  * cluster-mate sits within cosine τ. The pair join is scoped to the
+  * cluster-mate sits within cosine τ. DELIBERATE SIMPLIFICATION of
+  * Abbas et al.'s greedy keep-against-kept sweep: on a similarity
+  * chain a~b, b~c, a≁c the greedy rule keeps {a, c} while this rule
+  * drops both b and c (the smaller-id-mate test is one join, the
+  * greedy sweep is a sequential per-cluster scan). All three
+  * formulations (Spark, DuckDB oracle, plain-Scala spec) implement
+  * the SAME rule, and the exact-duplicate fixture can't tell them
+  * apart (copies are mutually within τ of their source, so both
+  * rules drop exactly the copies). The pair join is scoped to the
   * cluster; the gate pins that every planted copy is dropped
   * (recall) and no original is (precision).
   */
@@ -81,7 +92,12 @@ object Clustering {
     expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $QScale) as bigint))")
 
   /** The ~25% planted-duplicate corpus (sdd1): copies carry
-    * vec_id+100000 so they always lose the keep-smallest rule. */
+    * vec_id+100000 so they always lose the keep-smallest rule. The
+    * offset (like er1's +1000000 / er2's +2000000 on custkey) must
+    * stay above the real id range or planted ids collide with real
+    * ones and silently corrupt the two-sided gates —
+    * TestdataCanarySpec pins max(vec_id) / max(c_custkey) under the
+    * offsets at every gate SF. */
   private def plantedCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     val base = embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     base.union(base

@@ -42,6 +42,12 @@ object AnomalyStream {
     if (n >= 2 && n * x > s &&
       (n * x - s) * (n * x - s) > 9L * (n * q - s * s)) 1L else 0L
 
+  // PERSISTED state is five longs per type, but the per-CALL cost
+  // buffers and sorts this micro-batch's events for the type
+  // (events.toSeq.sortBy below) — one hot type in one unthrottled
+  // batch concentrates on a single task. In practice the batch size
+  // is bounded by the source's maxFilesPerTrigger staging, which is
+  // the knob to keep this per-batch, not per-stream.
   def updateWindows(eventType: String, events: Iterator[AEvent],
                     state: GroupState[AState]): Iterator[AOut] = {
     var st = state.getOption.getOrElse(AState(Long.MinValue, 0L, 0L, 0L, 0L))

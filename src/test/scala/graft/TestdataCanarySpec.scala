@@ -111,6 +111,25 @@ class TestdataCanarySpec extends AnyFunSuite {
     }
   }
 
+  test("canary: real id ranges stay below the planted-fixture offsets") {
+    // sdd1 plants copies at vec_id+100000; er1/er2 plant dirty rows at
+    // c_custkey+1000000/+2000000. If a regenerated corpus ever grows
+    // past an offset, planted ids collide with real ones and the
+    // two-sided gates (and the id>=offset test heuristics) silently
+    // corrupt — surface that HERE as a named failure.
+    import org.apache.spark.sql.functions.{col, max}
+    for (dir <- sfDirs) {
+      val maxVec = Tables.load(spark, dir, "embeddings")
+        .agg(max(col("vec_id"))).collect()(0).getLong(0)
+      assert(maxVec < 100000L,
+        s"$dir embeddings.vec_id max $maxVec >= sdd1 planted offset 100000")
+      val maxCust = Tables.load(spark, dir, "customer")
+        .agg(max(col("c_custkey"))).collect()(0).getLong(0)
+      assert(maxCust < 1000000L,
+        s"$dir customer.c_custkey max $maxCust >= er planted offset 1000000")
+    }
+  }
+
   /** Canonical one-line parquet footer schema of a testdata file —
     * the PHYSICAL contract (primitive types + logical annotations),
     * which the logical canary above cannot see: the r8 drift was
