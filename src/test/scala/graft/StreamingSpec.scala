@@ -532,4 +532,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay.length == replay.toSet.size, "duplicated rows on replay")
     histSets.unpersist(); histBanded.unpersist()
   }
+
+  test("streaming semantic dedup over micro-batches equals the sdd2 " +
+    "batch gate and sdd1's union-corpus drop set") {
+    import graft.pipeline.Clustering
+    import graft.streaming.SemDedupStream
+    import org.apache.spark.sql.functions.col
+    val emb = graft.engine.Tables.load(spark, sf, "embeddings")
+    // frozen index over the base corpus; the planted copies arrive as
+    // the ingest, split across two micro-batches by vec_id parity
+    val (centroids, membersRaw) = Clustering.semanticIndex(spark, emb)
+    val members = membersRaw.persist()
+    val batch = Clustering.ingestBatch(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("sdd2_stream_in")
+    batch.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.parquet(dir.resolve("chunk_a").toString)
+    batch.filter(col("vec_id") % 2 =!= 0).coalesce(1)
+      .write.parquet(dir.resolve("chunk_b").toString)
+    val walk = java.nio.file.Files.walk(dir)
+    val staged =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(p =>
+          p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p)).toList
+      } finally walk.close()
+    staged.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.move(p, dir.resolve(s"batch_$i.parquet"))
+    }
+    assert(staged.length == 2, s"expected 2 staged files, got $staged")
+    val got = scala.collection.mutable.Set[(Long, Long, Long)]()
+    var batches = 0
+    val q = SemDedupStream.run(spark, dir.toString, batch.schema,
+      centroids, members,
+      verdicts => {
+        got.synchronized {
+          got ++= verdicts.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          batches += 1
+        }
+      })
+    try assert(q.awaitTermination(180000), "stream did not drain in time")
+    finally q.stop()
+    val (gotSet, nBatches) = got.synchronized((got.toSet, batches))
+    assert(nBatches == 2, s"expected 2 micro-batches, saw $nBatches")
+    // 1. stream == the sdd2 batch gate, row for row (the micro-batch
+    //    split is immaterial on this fixture: every copy's verdict
+    //    comes from its PERSISTED source at cosine 1, never from a
+    //    batch mate in the other trigger)
+    val gateRows = SparkEntry.queries("sdd2_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSet == gateRows)
+    // 2. the streamed drop set == batch sdd1's drop set on the union
+    //    corpus (sdd1 pins dropped == exactly the planted copies, and
+    //    the incremental probe must agree despite clustering the base
+    //    corpus instead of the union)
+    val sdd1Drops = SparkEntry.queries("sdd1_semantic_dedup")(spark, sf)
+      .filter(col("is_dup") === 1L)
+      .collect().map(_.getLong(0)).toSet
+    val streamDrops = gotSet.filter(_._3 == 1L).map(_._1)
+    assert(streamDrops == sdd1Drops)
+    assert(streamDrops.nonEmpty && streamDrops.forall(_ >= 100000L))
+    members.unpersist()
+    deleteRecursively(dir)
+  }
 }
