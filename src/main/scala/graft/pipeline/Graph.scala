@@ -46,25 +46,41 @@ object Graph {
   /** Integer rank scale: rank_0 sums to ~10^12 across the graph. */
   private val Scale = 1000000000000L
   private val Iters = 3
+  /** pr2 damping numerator (over 100): 50/100, stronger than pr1's
+    * canonical 85/100, so the per-round delta decays ~2× and the
+    * DATA-DEPENDENT convergence actually ENGAGES within the round
+    * cap at every gate SF — the adaptivity is the tested thing; a
+    * production 85/100 run just raises the cap/tolerance. */
+  private val ConvDamp = 50L
+  /** pr2 round cap — the hard bound on the data-dependent loop. */
+  private val ConvMaxRounds = 24
+  /** pr2 stops when 1000·Σ|Δrank| ≤ Scale (0.1% of rank mass). */
+  private val ConvDenom = 1000L
+
+  /** Shared pr1/pr2 graph build: one distinct (customer, part) edge
+    * per purchase relation, symmetrized; edges ride WITH the
+    * out-degree of their source so each iteration's contribution is
+    * a single project + hash-agg (no per-round degree join); both
+    * frames persisted — reused every round. */
+  private def purchaseGraph(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    // the distinct is the only corpus-sized shuffle of the build phase
+    val e0 = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_partkey") * 2 + 1).cast("long").as("dst"))
+      .distinct()
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edges = sym.join(deg, "src").persist()
+    val nodes = deg.select(col("src").as("node"), col("outdeg")).persist()
+    (edges, nodes)
+  }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_pagerank" -> ((spark, sfDir) => {
-      val orders = Tables.load(spark, sfDir, "orders")
-      val lineitem = Tables.load(spark, sfDir, "lineitem")
-      // one distinct (customer, part) edge per purchase relation,
-      // symmetrized; the distinct is the only corpus-sized shuffle
-      // of the build phase
-      val e0 = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).cast("long").as("src"),
-          (col("l_partkey") * 2 + 1).cast("long").as("dst"))
-        .distinct()
-      // edges ride WITH the out-degree of their source so each
-      // iteration's contribution is a single project + hash-agg
-      // (no per-round degree join); persisted — reused 3×
-      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val edges = sym.join(deg, "src").persist()
-      val nodes = deg.select(col("src").as("node"), col("outdeg")).persist()
+      val (edges, nodes) = purchaseGraph(spark, sfDir)
       val n = nodes.count()
       val base = (15L * Scale) / (100L * n)
       var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
@@ -85,6 +101,47 @@ object Graph {
       // returned frame (the 3 unrolled rounds each rescan them);
       // Verify/Bench clear caches between queries
       ranks
+    }),
+    // pr2: UNTIL-CONVERGED PageRank (r13 verdict #7) — the
+    // data-dependent sibling of pr1's fixed-3-round gate. Same exact
+    // integer arithmetic, damping ConvDamp/100; after each round the
+    // driver reads ONE node-sized aggregate (delta = Σ|Δrank|) and
+    // stops when ConvDenom·delta ≤ Scale (0.1% of rank mass) or at
+    // the ConvMaxRounds hard cap. Each round's ranks are EAGERLY
+    // localCheckpoint'ed — dd6's lineage-truncation discipline: a
+    // data-dependent loop would otherwise stack an unbounded plan —
+    // and the previous round's blocks are freed as soon as the next
+    // is materialized. The engaged round count rides in the output
+    // (`rounds`), so the STOP DECISION itself is hash-pinned against
+    // the oracle's recursive-CTE re-derivation (the dd10 pattern of
+    // pinning the adaptive choice, not just the result).
+    "pr2_pagerank_converged" -> ((spark, sfDir) => {
+      val (edges, nodes) = purchaseGraph(spark, sfDir)
+      val n = nodes.count()
+      val base = ((100L - ConvDamp) * Scale) / (100L * n)
+      var ranks = nodes.select(col("node"), lit(Scale / n).as("rank"))
+        .localCheckpoint(true)
+      var rounds = 0L
+      var delta = Scale // sentinel: strictly above the threshold
+      while (ConvDenom * delta > Scale && rounds < ConvMaxRounds) {
+        val contribs = edges.join(ranks, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("rank div outdeg")).as("contrib"))
+        val next = nodes.join(contribs, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(base) + expr(s"$ConvDamp * coalesce(contrib, 0L) div 100"))
+              .cast("long").as("rank"))
+          .localCheckpoint(true)
+        delta = next
+          .join(ranks.select(col("node").as("pnode"), col("rank").as("prank")),
+            col("node") === col("pnode"))
+          .agg(sum(abs(col("rank") - col("prank"))).as("d"))
+          .head().getLong(0)
+        ranks.unpersist(blocking = false) // checkpoint blocks of t-1
+        ranks = next
+        rounds += 1
+      }
+      ranks.select(col("node"), col("rank"), lit(rounds).as("rounds"))
     }),
     // g2: CO-PURCHASE PAIR MINING (market-basket affinity) — the
     // item-item association verb; in corpus terms, "which entities
@@ -146,6 +203,49 @@ object Graph {
          |${iter("r2", "r3")}
          |SELECT node, rank FROM r3""".stripMargin
     },
+    // pr2: the until-converged loop as a RECURSIVE CTE — DuckDB's
+    // working table carries (it, node, rank, delta) with delta the
+    // window-summed Σ|Δrank| of the round (same value on every row);
+    // the recursive term re-derives one integer PageRank round and
+    // the WHERE gates recursion on the PREVIOUS round's delta and the
+    // hard cap, exactly the Spark driver loop's condition. The final
+    // select takes the last materialized round and reports it as
+    // `rounds` — the stop decision is part of the hash.
+    "pr2_pagerank_converged" ->
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT DISTINCT CAST(2 * o.o_custkey AS BIGINT) AS src,
+         |                  CAST(2 * l.l_partkey + 1 AS BIGINT) AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |sym AS (SELECT src, dst FROM e0
+         |        UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+         |        FROM sym GROUP BY 1),
+         |edges AS (SELECT s.src, s.dst, d.outdeg
+         |          FROM sym s JOIN deg d ON s.src = d.node),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |pr AS (
+         |  SELECT 0 AS it, node,
+         |    CAST($Scale // (SELECT n FROM n) AS BIGINT) AS rank,
+         |    CAST($Scale AS BIGINT) AS delta
+         |  FROM deg
+         |  UNION ALL
+         |  SELECT p.it + 1, nx.node, nx.new_rank,
+         |    SUM(ABS(nx.new_rank - nx.rank)) OVER () AS delta
+         |  FROM (
+         |    SELECT d.node,
+         |      CAST(${(100L - ConvDamp) * Scale} // (100 * (SELECT n FROM n))
+         |        + $ConvDamp * COALESCE(s.contrib, 0) // 100 AS BIGINT) AS new_rank,
+         |      p0.rank
+         |    FROM deg d
+         |    LEFT JOIN (SELECT e.dst AS node, SUM(p2.rank // e.outdeg) AS contrib
+         |               FROM edges e JOIN pr p2 ON e.src = p2.node
+         |               GROUP BY 1) s ON s.node = d.node
+         |    JOIN pr p0 ON p0.node = d.node) nx
+         |  JOIN pr p ON p.node = nx.node
+         |  WHERE p.delta * $ConvDenom > $Scale AND p.it < $ConvMaxRounds)
+         |SELECT node, rank,
+         |  CAST((SELECT max(it) FROM pr) AS BIGINT) AS rounds
+         |FROM pr WHERE it = (SELECT max(it) FROM pr)""".stripMargin,
     "g2_copurchase" ->
       """SELECT l1.l_partkey AS p1, l2.l_partkey AS p2,
         |  CAST(count(*) AS BIGINT) AS cnt

@@ -61,6 +61,45 @@ class CurationSpec extends AnyFunSuite {
     assert(mass <= Scale && mass > Scale * 99L / 100L, mass)
   }
 
+  test("pr2: until-converged ranks equal a plain-scala recompute; " +
+    "delta decays monotonically and convergence engages below the cap") {
+    val Scale = 1000000000000L
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long"), (col("l_partkey") * 2 + 1).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0 ++ e0.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => (n, es.length.toLong) }
+    val n = deg.size.toLong
+    val base = 50L * Scale / (100L * n)
+    var ranks: Map[Long, Long] = deg.keysIterator.map(_ -> Scale / n).toMap
+    var rounds = 0L
+    var delta = Scale
+    val deltas = scala.collection.mutable.ArrayBuffer[Long]()
+    while (1000L * delta > Scale && rounds < 24) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        (dst, es.iterator.map { case (src, _) => ranks(src) / deg(src) }.sum)
+      }
+      val next = deg.keysIterator
+        .map(v => v -> (base + 50L * contrib.getOrElse(v, 0L) / 100L)).toMap
+      delta = next.iterator.map { case (v, r) => math.abs(r - ranks(v)) }.sum
+      deltas += delta
+      ranks = next
+      rounds += 1
+    }
+    // the loop must STOP on the delta rule, not the cap, and the
+    // per-round delta must decay monotonically (the damped contraction)
+    assert(rounds < 24, s"hit the round cap: deltas=$deltas")
+    assert(deltas.toSeq == deltas.sorted.reverse, s"non-monotone: $deltas")
+    val got = SparkEntry.queries("pr2_pagerank_converged")(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.values.map(_._2).toSet == Set(rounds), "round-count drift")
+    assert(got.view.mapValues(_._1).toMap == ranks)
+  }
+
   test("pr1 plan: no cartesian, edge/node tables cached for the rounds") {
     val df = SparkEntry.queries("pr1_pagerank")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
