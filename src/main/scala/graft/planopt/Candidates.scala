@@ -80,8 +80,11 @@ object Candidates {
   } yield Knobs(bcast, smj, reorder)
 
   /** A deduped candidate: the knobs that produce it, its canonical
-    * plan string, and the featurizable plan IR snapshot. */
-  final case class Candidate(knobs: Knobs, canonical: String, plan: PlanNode)
+    * plan string, the featurizable plan IR snapshot, and (for
+    * order-aware enumeration) which [[JoinOrders.variants]] index it
+    * was planned from — 0 is the optimizer's own order. */
+  final case class Candidate(knobs: Knobs, canonical: String, plan: PlanNode,
+                             variantIdx: Int = 0)
 
   /** THE canonical-plan key used for candidate dedupe, the routing
     * choice cache, and the spec's executed-plan comparison — one
@@ -119,6 +122,88 @@ object Candidates {
     }
     seen.values.toSeq
   }
+
+  /** ORDER-AWARE enumeration (r14): the knob sweep above plus the
+    * [[JoinOrders.variants]] rewrites, so the LABELED candidate space
+    * matches what [[graft.plans.LearnedPlanStrategy]] routes over —
+    * before this, the tail joins (10-way/17-relation) labeled only 2
+    * knob-distinct plans while the strategy scored order variants the
+    * comparator had never trained on. Variant 0 sweeps the full knob
+    * grid (identical to [[enumerate]]); later variants are planned
+    * with the reorder rules pinned off and sweep the
+    * broadcast-threshold axis only (the strategy's own bounded grid).
+    * Variants are derived from the DEFAULT-knob optimized plan, which
+    * is deterministic per session state — [[executeOrdered]] rebuilds
+    * them identically. */
+  def enumerateOrdered(spark: SparkSession,
+                       build: SparkSession => DataFrame): Seq[Candidate] = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, Candidate]()
+    knobGrid.foreach { knobs =>
+      withConfs(spark, knobs.confs) {
+        val plan = build(spark).queryExecution.executedPlan
+        val canonical = canonicalKey(plan)
+        if (!seen.contains(canonical))
+          seen(canonical) =
+            Candidate(knobs, canonical, PlanFeatures.fromSparkPlan(plan), 0)
+      }
+    }
+    orderVariants(spark, build).zipWithIndex.drop(1).foreach { case (vq, vIdx) =>
+      knobGrid.filter(k => k.joinReorder && k.preferSortMergeJoin).foreach { knobs =>
+        withConfs(spark, knobs.confs ++ JoinOrders.pinOrderConfs) {
+          val plan = org.apache.spark.sql.graft.GraftDataset.ofRows(spark, vq)
+            .queryExecution.executedPlan
+          val canonical = canonicalKey(plan)
+          if (!seen.contains(canonical))
+            seen(canonical) =
+              Candidate(knobs, canonical, PlanFeatures.fromSparkPlan(plan), vIdx)
+        }
+      }
+    }
+    seen.values.toSeq
+  }
+
+  /** The join-order rewrites of the DEFAULT-knob optimized plan
+    * (variant 0 = the plan itself) — shared by [[enumerateOrdered]]
+    * and [[executeOrdered]] so both walk the same list. */
+  private def orderVariants(spark: SparkSession,
+                            build: SparkSession => DataFrame) =
+    withConfs(spark, knobGrid.head.confs) {
+      JoinOrders.variants(build(spark).queryExecution.optimizedPlan)
+    }
+
+  /** Execute an order-aware candidate: variant 0 re-plans the build
+    * under its knobs (exactly [[execute]]); later variants execute the
+    * rewritten logical plan with the order pinned. */
+  def executeOrdered(spark: SparkSession, build: SparkSession => DataFrame,
+                     c: Candidate): (Long, Double) =
+    if (c.variantIdx == 0) execute(spark, build, c.knobs)
+    else {
+      val vs = orderVariants(spark, build)
+      // a variant list that shrank between enumerate and execute
+      // (session-state drift) falls back to the knob plan rather than
+      // mislabeling a different tree
+      if (c.variantIdx >= vs.size) execute(spark, build, c.knobs)
+      else {
+      val vq = vs(c.variantIdx)
+      withConfs(spark, c.knobs.confs ++ JoinOrders.pinOrderConfs) {
+        val df = org.apache.spark.sql.graft.GraftDataset.ofRows(spark, vq)
+        val t0 = System.nanoTime()
+        val n = df.count()
+        (n, (System.nanoTime() - t0) / 1e6)
+      }
+      }
+    }
+
+  /** [[labelCandidates]] for order-aware candidates. */
+  def labelCandidatesOrdered(spark: SparkSession,
+                             build: SparkSession => DataFrame,
+                             candidates: Seq[Candidate],
+                             warmup: Boolean = false): Seq[(Candidate, Double)] =
+    candidates.map { c =>
+      if (warmup) executeOrdered(spark, build, c)
+      val (_, ms) = executeOrdered(spark, build, c)
+      (c, ms)
+    }
 
   /** Execute the query under a candidate's knobs, returning (rowCount,
     * wallClockMs) — the labeling step (Spark-native stand-in for the

@@ -57,9 +57,15 @@ object Pipelines {
                     queries: Seq[(String, SparkSession => DataFrame)],
                     log: Logger): Seq[LabeledQuery] =
     queries.map { case (qid, build) =>
-      val cands = Candidates.enumerate(spark, build)
-      val labeled = Candidates.labelCandidates(spark, build, cands)
-      log.info(s"$qid: ${cands.length} candidates, " +
+      // ORDER-AWARE since r14: the labeled space includes the
+      // JoinOrders rewrites the in-engine strategy routes over, so
+      // the comparator trains on the candidates it will score (the
+      // r13 verdict's >2-candidates-at-the-tail item: 10-way/17-rel
+      // joins previously labeled only 2 knob-distinct plans)
+      val cands = Candidates.enumerateOrdered(spark, build)
+      val labeled = Candidates.labelCandidatesOrdered(spark, build, cands)
+      log.info(s"$qid: ${cands.length} candidates " +
+        s"(${cands.map(_.variantIdx).distinct.length} order variant(s)), " +
         s"latencies=${labeled.map(l => f"${l._2}%.1f").mkString(",")}ms")
       LabeledQuery(qid, labeled.map(_._1.plan), labeled.map(_._2))
     }
@@ -158,6 +164,14 @@ object Pipelines {
                    queries: Seq[(String, SparkSession => DataFrame)],
                    log: Logger = new Logger(None)): Seq[LabeledQuery] =
     queries.map { case (qid, build) =>
+      // DELIBERATELY knob-only (not enumerateOrdered): the analytic
+      // cost discriminates PHYSICAL operator choice, but ranking
+      // join-ORDER variants is cardinality-driven and the gate-SF
+      // estimates are too flat to order them (measured r14: cost
+      // labels over order variants ANTI-correlate with runtime,
+      // Spearman loss 1.4 — worse than random init). Cold-start
+      // covers the knob axis; order discrimination is owned by the
+      // runtime-label path (labelWorkload, order-aware).
       val cands = Candidates.enumerate(spark, build)
       val costs = cands.map(c => planCost(c.plan))
       log.info(s"$qid: ${cands.length} candidates, " +

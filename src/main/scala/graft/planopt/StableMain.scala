@@ -46,19 +46,9 @@ object StableMain {
     val seedNames = Seq("j1_join_2way", "j1_join_5way", "j1_join_7way",
       "j1_join_10way", "j1_join_alias", "j1_join_17rel",
       "a2_min_join", "q2_join_group_topn")
-    val seedSql = Seq(
-      """SELECT count(*) FROM orders o, customer c
-        |WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'""".stripMargin,
-      """SELECT count(*) FROM lineitem l, orders o, customer c, supplier s, nation n
-        |WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
-        |  AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
-        |  AND c.c_acctbal > 0 AND l.l_quantity < 30""".stripMargin,
-      """SELECT count(*) FROM lineitem l, orders o, customer c, supplier s,
-        |  nation n, region r, part p
-        |WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
-        |  AND l.l_suppkey = s.s_suppkey AND l.l_partkey = p.p_partkey
-        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
-        |  AND r.r_name = 'ASIA' AND p.p_size BETWEEN 1 AND 25""".stripMargin)
+    // shared with PoolMain so the committed 20k pool is drawn from the
+    // same harvest this trainer uses
+    val seedSql = graft.workload.StableSeeds.seedSql
 
     // M20-M26: harvest + generate
     log.info(s"harvesting metadata from $sfDir")

@@ -129,7 +129,12 @@ object WorkloadGen {
 
   private def weightedChoice[A](items: Seq[A], weights: Seq[Int], rnd: Random): A = {
     val cum = weights.scanLeft(0)(_ + _).tail
-    items(cum.indexWhere(rnd.nextInt(cum.last) < _))
+    // draw ONCE, then scan: an inline `rnd.nextInt(...) < _` inside
+    // indexWhere re-draws per element, which warps the distribution
+    // to P(i) = (1-Σp_<i)·p_i-ish — the r14 pool-stats TV gate caught
+    // exactly that (uniform {1,4,6} sampled as 0.33/0.44/0.22)
+    val r = rnd.nextInt(cum.last)
+    items(cum.indexWhere(r < _))
   }
 
   /** String-literal escape for the SPARK parser the generated

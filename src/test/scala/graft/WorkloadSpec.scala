@@ -201,6 +201,24 @@ class WorkloadSpec extends AnyFunSuite {
     assert(m.exists(_._1 == 2))
   }
 
+  test("pool gates: distribution match and 100% template-matcher " +
+    "acceptance hold on an in-suite pool (PoolMain's self-gate logic)") {
+    // PoolMain's shared seeds must stay the harvest StableMain trains
+    // from — the committed 20k pool is only parity evidence if both
+    // draw from one seed workload
+    assert(graft.workload.StableSeeds.seedSql.length == 3)
+    val h = WorkloadGen.harvest(spark, graft.workload.StableSeeds.seedSql)
+    val rd = Harvester.rangeDict(spark, sf)
+    val pool = WorkloadGen.generateRandomSql(
+      h, rd, Harvester.revAliasMap, numSql = 1000, seed = 42L)
+    val stats = graft.workload.PoolStats.compute(spark, pool, h)
+    assert(stats.accepted == stats.n,
+      s"matcher rejected ${stats.n - stats.accepted} queries")
+    assert(stats.joinsTv <= 0.05, s"joins TV ${stats.joinsTv}")
+    assert(stats.filtersTv <= 0.25, s"filters TV ${stats.filtersTv}")
+    assert(stats.nTemplates > 1 && stats.fullMatches >= stats.nTemplates)
+  }
+
   test("writeInfos produces the infos/ JSON layout") {
     val out = "/tmp/graft_infos"
     Harvester.writeInfos(spark, sf, out, seedWorkload)
