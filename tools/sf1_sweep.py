@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Full-suite sf1 HASH sweep (r13 verdict #3): every gate's DuckDB
+oracle re-run and value-compared at the 10x ScaleUp corpus, one query
+per subprocess so a heavy oracle can be timed out without losing the
+sweep. The kNN gates route through knn_oracle_chunked.py (the
+single-query oracle needs >80 GB of window spill at sf1; the chunked
+runner computes the identical result in bounded memory). Exit-code 3
+from the chunked runner is sim6's DOCUMENTED engaged-cap divergence
+(values in near-tie slots only), recorded as pass with a note.
+
+Usage: sf1_sweep.py <sfDir> <verifyOutDir> <outJson> [timeoutSec]
+"""
+import json, subprocess, sys, time
+
+KNN_CHUNKED = {"sim4_knn_join", "sim5_knn_blocked", "sim6_knn_capped"}
+
+# dd5_blocked_neardup is the banded-LSH production path graded against
+# the EXACT all-pairs oracle; its banding is derived for miss
+# probability <= 1e-4 PER qualifying pair AT cosine == tau
+# (HyperplaneBands.params(tau, 1e-4)), so once the corpus carries ~1e5
+# qualifying pairs (sf1: 95,212) a single-digit number of just-above-tau
+# pairs is EXPECTED to slip the bands (Binomial(n, 1e-4): mean ~9.5).
+# The r14 sweep measured exactly that regime: 7 misses, every one at
+# cos in [0.4017, 0.4282] (tau = 0.4), ZERO false pairs, ZERO value
+# mismatches among matched pairs. The structural check below verifies
+# the declared contract instead of raw row equality: spark SUBSET of
+# oracle, misses <= mean + 5 sigma (25), every missed pair within the
+# near-tau band, matched values identical.
+DD5_BLOCKED = "dd5_blocked_neardup"
+DD5_MAX_MISSES = 25
+DD5_MISS_COS_CEIL = 0.45
+
+# sim3_ann_ivf is a DECLARED approximate index: a 16-cell coarse
+# quantizer probed at nprobe=12, so expected recall on weakly-clustered
+# random 64-d data is ~12/16; the small-SF gates pass exact-equality on
+# recall headroom, but at sf1 (20k vectors, 1250/cell) a true top-10
+# member lands in an unprobed cell with real probability (r14 measured
+# recall@10 = 0.8, every returned value exact). The sf1 check grades
+# the ANN contract: recall@10 >= 0.7, result is exactly TopK rows, and
+# EVERY returned row must be a true member of the exact top-50 with
+# its exact rounded cosine (no fabricated values, no deep-rank junk).
+SIM3 = "sim3_ann_ivf"
+SIM3_MIN_RECALL = 0.7
+SIM3_TOP_POOL = 50
+
+
+def sim3_check(sf_dir, out_dir):
+    import duckdb, os
+    con = duckdb.connect()
+    p = f"{sf_dir}/embeddings.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{src}')")
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[SIM3]
+    exact10 = con.execute(sql).fetchall()
+    # widen the exact pool to top-50: same SQL, raised LIMIT
+    import re
+    sql50 = re.sub(r"LIMIT \d+\s*$", f"LIMIT {SIM3_TOP_POOL}", sql.strip())
+    pool = {r[0]: r[1] for r in con.execute(sql50).fetchall()}
+    spark = con.execute("SELECT * FROM "
+                        f"read_parquet('{out_dir}/{SIM3}/*.parquet')").fetchall()
+    k = len(exact10)
+    oids = {r[0] for r in exact10}
+    sids = [r[0] for r in spark]
+    recall = len(oids & set(sids)) / k if k else 0.0
+    shape_ok = len(spark) == k and len(set(sids)) == k
+    member_ok = all(r[0] in pool and float(pool[r[0]]) == float(r[1])
+                    for r in spark)
+    ok = shape_ok and member_ok and recall >= SIM3_MIN_RECALL
+    detail = (f"ANN contract: recall@{k}={recall:.2f} "
+              f"(floor {SIM3_MIN_RECALL}), rows={len(spark)}/{k}, "
+              f"all returned ids in exact top-{SIM3_TOP_POOL} with exact "
+              f"cosines={member_ok}")
+    return ok, detail
+
+
+def dd5_blocked_check(sf_dir, out_dir):
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+                if __import__("os").path.isdir(f"{sf_dir}/embeddings.parquet")
+                else "CREATE VIEW embeddings AS SELECT * FROM "
+                     f"read_parquet('{sf_dir}/embeddings.parquet')")
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[DD5_BLOCKED]
+    con.execute(f"CREATE TABLE oracle AS {sql}")
+    con.execute("CREATE TABLE spark AS SELECT * FROM "
+                f"read_parquet('{out_dir}/{DD5_BLOCKED}/*.parquet')")
+    fp = con.execute("SELECT count(*) FROM spark s ANTI JOIN oracle o "
+                     "ON s.a_id=o.a_id AND s.b_id=o.b_id").fetchone()[0]
+    misses = con.execute(
+        "SELECT o.cos_sim FROM oracle o ANTI JOIN spark s "
+        "ON s.a_id=o.a_id AND s.b_id=o.b_id").fetchall()
+    bad_vals = con.execute(
+        "SELECT count(*) FROM spark s JOIN oracle o "
+        "ON s.a_id=o.a_id AND s.b_id=o.b_id "
+        "WHERE s.cos_sim <> o.cos_sim").fetchone()[0]
+    n_oracle = con.execute("SELECT count(*) FROM oracle").fetchone()[0]
+    ok = (fp == 0 and bad_vals == 0 and len(misses) <= DD5_MAX_MISSES and
+          all(float(m[0]) <= DD5_MISS_COS_CEIL for m in misses))
+    detail = (f"banded-recall contract: {len(misses)} near-tau misses of "
+              f"{n_oracle} oracle pairs (expected ~{n_oracle * 1e-4:.1f} "
+              f"at delta=1e-4), 0 required: false_pairs={fp} "
+              f"value_mismatches={bad_vals} "
+              f"miss_cos_max={max((float(m[0]) for m in misses), default=0)}")
+    return ok, detail
+
+
+def main():
+    sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
+    timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 1800
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    n_pass = n_fail = n_to = 0
+    special = {DD5_BLOCKED: dd5_blocked_check, SIM3: sim3_check}
+    for name in sorted(oracle):
+        if name in special:
+            t0 = time.time()
+            ok, detail = special[name](sf_dir, out_dir)
+            sec = round(time.time() - t0, 1)
+            results[name] = {"pass": ok, "sec": sec, "detail": detail,
+                             "note": "approximate-path contract check "
+                                     "(see tool header)"}
+            n_pass += ok
+            n_fail += not ok
+            print(f"{'PASS' if ok else 'FAIL'} {name} ({sec}s) {detail}")
+            continue
+        if name in KNN_CHUNKED:
+            cmd = ["python3", "tools/knn_oracle_chunked.py", sf_dir, out_dir, name]
+        else:
+            cmd = ["python3", "tools/compare_oracle.py", sf_dir, out_dir, name]
+        t0 = time.time()
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=timeout)
+            sec = round(time.time() - t0, 1)
+            lines = [l for l in p.stdout.strip().splitlines()
+                     if l.startswith(("PASS", "FAIL", "WARN"))]
+            detail = lines[-1] if lines else p.stdout.strip()[-200:]
+            ok = p.returncode == 0
+            note = ""
+            if p.returncode == 3 and name == "sim6_knn_capped":
+                ok = True
+                note = "engaged-cap near-tie divergence (documented regime)"
+            results[name] = {"pass": ok, "sec": sec, "detail": detail}
+            if note:
+                results[name]["note"] = note
+            if ok:
+                n_pass += 1
+            else:
+                n_fail += 1
+            print(f"{'PASS' if ok else 'FAIL'} {name} ({sec}s) {note}")
+        except subprocess.TimeoutExpired:
+            sec = round(time.time() - t0, 1)
+            results[name] = {"pass": False, "timeout": True, "sec": sec,
+                             "detail": f"oracle exceeded {timeout}s in DuckDB"}
+            n_to += 1
+            print(f"TIMEOUT {name} ({timeout}s)")
+    summary = {"sf_dir": sf_dir, "n": len(oracle), "pass": n_pass,
+               "fail": n_fail, "timeout": n_to, "timeout_sec": timeout,
+               "results": results}
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"== {n_pass} pass / {n_fail} fail / {n_to} timeout "
+          f"-> {out_json} ==")
+    sys.exit(1 if (n_fail or n_to) else 0)
+
+
+if __name__ == "__main__":
+    main()
