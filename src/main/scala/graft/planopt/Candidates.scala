@@ -164,45 +164,96 @@ object Candidates {
 
   /** The join-order rewrites of the DEFAULT-knob optimized plan
     * (variant 0 = the plan itself) — shared by [[enumerateOrdered]]
-    * and [[executeOrdered]] so both walk the same list. */
-  private def orderVariants(spark: SparkSession,
-                            build: SparkSession => DataFrame) =
+    * and [[executeOrdered]] so both walk the same list. Exposed so a
+    * labeling loop can derive the list ONCE per query instead of once
+    * per candidate (each derivation is a full build + optimize +
+    * rewrite — pure driver-side waste when repeated). */
+  private[planopt] def orderVariants(spark: SparkSession,
+                                     build: SparkSession => DataFrame) =
     withConfs(spark, knobGrid.head.confs) {
       JoinOrders.variants(build(spark).queryExecution.optimizedPlan)
     }
 
   /** Execute an order-aware candidate: variant 0 re-plans the build
     * under its knobs (exactly [[execute]]); later variants execute the
-    * rewritten logical plan with the order pinned. */
+    * rewritten logical plan with the order pinned. `variants` is the
+    * per-query [[orderVariants]] list (derived once by the caller); a
+    * list that SHRANK between enumerate and execute (session-state
+    * drift) returns None — the knob-plan fallback would pair a
+    * different tree's latency with the variant candidate's features,
+    * silently mislabeling the training data. */
   def executeOrdered(spark: SparkSession, build: SparkSession => DataFrame,
-                     c: Candidate): (Long, Double) =
-    if (c.variantIdx == 0) execute(spark, build, c.knobs)
+                     c: Candidate,
+                     variants: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+      : Option[(Long, Double)] =
+    if (c.variantIdx == 0) Some(execute(spark, build, c.knobs))
+    else if (c.variantIdx >= variants.size) None
     else {
-      val vs = orderVariants(spark, build)
-      // a variant list that shrank between enumerate and execute
-      // (session-state drift) falls back to the knob plan rather than
-      // mislabeling a different tree
-      if (c.variantIdx >= vs.size) execute(spark, build, c.knobs)
-      else {
-      val vq = vs(c.variantIdx)
+      val vq = variants(c.variantIdx)
       withConfs(spark, c.knobs.confs ++ JoinOrders.pinOrderConfs) {
         val df = org.apache.spark.sql.graft.GraftDataset.ofRows(spark, vq)
         val t0 = System.nanoTime()
         val n = df.count()
-        (n, (System.nanoTime() - t0) / 1e6)
-      }
+        Some((n, (System.nanoTime() - t0) / 1e6))
       }
     }
 
-  /** [[labelCandidates]] for order-aware candidates. */
+  /** Single-candidate convenience (tests): derives the variant list
+    * itself. */
+  def executeOrdered(spark: SparkSession, build: SparkSession => DataFrame,
+                     c: Candidate): Option[(Long, Double)] =
+    executeOrdered(spark, build, c,
+      if (c.variantIdx == 0) Nil else orderVariants(spark, build))
+
+  /** [[labelCandidates]] for order-aware candidates. The variant list
+    * is derived ONCE for the query; a candidate whose variant index no
+    * longer resolves (drift) is DROPPED from the labeled set (logged),
+    * never mislabeled with a different plan's latency. */
   def labelCandidatesOrdered(spark: SparkSession,
                              build: SparkSession => DataFrame,
                              candidates: Seq[Candidate],
-                             warmup: Boolean = false): Seq[(Candidate, Double)] =
-    candidates.map { c =>
-      if (warmup) executeOrdered(spark, build, c)
-      val (_, ms) = executeOrdered(spark, build, c)
-      (c, ms)
+                             warmup: Boolean = false): Seq[(Candidate, Double)] = {
+    val variants =
+      if (candidates.exists(_.variantIdx > 0)) orderVariants(spark, build)
+      else Nil
+    candidates.flatMap { c =>
+      if (warmup) executeOrdered(spark, build, c, variants)
+      executeOrdered(spark, build, c, variants) match {
+        case Some((_, ms)) => Some((c, ms))
+        case None =>
+          System.err.println(s"[graft] dropping candidate variantIdx=" +
+            s"${c.variantIdx} [${c.knobs.label}]: variant list shrank to " +
+            s"${variants.size} between enumerate and execute")
+          None
+      }
+    }
+  }
+
+  /** Per-query labeled-candidate cap (the strategy's own bounded-grid
+    * trick, SURVEY §7.4): labeling cost is execution and training cost
+    * is all-ordered-pairs (a 10-candidate query contributes 90 pairs —
+    * r14 measured 37 min per CV fold at 60 epochs; 6 candidates
+    * contribute 30, a 3× fold speedup), so the labeled space is capped
+    * ROUND-ROBIN ACROSS ORDER VARIANTS: variant diversity is what the
+    * r14 widening bought (the comparator must train on the join-order
+    * rewrites the in-engine strategy scores), so the cap keeps one
+    * knob-plan per variant before a second of any. Candidate 0 (the
+    * engine-default plan — [[knobGrid]]'s ORDER CONTRACT) always
+    * survives as element 0: `Pipelines.evaluate` reads
+    * `latenciesMs.head` as the default baseline. */
+  def capCandidates(cands: Seq[Candidate], cap: Int): Seq[Candidate] =
+    if (cands.size <= cap) cands
+    else {
+      val groups = cands.groupBy(_.variantIdx).toSeq.sortBy(_._1).map(_._2)
+      val out = scala.collection.mutable.ArrayBuffer[Candidate]()
+      var depth = 0
+      while (out.size < cap) {
+        groups.foreach { g =>
+          if (out.size < cap && depth < g.size) out += g(depth)
+        }
+        depth += 1
+      }
+      out.toSeq
     }
 
   /** Execute the query under a candidate's knobs, returning (rowCount,

@@ -53,6 +53,13 @@ object Pipelines {
   /** Enumerate + label candidates for each query (the cluster-side
     * step; at 100 TB you run this at a sampled SF, like the reference
     * labels on a training DB). */
+  /** Per-query labeled-candidate cap — see
+    * [[Candidates.capCandidates]]. 6 keeps one knob-plan for each of
+    * the ≤4 order variants plus two knob alternates of the default
+    * order; pair volume per capped query is 30 vs the uncapped 90
+    * that made an r14 CV fold cost 37 min. */
+  val MaxLabeledPerQuery = 6
+
   def labelWorkload(spark: SparkSession,
                     queries: Seq[(String, SparkSession => DataFrame)],
                     log: Logger): Seq[LabeledQuery] =
@@ -62,7 +69,8 @@ object Pipelines {
       // the comparator trains on the candidates it will score (the
       // r13 verdict's >2-candidates-at-the-tail item: 10-way/17-rel
       // joins previously labeled only 2 knob-distinct plans)
-      val cands = Candidates.enumerateOrdered(spark, build)
+      val cands = Candidates.capCandidates(
+        Candidates.enumerateOrdered(spark, build), MaxLabeledPerQuery)
       val labeled = Candidates.labelCandidatesOrdered(spark, build, cands)
       log.info(s"$qid: ${cands.length} candidates " +
         s"(${cands.map(_.variantIdx).distinct.length} order variant(s)), " +

@@ -69,6 +69,46 @@ class CandidatesSpec extends AnyFunSuite {
     assert(labeled.forall(_._2 > 0))
   }
 
+  test("candidate cap keeps the default plan first and spreads across " +
+    "order variants") {
+    val cands = Candidates.enumerateOrdered(spark, build("j1_join_5way"))
+    assert(cands.size > Pipelines.MaxLabeledPerQuery,
+      s"fixture too small (${cands.size}) to engage the cap")
+    val capped = Candidates.capCandidates(cands, Pipelines.MaxLabeledPerQuery)
+    assert(capped.size == Pipelines.MaxLabeledPerQuery)
+    // element 0 stays the engine-default candidate (the evaluate
+    // baseline contract: latenciesMs.head is the default plan)
+    assert(capped.head == cands.head)
+    assert(capped.head.variantIdx == 0)
+    assert(capped.head.knobs == Candidates.knobGrid.head)
+    // round-robin: every order variant that exists is represented
+    // before any variant contributes a second plan
+    val variantsAll = cands.map(_.variantIdx).distinct.sorted
+    val variantsKept = capped.map(_.variantIdx).distinct.sorted
+    assert(variantsKept == variantsAll.take(Pipelines.MaxLabeledPerQuery),
+      s"cap lost order diversity: kept $variantsKept of $variantsAll")
+    // no duplicates, all members of the original space
+    assert(capped.distinct.size == capped.size)
+    assert(capped.forall(cands.contains))
+    // under-cap lists pass through untouched
+    assert(Candidates.capCandidates(cands.take(3), 6) == cands.take(3))
+  }
+
+  test("a shrunk variant list drops the candidate instead of " +
+    "mislabeling the knob plan") {
+    val cands = Candidates.enumerateOrdered(spark, build("j1_join_5way"))
+    val variantCand = cands.find(_.variantIdx > 0).get
+    // simulate session-state drift: the re-derived variant list no
+    // longer reaches this candidate's index
+    assert(Candidates.executeOrdered(spark, build("j1_join_5way"),
+      variantCand, variants = Nil).isEmpty)
+    // a labeling pass over [default, drifted] keeps only the default
+    val drifted = Seq(cands.head.copy(variantIdx = 99), cands.head)
+    val labeled = Candidates.labelCandidatesOrdered(
+      spark, build("j1_join_5way"), drifted)
+    assert(labeled.map(_._1) == Seq(cands.head))
+  }
+
   test("order-aware enumeration widens the tail joins beyond the knob " +
     "sweep and every order variant returns identical results") {
     // the r13 verdict item: 10-way/17-rel joins labeled only 2
@@ -92,7 +132,7 @@ class CandidatesSpec extends AnyFunSuite {
     // rewrite + pinned re-plan), on the cheaper 5-way
     val cands = Candidates.enumerateOrdered(spark, build("j1_join_5way"))
     val counts = cands.map(c =>
-      Candidates.executeOrdered(spark, build("j1_join_5way"), c)._1)
+      Candidates.executeOrdered(spark, build("j1_join_5way"), c).get._1)
     assert(counts.distinct.size == 1, s"variant results differ: $counts")
     assert(cands.exists(_.variantIdx > 0), "5-way produced no order variant")
   }
