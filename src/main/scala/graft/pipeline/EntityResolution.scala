@@ -183,9 +183,15 @@ object EntityResolution {
       .union(cust.select(length(col("c_name")), instr(col("c_name"), "*")))
       .agg(min(col("l")).as("lo"), max(col("l")).as("hi"),
         max(col("s")).as("star")).head()
-    val (lo, hi, star) = (probe.getInt(0), probe.getInt(1), probe.getInt(2))
-    if (lo == hi && lo >= 3 && star == 0) equalLenD2Verified(dirty, cust, lo)
-    else fastssD2Verified(dirty, cust)
+    // empty inputs leave the global min/max null — route to the
+    // fallback (which correctly yields an empty result) instead of
+    // NPE-ing on getInt
+    if (probe.isNullAt(0)) fastssD2Verified(dirty, cust)
+    else {
+      val (lo, hi, star) = (probe.getInt(0), probe.getInt(1), probe.getInt(2))
+      if (lo == hi && lo >= 3 && star == 0) equalLenD2Verified(dirty, cust, lo)
+      else fastssD2Verified(dirty, cust)
+    }
   }
 
   /** Equal-length fast path: wildcard-pair keys (Hamming ≤ 2, exact

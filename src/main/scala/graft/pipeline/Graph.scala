@@ -137,7 +137,10 @@ object Graph {
             col("node") === col("pnode"))
           .agg(sum(abs(col("rank") - col("prank"))).as("d"))
           .head().getLong(0)
-        ranks.unpersist(blocking = false) // checkpoint blocks of t-1
+        // free t-1's checkpoint blocks at the RDD level —
+        // Dataset.unpersist is a CacheManager no-op on a
+        // localCheckpoint'd frame (its blocks are RDD-level persists)
+        graft.engine.CheckpointBlocks.free(ranks)
         ranks = next
         rounds += 1
       }

@@ -62,19 +62,11 @@ object IngestDedupStream {
     * free a trigger's blocks WITHOUT diffing the context-global
     * persistent-RDD set, which would unpersist frames a concurrent
     * query or the caller's sink persisted during the trigger (for a
-    * localCheckpointed frame those blocks are the only copy). */
-  private def persistedRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] = {
-    val seen = scala.collection.mutable.Set[Int]()
-    def walk(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] =
-      if (!seen.add(r.id)) Nil
-      else {
-        val here =
-          if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
-            Seq(r) else Nil
-        here ++ r.dependencies.flatMap(d => walk(d.rdd))
-      }
-    walk(df.queryExecution.toRdd)
-  }
+    * localCheckpointed frame those blocks are the only copy). Shared
+    * with pr2's converged-PageRank loop via
+    * [[graft.engine.CheckpointBlocks]]. */
+  private def persistedRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    graft.engine.CheckpointBlocks.persistedRdds(df)
 
   /** [[probeBatch]] plus the trigger-scoped checkpoint RDDs the caller
     * must unpersist once the result is consumed. */

@@ -135,15 +135,18 @@ object PoolStats {
   def compute(spark: SparkSession, pool: Seq[String],
               h: WorkloadGen.Harvest): Stats = {
     // re-derive per-query counts from the emitted SQL (independent of
-    // the generator's bookkeeping); a parse failure is a REJECTED
-    // query, not a crash — the acceptance gate reports it
+    // the generator's bookkeeping); a parse failure — in EITHER parse
+    // (component extraction or condition separation) — is a REJECTED
+    // query, not a crash: the query drops out of `comps`, so the
+    // acceptance gate (accepted == n) reports it
     val parsed = pool.map(q =>
       scala.util.Try(WorkloadGen.extractComponents(spark, q)))
-    val comps = parsed.flatMap(_.toOption)
-    val perQuery = pool.map { q =>
-      val (j, f) = Harvester.separateConditions(spark, q)
-      (j.length, f.length)
-    }
+    val sepParsed = pool.map(q =>
+      scala.util.Try(Harvester.separateConditions(spark, q)))
+    val comps = pool.indices.flatMap(i =>
+      if (sepParsed(i).isSuccess) parsed(i).toOption else None)
+    val perQuery = sepParsed.flatMap(_.toOption)
+      .map { case (j, f) => (j.length, f.length) }
     val joinsHist = perQuery.groupBy(_._1).view.mapValues(_.size).toMap
     val filtersHist = perQuery.groupBy(_._2).view.mapValues(_.size).toMap
     // the generator SAMPLES numJoins from the harvested dist (BFS can

@@ -279,6 +279,19 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("er2 router: empty inputs route to a defined path and yield an " +
+    "empty result (no NPE on the null min/max probe)") {
+    import graft.pipeline.EntityResolution
+    import spark.implicits._
+    val noDirty = Seq.empty[(Long, String)].toDF("dirty_id", "dirty_name")
+    val noCust = Seq.empty[(Long, String)].toDF("c_custkey", "c_name")
+    assert(EntityResolution.d2Verified(noDirty, noCust).count() == 0L)
+    // one-sided emptiness too (min/max are null whenever the union of
+    // the two probes is empty; a lone empty side still aggregates)
+    val cust = Seq((1L, "K#000001")).toDF("c_custkey", "c_name")
+    assert(EntityResolution.d2Verified(noDirty, cust).count() == 0L)
+  }
+
   test("er1 plan: deletion-neighborhood blocking, no nested-loop verify") {
     Seq("er1_entity_resolution", "er2_entity_resolution_d2").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
