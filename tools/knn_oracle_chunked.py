@@ -16,9 +16,113 @@ computation" move for verifying an ANN system at scale.
 Usage: knn_oracle_chunked.py <sfDir> <verifyOutDir> <name> [chunk]
   name in {sim4_knn_join, sim5_knn_blocked, sim6_knn_capped}
 """
-import sys, glob, os
-import duckdb
+import json, sys, glob, os
 from decimal import Decimal
+
+# sim6's engaged-cap contract (r14 verdict #1: ASSERTED, not printed).
+# The per-bucket cap may only DEMOTE a slot to a slightly-worse
+# partner, never invent a better one and never change the score of an
+# unchanged partner. Bounds:
+#  - GAP_MIN: every slot gap (oracle_cos - spark_cos) >= 0. Rounding
+#    cannot break this (round-to-4 is monotone; both engines round
+#    identically), so the tolerance is float-repr noise only.
+#  - GAP_MAX: declared near-tie ceiling. Measured engaged-regime max
+#    0.0041 (r10 sf1, results/r10_sf1/knn_chunked.log; SCALE.md pins
+#    "none >= 0.005"); 0.01 gives fresh-corpus headroom while sitting
+#    20x under the 0.2-magnitude error a real ranking bug produces.
+GAP_MIN = -1e-9
+GAP_MAX = 0.010
+
+
+def slot_contract(sm, om):
+    """Assert the engaged-cap divergence contract between the spark
+    slot map and the oracle slot map (each {(a_id, rnk): (b_id, cos)}).
+    Returns (ok, contract_dict); `contract_dict` is serialized into the
+    sweep artifact either way, so a FAIL carries its evidence too."""
+    contract = {"gap_min_bound": GAP_MIN, "gap_max_bound": GAP_MAX}
+    violations = []
+    if set(sm.keys()) != set(om.keys()):
+        violations.append(
+            f"slot-shape mismatch: {len(sm)} spark vs {len(om)} oracle "
+            f"slots, {len(set(sm) ^ set(om))} differing keys")
+        contract["shape_equal"] = False
+    else:
+        contract["shape_equal"] = True
+    gaps = []
+    same_partner_cos_mismatch = 0
+    for key, (ob, ocos) in om.items():
+        got = sm.get(key)
+        if got is None:
+            continue
+        sb, scos = got
+        if sb != ob:
+            gaps.append(ocos - scos)
+        elif scos != ocos:
+            # same partner, different score: a scoring bug, not a
+            # legitimate cap demotion
+            same_partner_cos_mismatch += 1
+    contract["n_slots"] = len(om)
+    contract["n_differing_slots"] = len(gaps)
+    contract["same_partner_cos_mismatch"] = same_partner_cos_mismatch
+    if same_partner_cos_mismatch:
+        violations.append(
+            f"{same_partner_cos_mismatch} slots kept the oracle's "
+            "partner but changed its cosine")
+    if gaps:
+        gaps.sort()
+        n = len(gaps)
+        edges = [0.0005, 0.001, 0.002, 0.005, 0.01]
+        hist = {}
+        lo = 0.0
+        for hi in edges:
+            hist[f"[{lo:.4f},{hi:.4f})"] = sum(1 for g in gaps if lo <= g < hi)
+            lo = hi
+        hist[f"[{lo:.4f},inf)"] = sum(1 for g in gaps if g >= lo)
+        contract["gap_histogram"] = hist
+        contract["gap_max"] = max(gaps)
+        contract["gap_avg"] = sum(gaps) / n
+        contract["gap_min"] = min(gaps)
+        if min(gaps) < GAP_MIN:
+            violations.append(
+                f"negative gap {min(gaps):.6f}: the capped result found "
+                "a BETTER partner than the exact oracle — impossible, "
+                "i.e. a real bug")
+        if max(gaps) > GAP_MAX:
+            violations.append(
+                f"gap max {max(gaps):.6f} exceeds the declared near-tie "
+                f"ceiling {GAP_MAX} — not an engaged-cap demotion")
+    contract["violations"] = violations
+    return (not violations, contract)
+
+
+def selftest():
+    """Feed synthetic slot maps through the contract classifier and
+    verify it accepts exactly the legitimate engaged-cap shape —
+    including the negative-gap case the r14 sweep would have recorded
+    as pass. Exit 0 iff the classifier behaves."""
+    oracle = {(1, 1): (10, 0.95), (1, 2): (11, 0.90), (2, 1): (12, 0.80)}
+    cases = [
+        # (name, spark_map, want_ok)
+        ("identical", dict(oracle), True),
+        ("legit demotion", {**oracle, (1, 2): (99, 0.8990)}, True),
+        ("negative gap (capped BETTER than exact = bug)",
+         {**oracle, (1, 2): (99, 0.92)}, False),
+        ("gap over ceiling",
+         {**oracle, (1, 2): (99, 0.60)}, False),
+        ("same partner, changed cosine",
+         {**oracle, (1, 2): (11, 0.89)}, False),
+        ("shape mismatch", {(1, 1): (10, 0.95)}, False),
+    ]
+    bad = 0
+    for name, sm, want in cases:
+        ok, contract = slot_contract(sm, oracle)
+        status = "ok" if ok == want else "MISCLASSIFIED"
+        if ok != want:
+            bad += 1
+        print(f"  selftest [{status}] {name}: ok={ok} want={want} "
+              f"violations={contract['violations']}")
+    print(f"SELFTEST {'PASS' if bad == 0 else f'FAIL ({bad} misclassified)'}")
+    sys.exit(0 if bad == 0 else 1)
 
 ED = "ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 CL = """seeds AS (SELECT vec_id AS c, v AS cv FROM ed WHERE vec_id < 20),
@@ -95,6 +199,7 @@ def drift_guard(out_dir, name):
                  f"to match Similarity.scala before trusting it")
 
 def main():
+    import duckdb
     sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
     n_chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 20
     drift_guard(out_dir, name)
@@ -137,51 +242,40 @@ def main():
         for a, b in list(zip(sc, oc))[:5]:
             if a != b:
                 print(f"  spark={a} oracle={b}")
-        # Near-tie audit (SCALE.md's engaged-cap contract): join the
-        # two results on the (a_id, rnk) SLOT key and measure the
-        # cosine each differing slot trades — oracle_cos - spark_cos.
-        # The claim worth pinning in an artifact is "near-ties only":
-        # max gap small, avg tiny, all gaps >= 0 (the cap may only
-        # DEMOTE to a slightly-worse partner, never invent a better
-        # one). Printed here so the committed log IS the evidence.
+        if name != "sim6_knn_capped":
+            sys.exit(1)
+        # sim6's cap legitimately diverges from the exact oracle once
+        # it engages (documented regime, SCALE.md) — but ONLY within
+        # the near-tie demotion contract, which is ASSERTED here
+        # (r14 verdict #1: the histogram used to be printed and then
+        # any mismatch exited 3 regardless, so a negative gap — the
+        # capped result "beating" the exact oracle, a real bug — or a
+        # 0.2-magnitude gap was still recorded as pass). Contract
+        # holds -> exit 3 (engaged-regime divergence, callers record
+        # pass + the contract JSON); any violation -> exit 1 like a
+        # genuine regression. Structural failures (cols/rows) above
+        # always exit 1 — the cap changes VALUES in near-tie slots,
+        # never the result shape.
         def slot_map(cols, rows):
             ia, ir = cols.index("a_id"), cols.index("rnk")
             ib, ic = cols.index("b_id"), cols.index("cos_sim")
             return {(r[ia], r[ir]): (r[ib], float(r[ic])) for r in rows}
-        sm, om = slot_map(scols, srows), slot_map(ocols, orows)
-        gaps = []
-        for key, (ob, ocos) in om.items():
-            sb_, scos = sm.get(key, (None, None))
-            if sb_ is not None and sb_ != ob:
-                gaps.append(ocos - scos)
-        if gaps:
-            gaps.sort()
-            n = len(gaps)
-            buckets = [0.0005, 0.001, 0.002, 0.005, 0.01]
-            hist = []
-            lo = 0.0
-            for hi in buckets:
-                c = sum(1 for g in gaps if lo <= g < hi)
-                hist.append(f"[{lo:.4f},{hi:.4f}): {c}")
-                lo = hi
-            hist.append(f"[{lo:.4f},inf): {sum(1 for g in gaps if g >= lo)}")
-            print(f"  near-tie histogram over {n} differing slots "
-                  f"(gap = oracle_cos - spark_cos):")
-            for h in hist:
-                print(f"    {h}")
-            print(f"  gap max={max(gaps):.6f} avg={sum(gaps)/n:.6f} "
-                  f"min={min(gaps):.6f} "
-                  f"(negative min would mean the capped result found a "
-                  f"BETTER partner than the exact oracle — impossible, "
-                  f"i.e. a real bug)")
-        # sim6's cap legitimately diverges from the exact oracle once
-        # it engages (documented regime, SCALE.md): distinct exit code
-        # so callers can separate it from a genuine regression.
-        # Structural failures (cols/rows) above still exit 1 — the
-        # engaged cap changes VALUES in near-tie slots, never the
-        # result shape.
-        sys.exit(3 if name == "sim6_knn_capped" else 1)
+        ok, contract = slot_contract(slot_map(scols, srows),
+                                     slot_map(ocols, orows))
+        contract["n_mismatch_rows_positional"] = bad
+        print(f"CONTRACT {json.dumps(contract, sort_keys=True)}")
+        if not ok:
+            print(f"FAIL {name}: engaged-cap contract VIOLATED: "
+                  f"{'; '.join(contract['violations'])}")
+            sys.exit(1)
+        print(f"DIVERGED-OK {name}: {contract['n_differing_slots']} "
+              f"near-tie slots, gap max={contract['gap_max']:.6f} "
+              f"avg={contract['gap_avg']:.6f} min={contract['gap_min']:.6f} "
+              f"— engaged-cap demotion contract asserted")
+        sys.exit(3)
     print(f"PASS {name} ({len(sc)} rows, chunked exact oracle)")
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
     main()

@@ -110,6 +110,15 @@ def main():
     sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
     timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 1800
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # precondition: the engaged-cap contract classifier must itself
+    # pass its synthetic cases (incl. rejecting a negative-gap result)
+    # before any verdict that relies on it is recorded
+    st = subprocess.run(["python3", "tools/knn_oracle_chunked.py",
+                         "--selftest"], capture_output=True, text=True)
+    print(st.stdout, end="")
+    if st.returncode != 0:
+        sys.exit("ABORT: knn_oracle_chunked.py --selftest failed — "
+                 "the sim6 contract classifier is broken")
     results = {}
     n_pass = n_fail = n_to = 0
     special = {DD5_BLOCKED: dd5_blocked_check, SIM3: sim3_check}
@@ -135,14 +144,26 @@ def main():
                                timeout=timeout)
             sec = round(time.time() - t0, 1)
             lines = [l for l in p.stdout.strip().splitlines()
-                     if l.startswith(("PASS", "FAIL", "WARN"))]
+                     if l.startswith(("PASS", "FAIL", "WARN", "DIVERGED-OK"))]
             detail = lines[-1] if lines else p.stdout.strip()[-200:]
             ok = p.returncode == 0
             note = ""
+            contract = None
+            for l in p.stdout.splitlines():
+                if l.startswith("CONTRACT "):
+                    contract = json.loads(l[len("CONTRACT "):])
             if p.returncode == 3 and name == "sim6_knn_capped":
+                # exit 3 is only reachable AFTER the chunked runner
+                # asserted the engaged-cap demotion contract (all gaps
+                # >= 0, max <= declared ceiling, shape equal, no
+                # same-partner score drift) — a violation exits 1 and
+                # is recorded as a genuine FAIL here
                 ok = True
-                note = "engaged-cap near-tie divergence (documented regime)"
+                note = ("engaged-cap near-tie divergence, demotion "
+                        "contract asserted by knn_oracle_chunked.py")
             results[name] = {"pass": ok, "sec": sec, "detail": detail}
+            if contract is not None:
+                results[name]["contract"] = contract
             if note:
                 results[name]["note"] = note
             if ok:
