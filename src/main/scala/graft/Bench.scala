@@ -97,8 +97,11 @@ object Bench {
     // SPARK_GRAFT_ONLY=dd2_ngram_jaccard,dd3_minhash_lsh
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // per-(pass, query) diagnostics JSON objects for bench_diag.json
+    // per-(pass, query) diagnostics JSON objects for bench_diag.json,
+    // plus the warm pass's structured metrics for the contention
+    // classifier (BenchEnv)
     val diagRows = scala.collection.mutable.ArrayBuffer[String]()
+    val warmMetrics = scala.collection.mutable.Map[String, BenchDiag#Snap]()
     def timeAll(pass: String, recordErrors: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -117,8 +120,10 @@ object Bench {
               .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
         }
         val sec = (System.nanoTime() - t0) / 1e9
+        val m = diag.snapshotDelta(spark.sparkContext)
+        if (pass == "warm") warmMetrics(name) = m
         diagRows += s"""{"pass":"$pass","query":"$name","sec":${num3(sec)},""" +
-          s""""m":${diag.snapshotDelta(spark.sparkContext)}}"""
+          s""""m":${m.toJson}}"""
         name -> sec
       }
     // primary (cold) pass — the round-over-round comparable number;
@@ -133,6 +138,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
+    // contention self-attribution (r14 verdict #6): warm>cold at zero
+    // GC/spill is the hypervisor-contention signature — stamp the
+    // verdict INTO the artifact so a polluted run self-identifies
+    // instead of needing forensic comparison against a clean re-record
+    val warmBySec = warm.toMap
+    val envSamples = results.collect {
+      case (name, cold) if warmBySec.contains(name) =>
+        val m = warmMetrics.get(name)
+        name -> BenchEnv.Sample(cold, warmBySec(name),
+          m.map(_.jvmGcMs).getOrElse(0L),
+          m.map(x => x.memSpill + x.diskSpill).getOrElse(0L))
+    }.toMap
+    val envJson = BenchEnv.envJson(envSamples)
     val json =
       "{" +
         "\"metric\":\"total\",\"value\":" + num3(total) + "," +
@@ -140,6 +158,7 @@ object Bench {
         "\"warm_total\":" + num3(warmTotal) + "," +
         "\"queries_warm\":" + toJson(warm) + "," +
         "\"errors\":" + errJson + "," +
+        "\"env\":" + envJson + "," +
         "\"sf\":\"" + sfDir + "\"}"
     // The driver captures only a bounded TAIL of stdout (~2000 chars);
     // a 106-query map blows through it and every round's BENCH_r*.json
@@ -163,6 +182,7 @@ object Bench {
         "\"queries\":" + toJson(results.filter(r => headline(r._1))) + "," +
         "\"warm_total\":" + num3(warmTotal) + "," +
         "\"errors\":" + errJson + "," +
+        "\"env_contention\":\"" + BenchEnv.verdict(envSamples)._1 + "\"," +
         "\"full\":\"bench_out.json\"," +
         "\"sf\":\"" + sfDir + "\"}"
     println(stdoutJson)

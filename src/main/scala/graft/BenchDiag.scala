@@ -56,7 +56,13 @@ final class BenchDiag extends SparkListener {
 
   case class Snap(memSpill: Long, diskSpill: Long, shuffleWrite: Long,
                   shuffleRead: Long, taskGcMs: Long, jvmGcMs: Long,
-                  peakExecMem: Long)
+                  peakExecMem: Long, codeCache: Long = 0L) {
+    def toJson: String =
+      s"""{"spill_mem":$memSpill,"spill_disk":$diskSpill,""" +
+        s""""shuffle_write":$shuffleWrite,"shuffle_read":$shuffleRead,""" +
+        s""""task_gc_ms":$taskGcMs,"jvm_gc_ms":$jvmGcMs,""" +
+        s""""peak_exec_mem":$peakExecMem,"code_cache":$codeCache}"""
+  }
 
   private def snap(): Snap = synchronized {
     Snap(memSpill, diskSpill, shuffleWrite, shuffleRead, taskGcMs,
@@ -66,20 +72,20 @@ final class BenchDiag extends SparkListener {
   private var last: Snap = snap()
 
   /** Flush the listener bus, then return the delta since the previous
-    * snapshot as a JSON object string (bytes / ms). */
-  def snapshotDelta(sc: org.apache.spark.SparkContext): String = {
+    * snapshot (bytes / ms) — structured, so the caller can both
+    * serialize it (bench_diag.json) and feed the contention classifier
+    * ([[BenchEnv]]) without re-parsing its own output. */
+  def snapshotDelta(sc: org.apache.spark.SparkContext): Snap = {
     try org.apache.spark.graft.BusFlush.flush(sc, 2000)
     catch { case _: Throwable => () }
     val s = snap()
     val d = Snap(s.memSpill - last.memSpill, s.diskSpill - last.diskSpill,
       s.shuffleWrite - last.shuffleWrite, s.shuffleRead - last.shuffleRead,
-      s.taskGcMs - last.taskGcMs, s.jvmGcMs - last.jvmGcMs, s.peakExecMem)
+      s.taskGcMs - last.taskGcMs, s.jvmGcMs - last.jvmGcMs, s.peakExecMem,
+      codeCacheUsed)
     last = s
     resetPeak()
-    s"""{"spill_mem":${d.memSpill},"spill_disk":${d.diskSpill},""" +
-      s""""shuffle_write":${d.shuffleWrite},"shuffle_read":${d.shuffleRead},""" +
-      s""""task_gc_ms":${d.taskGcMs},"jvm_gc_ms":${d.jvmGcMs},""" +
-      s""""peak_exec_mem":${d.peakExecMem},"code_cache":$codeCacheUsed}"""
+    d
   }
 
   private def resetPeak(): Unit = synchronized { peakExecMem = 0L }

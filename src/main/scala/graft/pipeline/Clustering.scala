@@ -40,13 +40,17 @@ import graft.functions.DotProduct
   * (20,000 base rows) and k=40 for sdd1's planted corpus (25,016
   * rows) — recorded in results/r13_sf1/engaged_summary.json — and
   * CurationSpec pins the formula itself (kFor(50000) == 80).
-  * Centroids are metadata (k·dim longs) inlined
-  * as literals into the assignment expression — valid while k·dim
-  * stays driver-sized (it does at every tested SF); at extreme k
-  * (10^5+ clusters on a 100 TB corpus) the declared kernel is a
-  * mapPartitions pass against a broadcast centroid MATRIX (blocked
-  * gemm, the FAISS shape) — the same declared-kernel escape hatch as
-  * Multimodal's codecs and Bpe's encoder.
+  * Centroids are metadata (k·dim longs). Assignment DISPATCHES on k
+  * ([[withAssignment]]): up to [[LiteralKMax]] they are inlined as
+  * literals into a codegen'd expression (every gate SF engages
+  * k ≤ 40, so the gates ride — and hash-pin — this path); beyond it
+  * the [[kernelAssign]] mapPartitions pass against a broadcast
+  * centroid MATRIX (the FAISS layout) takes over, bit-identical by
+  * the exact-integer argument below and spec-pinned so. The literal
+  * expression stops PLANNING past k ≈ 10³ (source grows as k·dim
+  * literals — measured in results/r15_kernel/kernel_scale.json);
+  * the kernel plans at any k, so a 100 TB corpus (k = n/625 in the
+  * millions) is bounded by compute, not plan size.
   *
   * clu1: k-means assignment (2 Lloyd iterations, deterministic
   * init = the k corpus rows with the smallest (md5(vec_id), vec_id)).
@@ -123,17 +127,118 @@ object Clustering {
     expr(s"array_min(array(${structs.mkString(", ")}))")
   }
 
+  /** Above this k the literal-inlined [[assignExpr]] is replaced by
+    * the broadcast-matrix kernel: the inlined expression's SOURCE
+    * grows as k·dim literals (plan/codegen blow-up past k ≈ 10³ —
+    * measured in results/r15_kernel/kernel_scale.json) and its cost
+    * model is the same O(k·dim) per row either way. Every gate SF
+    * engages k ≤ 40 (sf1: clu1 k=32, sdd1 k=40), so the gates stay on
+    * the literal path and their hashes are untouched; the kernel is
+    * the 100 TB path (k = n/625 grows linearly in corpus size). */
+  private[graft] val LiteralKMax = 64
+
+  /** Assignment dispatcher: appends `cluster` (long) and `distd`
+    * (double, the exact integer-valued distance) to `df`, which must
+    * carry `qvd` (array<double>, quantized) and `qn` (double, |q|²).
+    * k ≤ [[LiteralKMax]] rides the codegen'd literal expression;
+    * larger k takes [[kernelAssign]]. The two are BIT-IDENTICAL
+    * (spec-pinned): every intermediate is an integer below 2^53, so
+    * the double arithmetic is exact in both, and the kernel replays
+    * the same expansion d = |q|² − 2·q·c + |c|² with the same
+    * smallest-(d, c) tie rule. */
+  private[graft] def withAssignment(df: DataFrame,
+      centroids: Seq[(Long, Array[Long])],
+      forceKernel: Boolean = false): DataFrame =
+    if (!forceKernel && centroids.size <= LiteralKMax)
+      literalAssign(df, centroids)
+    else kernelAssign(df, centroids)
+
+  /** The literal-expression arm of [[withAssignment]], callable
+    * directly so tools can measure it PAST the dispatch threshold
+    * (KernelScaleMain's k=1024 planning-failure evidence). */
+  private[graft] def literalAssign(df: DataFrame,
+      centroids: Seq[(Long, Array[Long])]): DataFrame = {
+    val fin = assignExpr(centroids)
+    df.withColumn("cluster", fin.getField("c"))
+      .withColumn("distd", fin.getField("d"))
+  }
+
+  /** The declared large-k escape hatch (r14 verdict #2), now code:
+    * one mapPartitions pass against a BROADCAST centroid matrix in
+    * the FAISS layout — ids / flat row-major k×dim doubles / |c|²
+    * per centroid — so the plan carries a reference, not k·dim
+    * literals, and each executor receives the matrix once. The inner
+    * loop streams the matrix row-blocks while the query vector
+    * (dim·8 bytes) stays register/L1-resident — the degenerate
+    * blocked-gemm shape for a single query row; the arithmetic and
+    * the (d, c) tie rule are exactly [[assignExpr]]'s. This is a
+    * deliberate non-codegen kernel (same contract as Multimodal's
+    * codecs and Bpe's encoder): the per-row work is O(k·dim) FMAs
+    * that whole-stage codegen could not improve, and the expression
+    * path stops PLANNING at this k anyway. */
+  private[graft] def kernelAssign(df: DataFrame,
+      centroids: Seq[(Long, Array[Long])]): DataFrame = {
+    val spark = df.sparkSession
+    val qvdIdx = df.schema.fieldIndex("qvd")
+    val qnIdx = df.schema.fieldIndex("qn")
+    val k = centroids.size
+    require(k > 0, "kernelAssign: empty centroid set")
+    val dim = centroids.head._2.length
+    val ids = centroids.map(_._1).toArray
+    val flat = new Array[Double](k * dim)
+    val cn2 = new Array[Double](k)
+    centroids.zipWithIndex.foreach { case ((_, cv), ci) =>
+      var i = 0
+      var n2 = 0L
+      while (i < dim) {
+        flat(ci * dim + i) = cv(i).toDouble
+        n2 += cv(i) * cv(i) // exact long, < 2^53
+        i += 1
+      }
+      cn2(ci) = n2.toDouble
+    }
+    val bc = spark.sparkContext.broadcast((ids, flat, cn2))
+    val outSchema = df.schema
+      .add("cluster", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("distd", org.apache.spark.sql.types.DoubleType, nullable = false)
+    val rdd = df.rdd.mapPartitions { it =>
+      val (cids, m, n2s) = bc.value
+      val kk = cids.length
+      it.map { row =>
+        val qSeq = row.getSeq[Double](qvdIdx)
+        val q = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { q(i) = qSeq(i); i += 1 }
+        val qn = row.getDouble(qnIdx)
+        var bestD = Double.PositiveInfinity
+        var bestC = Long.MaxValue
+        var ci = 0
+        while (ci < kk) {
+          var dot = 0.0
+          var j = 0
+          val off = ci * dim
+          while (j < dim) { dot += q(j) * m(off + j); j += 1 }
+          val d = qn - 2.0 * dot + n2s(ci) // assignExpr's exact expansion
+          val c = cids(ci)
+          if (d < bestD || (d == bestD && c < bestC)) { bestD = d; bestC = c }
+          ci += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bestC :+ bestD)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** k-means over a (vec_id, embedding) corpus: quantize, seed from
     * the md5-smallest rows, run [[LloydIters]] assignment+refit
     * rounds, return (vec_id, qv, qvd, cluster, dist2). */
   private[graft] def kmeans(spark: SparkSession, corpus: DataFrame): DataFrame = {
     val (q, centroids) = kmeansModel(spark, corpus)
-    val fin = assignExpr(centroids)
     // q stays persisted for the caller's materialization of this
     // final pass; Verify/Bench clear caches between queries
-    q.select(col("vec_id"), col("qv"), col("qvd"),
-      fin.getField("c").as("cluster"),
-      fin.getField("d").cast("long").as("dist2"))
+    withAssignment(q, centroids)
+      .select(col("vec_id"), col("qv"), col("qvd"), col("cluster"),
+        col("distd").cast("long").as("dist2"))
   }
 
   /** The fitted model behind [[kmeans]]: the persisted quantized
@@ -167,8 +272,8 @@ object Clustering {
       .map(r => (seedRank(r.getLong(0)), r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
     for (_ <- 1 until LloydIters) {
-      val assigned = q.select(col("vec_id"), col("qv"),
-        assignExpr(centroids).getField("c").as("cluster"))
+      val assigned = withAssignment(q, centroids)
+        .select(col("vec_id"), col("qv"), col("cluster"))
       // refit: ONE bounded hash-agg — k·dim output rows; integer
       // sum div count, matching the oracle's // truncation
       centroids = assigned
@@ -211,13 +316,12 @@ object Clustering {
       centroids: Seq[(Long, Array[Long])], members: DataFrame)
       : (DataFrame, DataFrame) = {
     DotProduct.register(batch.sparkSession)
-    val ba = batch
-      .select(col("vec_id"), qvCol.as("qv"))
-      .withColumn("qvd", expr("transform(qv, x -> cast(x as double))"))
-      .withColumn("qn", expr("graft_dot(qvd, qvd)"))
-      .select(col("vec_id"),
-        assignExpr(centroids).getField("c").as("cluster"), col("qvd"),
-        expr("cast(graft_dot(qvd, qvd) as bigint)").as("nrm"))
+    val ba = withAssignment(batch
+        .select(col("vec_id"), qvCol.as("qv"))
+        .withColumn("qvd", expr("transform(qv, x -> cast(x as double))"))
+        .withColumn("qn", expr("graft_dot(qvd, qvd)")), centroids)
+      .select(col("vec_id"), col("cluster"), col("qvd"),
+        col("qn").cast("bigint").as("nrm"))
       .persist() // three references: mates union, pair probe, output
     val mates = members.select(col("vec_id").as("id1"),
         col("cluster").as("cl1"), col("qvd").as("v1"), col("nrm").as("n1"))
@@ -295,10 +399,9 @@ object Clustering {
   private[graft] def semanticIndex(spark: SparkSession, corpus: DataFrame)
       : (Seq[(Long, Array[Long])], DataFrame) = {
     val (q, centroids) = kmeansModel(spark, corpus)
-    val fin = assignExpr(centroids)
-    (centroids, q.select(col("vec_id"),
-      fin.getField("c").as("cluster"), col("qvd"),
-      expr("cast(graft_dot(qvd, qvd) as bigint)").as("nrm")))
+    (centroids, withAssignment(q, centroids)
+      .select(col("vec_id"), col("cluster"), col("qvd"),
+        col("qn").cast("bigint").as("nrm")))
   }
 
   /** sdd2's deterministic ingest fixture — the same planted copies

@@ -152,6 +152,54 @@ class CurationSpec extends AnyFunSuite {
     assert(graft.pipeline.Clustering.kFor(50000L) == 80L)
   }
 
+  test("centroid-assignment kernel is bit-identical to the literal " +
+    "expression and dispatches on k (r14 verdict #2)") {
+    import graft.pipeline.Clustering
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (q, centroids) = Clustering.kmeansModel(spark, corpus)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster"), col("distd"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2))))
+        .toMap
+    // BIT identity on the fitted model (distd compared as raw bits —
+    // the exact-integer argument says the doubles are equal, not close)
+    val lit = collect(Clustering.withAssignment(q, centroids))
+    val ker = collect(Clustering.withAssignment(q, centroids,
+      forceKernel = true))
+    assert(lit.nonEmpty && lit == ker)
+    // dispatch: gate-scale k rides the literal expression (no RDD
+    // scan in the plan); k > LiteralKMax flips to the kernel
+    assert(centroids.size <= Clustering.LiteralKMax)
+    val litPlan = Clustering.withAssignment(q, centroids)
+      .queryExecution.optimizedPlan.toString
+    assert(!litPlan.contains("LogicalRDD"), litPlan)
+    val bigK = (1 to Clustering.LiteralKMax + 16).map { i =>
+      (i.toLong, centroids((i - 1) % centroids.size)._2.map(_ + i))
+    }
+    val bigPlan = Clustering.withAssignment(q, bigK)
+      .queryExecution.optimizedPlan.toString
+    assert(bigPlan.contains("LogicalRDD"), bigPlan)
+    // engaged-k correctness: the auto-dispatched kernel result equals
+    // a plain-scala argmin over the same synthetic centroid set
+    val rows = q.select(col("vec_id"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val want = rows.map { case (id, v) =>
+      val (d, c) = bigK.map { case (c2, cv) =>
+        (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c2)
+      }.min
+      id -> (c, d)
+    }.toMap
+    val gotBig = Clustering.withAssignment(q, bigK)
+      .select(col("vec_id"), col("cluster"), col("distd"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2).toLong))
+      .toMap
+    assert(gotBig == want)
+  }
+
   test("sdd1: every planted copy dropped, no original dropped, " +
     "copies co-clustered with their source") {
     val rows = SparkEntry.queries("sdd1_semantic_dedup")(spark, sf)
