@@ -277,9 +277,22 @@ class PipelineSpec extends AnyFunSuite {
   test("IVF ANN equals exact brute-force cosine top-k") {
     val exact = SparkEntry.queries("sim1_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
-    val ivf = SparkEntry.queries("sim3_ann_ivf")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val rows = SparkEntry.queries("sim3_ann_ivf")(spark, sf).collect()
+    val ivf = rows.map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(ivf == exact)
+    // the adaptive plan columns carry the √n derivation (r14 #4):
+    // re-derive from the corpus count and pin
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val cells = graft.pipeline.Similarity.ivfCellsFor(n)
+    val nprobe = graft.pipeline.Similarity.ivfProbesFor(cells)
+    assert(rows.forall(r => r.getLong(2) == cells.toLong &&
+      r.getLong(3) == nprobe.toLong))
+    // the formula itself: floors at (16, 12), grows as √n with the
+    // 3/4 probe fraction
+    assert(graft.pipeline.Similarity.ivfCellsFor(256L) == 16)
+    assert(graft.pipeline.Similarity.ivfCellsFor(20000L) == 142)
+    assert(graft.pipeline.Similarity.ivfProbesFor(142) == 107)
+    assert(graft.pipeline.Similarity.ivfProbesFor(16) == 12)
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {

@@ -30,17 +30,19 @@ DD5_BLOCKED = "dd5_blocked_neardup"
 DD5_MAX_MISSES = 25
 DD5_MISS_COS_CEIL = 0.45
 
-# sim3_ann_ivf is a DECLARED approximate index: a 16-cell coarse
-# quantizer probed at nprobe=12, so expected recall on weakly-clustered
-# random 64-d data is ~12/16; the small-SF gates pass exact-equality on
-# recall headroom, but at sf1 (20k vectors, 1250/cell) a true top-10
-# member lands in an unprobed cell with real probability (r14 measured
-# recall@10 = 0.8, every returned value exact). The sf1 check grades
-# the ANN contract: recall@10 >= 0.7, result is exactly TopK rows, and
-# EVERY returned row must be a true member of the exact top-50 with
-# its exact rounded cosine (no fabricated values, no deep-rank junk).
+# sim3_ann_ivf is a DECLARED approximate index with an ADAPTIVE grid
+# (r14 verdict #4): cells = max(16, ceil(sqrt(n))), nprobe =
+# min(cells, max(12, ceil(0.75*cells))), both re-derived from count(*)
+# and riding in the output columns. The small-SF gates pass
+# exact-equality on recall headroom; at sf1 (20k vectors -> 142 cells,
+# 107 probed) a true top-10 member can still land in an unprobed cell,
+# so the sf1 check grades the ANN contract: recall@10 >= 0.9 (the r15
+# bar; the fixed 16-cell grid measured 0.80 in r14), result is exactly
+# TopK rows, EVERY returned row a true member of the exact top-50 with
+# its exact rounded cosine (no fabricated values, no deep-rank junk),
+# and the adaptivity decision columns equal the oracle's re-derivation.
 SIM3 = "sim3_ann_ivf"
-SIM3_MIN_RECALL = 0.7
+SIM3_MIN_RECALL = 0.9
 SIM3_TOP_POOL = 50
 
 
@@ -52,25 +54,39 @@ def sim3_check(sf_dir, out_dir):
     con.execute("CREATE VIEW embeddings AS SELECT * FROM "
                 f"read_parquet('{src}')")
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))[SIM3]
-    exact10 = con.execute(sql).fetchall()
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    exact10 = [dict(zip(ocols, r)) for r in res.fetchall()]
     # widen the exact pool to top-50: same SQL, raised LIMIT
     import re
     sql50 = re.sub(r"LIMIT \d+\s*$", f"LIMIT {SIM3_TOP_POOL}", sql.strip())
-    pool = {r[0]: r[1] for r in con.execute(sql50).fetchall()}
-    spark = con.execute("SELECT * FROM "
-                        f"read_parquet('{out_dir}/{SIM3}/*.parquet')").fetchall()
+    pres = con.execute(sql50)
+    pcols = [d[0] for d in pres.description]
+    pool = {row[pcols.index("vec_id")]: row[pcols.index("cos_sim")]
+            for row in pres.fetchall()}
+    sres = con.execute("SELECT * FROM "
+                       f"read_parquet('{out_dir}/{SIM3}/*.parquet')")
+    scols = [d[0] for d in sres.description]
+    spark = [dict(zip(scols, r)) for r in sres.fetchall()]
     k = len(exact10)
-    oids = {r[0] for r in exact10}
-    sids = [r[0] for r in spark]
+    oids = {r["vec_id"] for r in exact10}
+    sids = [r["vec_id"] for r in spark]
     recall = len(oids & set(sids)) / k if k else 0.0
     shape_ok = len(spark) == k and len(set(sids)) == k
-    member_ok = all(r[0] in pool and float(pool[r[0]]) == float(r[1])
+    member_ok = all(r["vec_id"] in pool and
+                    float(pool[r["vec_id"]]) == float(r["cos_sim"])
                     for r in spark)
-    ok = shape_ok and member_ok and recall >= SIM3_MIN_RECALL
+    plan_ok = bool(exact10) and all(
+        r.get("cells") == exact10[0]["cells"] and
+        r.get("nprobe") == exact10[0]["nprobe"] for r in spark)
+    ok = shape_ok and member_ok and plan_ok and recall >= SIM3_MIN_RECALL
     detail = (f"ANN contract: recall@{k}={recall:.2f} "
               f"(floor {SIM3_MIN_RECALL}), rows={len(spark)}/{k}, "
               f"all returned ids in exact top-{SIM3_TOP_POOL} with exact "
-              f"cosines={member_ok}")
+              f"cosines={member_ok}, adaptive plan "
+              f"(cells={exact10[0]['cells'] if exact10 else '?'}, "
+              f"nprobe={exact10[0]['nprobe'] if exact10 else '?'}) "
+              f"matches={plan_ok}")
     return ok, detail
 
 
