@@ -146,37 +146,114 @@ object EntityResolution {
         .select((col("c_custkey") + 2000000L).as("dirty_id"),
           expr(bump(bump("c_name", p1), p2)).as("dirty_name"))
       val custNames = cust.select(col("c_custkey"), col("c_name"))
-      val ver = d2Verified(dirty, custNames)
-      // dense keyspaces verify ~10³ candidates per dirty row, so the
-      // resolve is a 50M-row reduction at sf1. min over the PACKED
-      // (dist << 61) | custkey long is the same (dist, custkey)
-      // lexicographic rank (dist ≤ 2, ids positive < 2^61 — TPC-H
-      // keys are ≤ 2^32); a long buffer keeps it a HashAggregate
-      // with a map-side partial, where min(struct) would fall to a
-      // SortAggregate and sort the whole verified set (er1's window
-      // has the same sort — fine there, its candidate sets are tiny)
-      ver.groupBy(col("dirty_id"))
-        .agg(min(shiftleft(col("dist"), 61).bitwiseOR(col("c_custkey"))).as("packed"),
-          count(lit(1)).as("n_cands"))
-        .select(col("dirty_id"),
-          col("packed").bitwiseAND(lit((1L << 61) - 1)).as("resolved_custkey"),
-          shiftright(col("packed"), 61).as("dist"),
-          col("n_cands").cast("long").as("n_cands"))
+      resolveBest(d2Verified(dirty, custNames))
+    }),
+    // er3: the MIXED-LENGTH gate for the router's segment route (r14
+    // verdict #5), in the regime the segment route is FOR (see
+    // SegMinLen): a LONG COMPOSITE key — the customer name plus a
+    // 12-hex-char md5-derived discriminator (the "name|sourcehash"
+    // shape of a canonicalization key), L = 31. Each planted record
+    // bumps ONE name digit and DELETES one other key-derived digit,
+    // so the dirty side is uniformly length 30 against the 31-char
+    // master — the union probe sees lo ≠ hi and hi ≥ SegMinLen, and
+    // d2Verified routes to [[passJoinD2Verified]]. Every planted
+    // record sits at lev 2 from its source (1 sub + 1 del). The
+    // oracle is the same FastSS-shape re-derivation as er2's
+    // (deletion neighborhoods cover ANY ≤31-char mix: out-of-range
+    // positions produce no-op variants that DISTINCT collapses), so
+    // the segment path is graded against an independently-derived
+    // exact cover.
+    "er3_er_mixed_len" -> ((spark, sfDir) => {
+      val cust = Tables.load(spark, sfDir, "customer")
+      def bump(inner: String, off: String): String =
+        s"concat(substr($inner, 1, cast(9 + ($off) as int)), " +
+          s"cast((cast(substr($inner, cast(10 + ($off) as int), 1) as int) + 1) % 10 as string), " +
+          s"substr($inner, cast(11 + ($off) as int)))"
+      def del(inner: String, off: String): String =
+        s"concat(substr($inner, 1, cast(9 + ($off) as int)), " +
+          s"substr($inner, cast(11 + ($off) as int)))"
+      val longKey =
+        "concat(c_name, '|', substr(md5(cast(cast(c_custkey as string) as binary)), 17, 12))"
+      val p1 = "c_custkey % 9"
+      val pDel = s"(c_custkey % 9 + 1 + c_custkey % 8) % 9" // always != p1
+      val dirty = cust
+        .filter(substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .select((col("c_custkey") + 3000000L).as("dirty_id"),
+          expr(del(bump(longKey, p1), pDel)).as("dirty_name"))
+      val custNames = cust.select(col("c_custkey"), expr(longKey).as("c_name"))
+      resolveBest(d2Verified(dirty, custNames))
     })
   )
+
+  /** Best candidate per dirty row by (dist, custkey), with candidate
+    * count — shared by er2/er3. Dense keyspaces verify ~10³
+    * candidates per dirty row, so the resolve is a 50M-row reduction
+    * at sf1. min over the PACKED (dist << 61) | custkey long is the
+    * same (dist, custkey) lexicographic rank (dist ≤ 2, ids positive
+    * < 2^61 — TPC-H keys are ≤ 2^32); a long buffer keeps it a
+    * HashAggregate with a map-side partial, where min(struct) would
+    * fall to a SortAggregate and sort the whole verified set (er1's
+    * window has the same sort — fine there, its candidate sets are
+    * tiny). */
+  private def resolveBest(ver: DataFrame): DataFrame =
+    ver.groupBy(col("dirty_id"))
+      .agg(min(shiftleft(col("dist"), 61).bitwiseOR(col("c_custkey"))).as("packed"),
+        count(lit(1)).as("n_cands"))
+      .select(col("dirty_id"),
+        col("packed").bitwiseAND(lit((1L << 61) - 1)).as("resolved_custkey"),
+        shiftright(col("packed"), 61).as("dist"),
+        col("n_cands").cast("long").as("n_cands"))
 
   /** Full name length (the DuckDB oracle enumerates every position at
     * this fixed width; the Spark paths derive L from the data). */
   private val NameLen = 18
 
+  /** The three exact lev-≤2 blocking schemes [[d2Verified]] routes
+    * over (r14 verdict #5 made the router three-way). */
+  private[graft] sealed trait D2Route
+  private[graft] case object EqualLenRoute extends D2Route
+  private[graft] case object SegmentsRoute extends D2Route
+  private[graft] case object FastSSRoute extends D2Route
+
+  /** Minimum key length for the segment route. MEASURED crossover
+    * (r15, join-volume + fan-out prototype over the TPC-H-shape
+    * fixtures, recorded in SCALE.md): FastSS depth-2's cost is
+    * n·(1+L+C(L,2)) emitted variants of ~L chars (quadratic in L)
+    * plus Σ group² join volume; the segment join's cost is O(n) short
+    * keys plus Σ window·|group| volume governed by per-segment
+    * entropy. On SHORT dense keys (TPC-H 18-char names: 9 constant +
+    * 9 dense digits) FastSS wins — its join volume tracks the lev-≤4
+    * ball (13.9M at n=60k) while ANY contiguous-substring scheme
+    * pays window·n/distinct (segments: 112M tight-window volume at
+    * the same n; there are only 10³ values a 3-digit segment can
+    * take — an information floor no cut choice escapes). On LONGER
+    * composite keys (name|hash, L=31+) the emission term dominates
+    * and flips it: FastSS 34M long rows vs 330k short segment rows at
+    * n=60k, with segment groups near-unique. The router therefore
+    * sends mixed-length corpora to segments only above this length;
+    * below it FastSS's neighborhood is both small (C(12,2)=66) and
+    * group-optimal. */
+  private[graft] val SegMinLen = 24
+
+  /** Route decision from the corpus-shape probe: uniform length ≥ 3
+    * with a '*'-free alphabet → the wildcard-pair fast path; mixed
+    * lengths with max length ≥ [[SegMinLen]] → PassJoin segment
+    * filters (exact at any length mix, no wildcard alphabet
+    * constraint); everything else → FastSS (exact for any shape;
+    * optimal on short keys — see [[SegMinLen]]). Exposed so the
+    * dispatch itself is spec-pinnable. */
+  private[graft] def routeFor(lo: Int, hi: Int, star: Int): D2Route =
+    if (lo == hi && lo >= 3 && star == 0) EqualLenRoute
+    else if (lo >= 3 && hi >= SegMinLen) SegmentsRoute
+    else FastSSRoute
+
   /** VERIFIED lev-≤2 pairs (dirty_id, c_custkey, dist), zero false
     * dismissals AND zero false positives, schemes routed by the
-    * corpus shape — see the er2 header comment. The router is a
-    * single column-pruned aggregate over both sides (a metadata-scale
-    * action at plan-construction time, the dd10/clu1
-    * adaptive-parameter discipline): uniform length ≥ 3 and a
-    * '*'-free alphabet take the structural fast path; anything else
-    * falls back to FastSS + levenshtein. */
+    * corpus shape — see the er2 header comment and [[routeFor]]. The
+    * router probe is a single column-pruned aggregate over both sides
+    * (a metadata-scale action at plan-construction time, the
+    * dd10/clu1 adaptive-parameter discipline). */
   private[graft] def d2Verified(dirty: DataFrame, cust: DataFrame): DataFrame = {
     val probe = dirty.select(length(col("dirty_name")).as("l"),
         instr(col("dirty_name"), "*").as("s"))
@@ -187,10 +264,10 @@ object EntityResolution {
     // fallback (which correctly yields an empty result) instead of
     // NPE-ing on getInt
     if (probe.isNullAt(0)) fastssD2Verified(dirty, cust)
-    else {
-      val (lo, hi, star) = (probe.getInt(0), probe.getInt(1), probe.getInt(2))
-      if (lo == hi && lo >= 3 && star == 0) equalLenD2Verified(dirty, cust, lo)
-      else fastssD2Verified(dirty, cust)
+    else routeFor(probe.getInt(0), probe.getInt(1), probe.getInt(2)) match {
+      case EqualLenRoute => equalLenD2Verified(dirty, cust, probe.getInt(0))
+      case SegmentsRoute => passJoinD2Verified(dirty, cust)
+      case FastSSRoute => fastssD2Verified(dirty, cust)
     }
   }
 
@@ -251,6 +328,140 @@ object EntityResolution {
           .otherwise(2L).as("dist"))
   }
 
+  /** MIXED-LENGTH route — PassJoin segment filters (Li et al. 2011,
+    * the r14 verdict-#5 item), with ENTROPY-CHOSEN segment
+    * boundaries:
+    *
+    * Partition every indexed (cust) string into τ+1 = 3 contiguous
+    * segments. For a pair within lev ≤ 2, pigeonhole leaves ≥ 1
+    * segment untouched by the edit script, and its occurrence in the
+    * other string shifts by at most the net indels before it (≤ τ) —
+    * so joining cust segments (keyed by length class, segment index,
+    * content) against every dirty substring in the ±τ window of that
+    * segment's position has ZERO false dismissals; levenshtein over
+    * the candidate pairs removes the false positives. Cost: the cust
+    * side emits 3 keys/record, the dirty side ≤ 5 lengths × 3
+    * segments × 5 window starts — both map-side HOF fan-outs into a
+    * plain equi-join, vs FastSS depth-2's 1+L+C(L,2) variants whose
+    * low-entropy groups drive Σ group² quadratic.
+    *
+    * The textbook even partition is a TRAP on exactly the corpora
+    * that need this route: a shared constant prefix ("Customer#…",
+    * zero-padded ids) makes segment 1 a single giant group and the
+    * candidate join quadratic. Boundary choice does NOT affect
+    * exactness (any 3-partition satisfies the pigeonhole), so the
+    * cuts are chosen ADAPTIVELY per length class to maximize the
+    * MINIMUM per-segment character entropy — one bounded
+    * (length × position × char) aggregate on the indexed side (the
+    * dd10/sim3 plan-derivation discipline), then a driver-side
+    * enumeration of the ≤ C(L−1,2) cut pairs. On TPC-H names this
+    * folds the 9-char constant prefix into segment 1 alongside 3
+    * digits, leaving every segment ~3 digits of entropy (group sizes
+    * ~n/1000 instead of n).
+    *
+    * Requires every string length ≥ 3 (router-enforced); exact for
+    * any length mix and any alphabet ('*' included — keys are literal
+    * substrings, not wildcard patterns). */
+  private[graft] def passJoinD2Candidates(dirty: DataFrame, cust: DataFrame): DataFrame = {
+    val spark = cust.sparkSession
+    import spark.implicits._
+    val specs = broadcast(
+      passJoinSegSpecs(cust).toDF("l1", "seg_idx", "seg_start", "seg_width"))
+    val (dkeys, ckeys) = passJoinKeys(dirty, cust, specs)
+    dkeys.hint("shuffle_hash")
+      .join(ckeys, Seq("l1", "seg_idx", "seg"))
+      .select(col("dirty_id"), col("c_custkey"))
+      .distinct()
+  }
+
+  /** The two key frames behind the segment candidate join, exposed so
+    * the degradation spec can measure JOIN VOLUME (Σ over keys of
+    * |dirty keys| × |cust keys| — the quantity FastSS's Σ group²
+    * blows up, invisible in deduped candidate counts). */
+  private[graft] def passJoinKeys(dirty: DataFrame, cust: DataFrame,
+      specs: DataFrame): (DataFrame, DataFrame) = {
+    // indexed side: 3 literal segment keys per record
+    val ckeys = cust.join(specs, length(col("c_name")) === col("l1"))
+      .select(col("c_custkey"), col("l1"), col("seg_idx"),
+        expr("substr(c_name, seg_start, seg_width)").as("seg"))
+    // probe side: for each candidate length class within ±τ, the
+    // substrings of the segment's width starting inside the
+    // MULTI-MATCH-AWARE window (PASS-JOIN Lemma, Li et al. 2011): an
+    // untouched segment i shifts by at most the edits BEFORE it
+    // (≤ i−1 among the positions the pigeonhole leaves) and must also
+    // land consistently with the total length delta Δ (edits AFTER it
+    // ≤ τ+1−i), so s ∈ [p−(i−1), p+(i−1)] ∩ [p+Δ−(τ+1−i), p+Δ+(τ+1−i)]
+    // — window sizes 1/≤3/1 instead of the loose ±τ's 5/5/5 (3× less
+    // join volume, measured).
+    val dkeys = dirty
+      .join(specs, abs(length(col("dirty_name")) - col("l1")) <= Tau)
+      .withColumn("delta", length(col("dirty_name")) - col("l1"))
+      .withColumn("w_lo", greatest(lit(1),
+        col("seg_start") - (col("seg_idx") - 1),
+        col("seg_start") + col("delta") - (lit(Tau + 1) - col("seg_idx"))))
+      .withColumn("w_hi", least(
+        length(col("dirty_name")) - col("seg_width") + 1,
+        col("seg_start") + (col("seg_idx") - 1),
+        col("seg_start") + col("delta") + (lit(Tau + 1) - col("seg_idx"))))
+      .filter(col("w_hi") >= col("w_lo")) // sequence(a,b) is DESCENDING for a>b
+      .select(col("dirty_id"), col("l1"), col("seg_idx"),
+        explode(expr("transform(sequence(w_lo, w_hi), s -> " +
+          "substr(dirty_name, s, seg_width))")).as("seg"))
+    (dkeys, ckeys)
+  }
+
+  /** The entropy-cut segment boundaries per length class of `cust`:
+    * rows (length, segIdx 1..3, 1-based start, width). One bounded
+    * (length × position × char) aggregate, then a driver-side
+    * enumeration of the ≤ C(L−1,2) cut pairs maximizing the MINIMUM
+    * per-segment character entropy (deterministic tie-breaks: most
+    * balanced widths, then smallest cut positions). */
+  private[graft] def passJoinSegSpecs(cust: DataFrame): Seq[(Int, Int, Int, Int)] = {
+    val stats = cust
+      .select(length(col("c_name")).as("len"),
+        posexplode(expr("split(c_name, '')")).as(Seq("pos", "ch")))
+      .groupBy(col("len"), col("pos"), col("ch")).count()
+      .collect()
+      .groupBy(_.getInt(0))
+    stats.toSeq.sortBy(_._1).flatMap { case (len, rows) =>
+      val entropy = Array.fill(len)(0.0)
+      rows.groupBy(_.getInt(1)).foreach { case (pos, prows) =>
+        val total = prows.map(_.getLong(3)).sum.toDouble
+        entropy(pos) = -prows.map { r =>
+          val p = r.getLong(3) / total
+          p * math.log(p)
+        }.sum
+      }
+      val prefix = entropy.scanLeft(0.0)(_ + _) // prefix(i) = Σ entropy[0,i)
+      def segE(a: Int, b: Int) = prefix(b) - prefix(a) // positions [a,b)
+      // cuts 1 <= c1 < c2 < len → segments [0,c1) [c1,c2) [c2,len).
+      // Objective: MINIMIZE expected join volume Σ_i window_i /
+      // exp(entropy_i) — each segment's group size scales as
+      // n / e^entropy and its probe multiplicity as the Δ=0 window
+      // size (1/3/1 under the multi-match-aware bounds). Measured 1.7×
+      // less volume than max-min-entropy cuts on the TPC-H-name shape
+      // (both exact: cut choice never affects the pigeonhole cover).
+      val (c1, c2) = (for { i <- 1 until len; j <- i + 1 until len } yield {
+        val cost = 1.0 / math.exp(segE(0, i)) +
+          3.0 / math.exp(segE(i, j)) + 1.0 / math.exp(segE(j, len))
+        ((cost, i, j), (i, j))
+      }).minBy(_._1)._2
+      Seq((len, 1, 1, c1), (len, 2, c1 + 1, c2 - c1), (len, 3, c2 + 1, len - c2))
+    }
+  }
+
+  /** [[passJoinD2Candidates]] + the levenshtein ≤ 2 verify over
+    * re-attached names — the segment route's verified pairs. */
+  private[graft] def passJoinD2Verified(dirty: DataFrame, cust: DataFrame): DataFrame =
+    passJoinD2Candidates(dirty, cust)
+      .join(dirty, "dirty_id")
+      .join(cust, "c_custkey")
+      .select(col("dirty_id"), col("c_custkey"),
+        levenshtein(col("dirty_name"), col("c_name")).cast("long").as("dist"))
+      .filter(col("dist") <= Tau)
+
+  private val Tau = 2
+
   /** Variable-length / exotic-alphabet fallback: FastSS candidates +
     * an explicit levenshtein ≤ 2 verify over re-attached names. */
   private[graft] def fastssD2Verified(dirty: DataFrame, cust: DataFrame): DataFrame =
@@ -271,27 +482,30 @@ object EntityResolution {
     * its cost is Σ group² over variant groups, which low-entropy
     * equal-length keyspaces turn quadratic — exactly what the router
     * sends to the fast path instead. */
-  private[graft] def fastssD2Candidates(dirty: DataFrame, cust: DataFrame): DataFrame = {
-    def variants(df: DataFrame, nameCol: String, pfx: String) = {
-      val id = df.columns.head
-      val L = s"length($nameCol)"
-      val vs =
-        s"""array_distinct(concat(
-           |  array($nameCol),
-           |  transform(sequence(1, $L), i ->
-           |    concat(substr($nameCol, 1, i - 1), substr($nameCol, i + 1))),
-           |  flatten(transform(sequence(1, $L - 1), i ->
-           |    transform(sequence(i + 1, $L), j ->
-           |      concat(substr($nameCol, 1, i - 1),
-           |             substr($nameCol, i + 1, j - i - 1),
-           |             substr($nameCol, j + 1)))))))""".stripMargin
-      df.select(col(id).as(s"${pfx}_id"), explode(expr(vs)).as(s"${pfx}_variant"))
-    }
-    variants(dirty, "dirty_name", "d")
-      .join(variants(cust, "c_name", "c"), col("d_variant") === col("c_variant"))
+  /** One side's depth-≤2 deletion-neighborhood keys (exposed for the
+    * join-volume degradation spec). */
+  private[graft] def fastssVariants(df: DataFrame, nameCol: String,
+                                    pfx: String): DataFrame = {
+    val id = df.columns.head
+    val L = s"length($nameCol)"
+    val vs =
+      s"""array_distinct(concat(
+         |  array($nameCol),
+         |  transform(sequence(1, $L), i ->
+         |    concat(substr($nameCol, 1, i - 1), substr($nameCol, i + 1))),
+         |  flatten(transform(sequence(1, $L - 1), i ->
+         |    transform(sequence(i + 1, $L), j ->
+         |      concat(substr($nameCol, 1, i - 1),
+         |             substr($nameCol, i + 1, j - i - 1),
+         |             substr($nameCol, j + 1)))))))""".stripMargin
+    df.select(col(id).as(s"${pfx}_id"), explode(expr(vs)).as(s"${pfx}_variant"))
+  }
+
+  private[graft] def fastssD2Candidates(dirty: DataFrame, cust: DataFrame): DataFrame =
+    fastssVariants(dirty, "dirty_name", "d")
+      .join(fastssVariants(cust, "c_name", "c"), col("d_variant") === col("c_variant"))
       .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"))
       .distinct()
-  }
 
   def oracle: Map[String, String] = Map(
     "er1_entity_resolution" ->
@@ -332,66 +546,99 @@ object EntityResolution {
     // er2: two bumped digits, depth-≤2 DELETION neighborhoods joined
     // on variant equality (FastSS), levenshtein <= 2 verify — same
     // ranked resolution.
-    "er2_entity_resolution_d2" -> {
-      def bump(inner: String, off: String): String =
-        s"substr($inner, 1, CAST(9 + ($off) AS INT)) " +
-          s"|| CAST((CAST(substr($inner, CAST(10 + ($off) AS INT), 1) AS INT) + 1) % 10 AS VARCHAR) " +
-          s"|| substr($inner, CAST(11 + ($off) AS INT))"
-      val dirtyName = bump(bump("c_name", "c_custkey % 9"),
-        "(c_custkey % 9 + 1 + c_custkey % 8) % 9")
-      def del1(n: String) =
-        s"substr($n, 1, CAST(p.i - 1 AS INT)) || substr($n, CAST(p.i + 1 AS INT))"
-      def del2(n: String) =
-        s"substr($n, 1, CAST(p.i - 1 AS INT)) " +
-          s"|| substr($n, CAST(p.i + 1 AS INT), CAST(p.j - p.i - 1 AS INT)) " +
-          s"|| substr($n, CAST(p.j + 1 AS INT))"
-      s"""WITH dirty AS (
-         |  SELECT c_custkey + 2000000 AS dirty_id,
-         |    $dirtyName AS dirty_name
-         |  FROM customer
-         |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
-         |pos1 AS (SELECT unnest(range(1, ${NameLen + 1})) AS i),
-         |pos AS (
-         |  SELECT ii.i, jj.j
-         |  FROM (SELECT unnest(range(1, ${NameLen + 1})) AS i) ii,
-         |       (SELECT unnest(range(1, ${NameLen + 1})) AS j) jj
-         |  WHERE jj.j > ii.i),
-         |ckeys AS (
-         |  SELECT DISTINCT c_custkey, c_name, bkey FROM (
-         |  SELECT c_custkey, c_name, c_name AS bkey FROM customer
-         |  UNION ALL
-         |  SELECT c.c_custkey, c.c_name,
-         |    substr(c.c_name, 1, CAST(p.i - 1 AS INT))
-         |      || substr(c.c_name, CAST(p.i + 1 AS INT)) AS bkey
-         |  FROM customer c, pos1 p
-         |  UNION ALL
-         |  SELECT c.c_custkey, c.c_name, ${del2("c.c_name")} AS bkey
-         |  FROM customer c, pos p)),
-         |dkeys AS (
-         |  SELECT DISTINCT dirty_id, dirty_name, bkey FROM (
-         |  SELECT dirty_id, dirty_name, dirty_name AS bkey FROM dirty
-         |  UNION ALL
-         |  SELECT d.dirty_id, d.dirty_name, ${del1("d.dirty_name")} AS bkey
-         |  FROM dirty d, pos1 p
-         |  UNION ALL
-         |  SELECT d.dirty_id, d.dirty_name, ${del2("d.dirty_name")} AS bkey
-         |  FROM dirty d, pos p)),
-         |cand AS (
-         |  SELECT DISTINCT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
-         |  FROM dkeys d JOIN ckeys c ON d.bkey = c.bkey),
-         |ver AS (
-         |  SELECT dirty_id, c_custkey,
-         |    CAST(levenshtein(dirty_name, c_name) AS BIGINT) AS dist
-         |  FROM cand WHERE levenshtein(dirty_name, c_name) <= 2),
-         |ranked AS (
-         |  SELECT dirty_id, c_custkey, dist,
-         |    row_number() OVER (PARTITION BY dirty_id
-         |      ORDER BY dist, c_custkey) AS rn,
-         |    count(*) OVER (PARTITION BY dirty_id) AS n_cands
-         |  FROM ver)
-         |SELECT dirty_id, c_custkey AS resolved_custkey, dist,
-         |  CAST(n_cands AS BIGINT) AS n_cands
-         |FROM ranked WHERE rn = 1""".stripMargin
-    }
+    "er2_entity_resolution_d2" -> fastssD2OracleSql(
+      sqlBump(sqlBump("c_name", "c_custkey % 9"),
+        "(c_custkey % 9 + 1 + c_custkey % 8) % 9"),
+      offset = 2000000L),
+    // er3: bump ONE digit + DELETE one other of the LONG composite key
+    // (name | 12-hex md5 discriminator, L = 31) — a length-30 dirty
+    // side against the 31-char master, graded by the SAME FastSS-shape
+    // re-derivation (out-of-range deletion positions are no-op
+    // variants DISTINCT collapses, so the fixed-position neighborhood
+    // is exact for any ≤31-char length mix).
+    "er3_er_mixed_len" -> fastssD2OracleSql(
+      sqlDel(sqlBump("c_name", "c_custkey % 9"),
+        "(c_custkey % 9 + 1 + c_custkey % 8) % 9"),
+      offset = 3000000L,
+      masterExpr =
+        "c_name || '|' || substr(md5(CAST(c_custkey AS VARCHAR)), 17, 12)",
+      maxLen = 31)
   )
+
+  /** DuckDB digit-bump at digit offset `off` (mirrors er2's Spark
+    * fixture helper). */
+  private def sqlBump(inner: String, off: String): String =
+    s"substr($inner, 1, CAST(9 + ($off) AS INT)) " +
+      s"|| CAST((CAST(substr($inner, CAST(10 + ($off) AS INT), 1) AS INT) + 1) % 10 AS VARCHAR) " +
+      s"|| substr($inner, CAST(11 + ($off) AS INT))"
+
+  /** DuckDB digit-delete at digit offset `off` (er3's fixture). */
+  private def sqlDel(inner: String, off: String): String =
+    s"substr($inner, 1, CAST(9 + ($off) AS INT)) " +
+      s"|| substr($inner, CAST(11 + ($off) AS INT))"
+
+  /** The FastSS-shape exact lev-≤2 oracle (deletion neighborhoods →
+    * variant equi-join → levenshtein verify → ranked resolution),
+    * parameterized by the dirty fixture expression, id offset, the
+    * master-key expression and its max length — shared by er2
+    * (uniform-length plain names) and er3 (mixed-length long keys). */
+  private def fastssD2OracleSql(dirtyName: String, offset: Long,
+                                masterExpr: String = "c_name",
+                                maxLen: Int = NameLen): String = {
+    def del1(n: String) =
+      s"substr($n, 1, CAST(p.i - 1 AS INT)) || substr($n, CAST(p.i + 1 AS INT))"
+    def del2(n: String) =
+      s"substr($n, 1, CAST(p.i - 1 AS INT)) " +
+        s"|| substr($n, CAST(p.i + 1 AS INT), CAST(p.j - p.i - 1 AS INT)) " +
+        s"|| substr($n, CAST(p.j + 1 AS INT))"
+    s"""WITH master AS (
+       |  SELECT c_custkey, $masterExpr AS c_name FROM customer),
+       |dirty AS (
+       |  SELECT c_custkey + $offset AS dirty_id,
+       |    $dirtyName AS dirty_name
+       |  FROM master
+       |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+       |pos1 AS (SELECT unnest(range(1, ${maxLen + 1})) AS i),
+       |pos AS (
+       |  SELECT ii.i, jj.j
+       |  FROM (SELECT unnest(range(1, ${maxLen + 1})) AS i) ii,
+       |       (SELECT unnest(range(1, ${maxLen + 1})) AS j) jj
+       |  WHERE jj.j > ii.i),
+       |ckeys AS (
+       |  SELECT DISTINCT c_custkey, c_name, bkey FROM (
+       |  SELECT c_custkey, c_name, c_name AS bkey FROM master
+       |  UNION ALL
+       |  SELECT c.c_custkey, c.c_name,
+       |    substr(c.c_name, 1, CAST(p.i - 1 AS INT))
+       |      || substr(c.c_name, CAST(p.i + 1 AS INT)) AS bkey
+       |  FROM master c, pos1 p
+       |  UNION ALL
+       |  SELECT c.c_custkey, c.c_name, ${del2("c.c_name")} AS bkey
+       |  FROM master c, pos p)),
+       |dkeys AS (
+       |  SELECT DISTINCT dirty_id, dirty_name, bkey FROM (
+       |  SELECT dirty_id, dirty_name, dirty_name AS bkey FROM dirty
+       |  UNION ALL
+       |  SELECT d.dirty_id, d.dirty_name, ${del1("d.dirty_name")} AS bkey
+       |  FROM dirty d, pos1 p
+       |  UNION ALL
+       |  SELECT d.dirty_id, d.dirty_name, ${del2("d.dirty_name")} AS bkey
+       |  FROM dirty d, pos p)),
+       |cand AS (
+       |  SELECT DISTINCT d.dirty_id, d.dirty_name, c.c_custkey, c.c_name
+       |  FROM dkeys d JOIN ckeys c ON d.bkey = c.bkey),
+       |ver AS (
+       |  SELECT dirty_id, c_custkey,
+       |    CAST(levenshtein(dirty_name, c_name) AS BIGINT) AS dist
+       |  FROM cand WHERE levenshtein(dirty_name, c_name) <= 2),
+       |ranked AS (
+       |  SELECT dirty_id, c_custkey, dist,
+       |    row_number() OVER (PARTITION BY dirty_id
+       |      ORDER BY dist, c_custkey) AS rn,
+       |    count(*) OVER (PARTITION BY dirty_id) AS n_cands
+       |  FROM ver)
+       |SELECT dirty_id, c_custkey AS resolved_custkey, dist,
+       |  CAST(n_cands AS BIGINT) AS n_cands
+       |FROM ranked WHERE rn = 1""".stripMargin
+  }
 }

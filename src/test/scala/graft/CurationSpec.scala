@@ -287,11 +287,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got.forall(_._3 <= 2L))
   }
 
-  test("er2 router: uniform lengths take the wildcard+del1 fast path; " +
-    "mixed lengths fall back to FastSS-2; both cover all lev<=2 pairs " +
-    "on an adversarial fixture (subs, shifts, true indels)") {
+  test("er2/er3 router: uniform lengths take the wildcard+del1 fast " +
+    "path; mixed lengths take PassJoin segments; sub-3-char corpora " +
+    "take FastSS; all cover all lev<=2 pairs on an adversarial " +
+    "fixture (subs, shifts, true indels)") {
     import graft.pipeline.EntityResolution
     import spark.implicits._
+    // the dispatch function itself (r14 verdict #5: three-way,
+    // spec-pinned). Segments take mixed-length LONG keys (>= SegMinLen,
+    // where FastSS's C(L,2) emission degrades — measured, SCALE.md);
+    // short mixed keys stay FastSS (its join volume tracks the lev-4
+    // ball there, which segment groups cannot beat on low entropy).
+    assert(EntityResolution.routeFor(18, 18, 0) ==
+      EntityResolution.EqualLenRoute)
+    assert(EntityResolution.routeFor(30, 31, 0) ==
+      EntityResolution.SegmentsRoute)
+    assert(EntityResolution.routeFor(17, 18, 0) ==
+      EntityResolution.FastSSRoute) // short mixed: FastSS is optimal
+    assert(EntityResolution.routeFor(24, 24, 5) ==
+      EntityResolution.SegmentsRoute) // '*' alphabet: segments, not FastSS
+    assert(EntityResolution.routeFor(2, 31, 0) ==
+      EntityResolution.FastSSRoute) // segments need L >= tau+1
     // base strings: zero-padded dense ids (the adversarial shape) plus,
     // in the mixed case, genuinely shorter/longer variants so the
     // candidates must cross length classes
@@ -315,16 +331,106 @@ class CurationSpec extends AnyFunSuite {
       val dirty = probes.toDF("dirty_id", "dirty_name")
       // verified pairs AND their distances must both be exact — the
       // fast path decodes dist structurally (no levenshtein pass), so
-      // this is the test that the m-class decoding is right
+      // this is the test that the m-class decoding is right; the
+      // short mixed case routes FastSS
       val got = EntityResolution.d2Verified(dirty, custDf)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == exhaustive(base, probes), s"fast=$expectFast")
       // router dispatch: the fast path plans two explode arms UNIONed;
-      // the fallback is a single variant equi-join (no union)
+      // the other routes are single candidate equi-joins (no union)
       val plan = EntityResolution.d2Verified(dirty, custDf)
         .queryExecution.optimizedPlan.toString
       assert(plan.contains("Union") == expectFast, plan)
     }
+    // ALL THREE schemes agree on both fixtures (FastSS is the
+    // reference cover; the segment path must match it exactly even in
+    // regimes the router would not send it — exactness is
+    // shape-independent, only cost is not)
+    val custDf = base.toDF("c_custkey", "c_name")
+    for (probes <- Seq(probesEq, probesMix)) {
+      val dirtyDf = probes.toDF("dirty_id", "dirty_name")
+      val seg = EntityResolution.passJoinD2Verified(dirtyDf, custDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val fss = EntityResolution.fastssD2Verified(dirtyDf, custDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(seg == fss && seg == exhaustive(base, probes))
+    }
+    // segment route end-to-end through the ROUTER on its own regime:
+    // long composite keys (L >= SegMinLen), mixed lengths
+    val longBase = (1 to 300).map(k =>
+      (k.toLong, f"K#$k%06d|${java.util.UUID.nameUUIDFromBytes(Array(k.toByte, (k >> 8).toByte)).toString.take(16)}"))
+    val longProbes = longBase.take(40).map { case (k, n) =>
+      val b = n.updated(4, (((n(4) - '0') + 1) % 10 + '0').toChar)
+      (k + 9100L, b.take(7) + b.drop(8)) // bump + delete: lev 2, len-1
+    }
+    def lexh = (for {
+      (did, dn) <- longProbes; (ck, cn) <- longBase
+      d = lev(dn, cn) if d <= 2
+    } yield (did, ck, d.toLong)).toSet
+    val longCust = longBase.toDF("c_custkey", "c_name")
+    val longDirty = longProbes.toDF("dirty_id", "dirty_name")
+    assert(EntityResolution.routeFor(
+      longProbes.map(_._2.length).min min longBase.map(_._2.length).min,
+      longBase.map(_._2.length).max, 0) == EntityResolution.SegmentsRoute)
+    val gotLong = EntityResolution.d2Verified(longDirty, longCust)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotLong == lexh && gotLong.size >= longProbes.size)
+  }
+
+  test("er3 segment route: FastSS depth-2 measurably degrades on " +
+    "long mixed-length keys (quadratic-in-L emission); the segment " +
+    "join's total cost stays orders of magnitude lower") {
+    import graft.pipeline.EntityResolution
+    import spark.implicits._
+    // the er3 regime: long composite keys (name | discriminator),
+    // corpus-scale dirty side (every selected record perturbed)
+    def hex(k: Int) = f"${java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes).map("%02x".format(_)).mkString}%s".take(12)
+    val cust = (1 to 400).map(k => (k.toLong, f"Customer#$k%09d|${hex(k)}"))
+    val dirty = cust.map { case (k, n) =>
+      val p = (9 + k % 9).toInt
+      val bumped = n.updated(p, (((n(p) - '0') + 1) % 10 + '0').toChar)
+      val d = (9 + (k % 9 + 1 + k % 8) % 9).toInt
+      (k + 9000L, bumped.take(d) + bumped.drop(d + 1)) // lev 2, len 30
+    }
+    val custDf = cust.toDF("c_custkey", "c_name")
+    val dirtyDf = dirty.toDF("dirty_id", "dirty_name")
+    // TOTAL candidate-generation cost = emitted key rows (the shuffle)
+    // + join volume (Σ over keys of |dirty-side| × |cust-side|)
+    def volume(dk: org.apache.spark.sql.DataFrame,
+               ck: org.apache.spark.sql.DataFrame,
+               keys: Seq[String]): (Long, Long) = {
+      val rows = dk.count() + ck.count()
+      val vol = dk.groupBy(keys.map(col): _*).count()
+        .withColumnRenamed("count", "dc")
+        .join(ck.groupBy(keys.map(col): _*).count()
+          .withColumnRenamed("count", "cc"), keys)
+        .agg(coalesce(sum(col("dc") * col("cc")), lit(0L))).head().getLong(0)
+      (rows, vol)
+    }
+    val (fssRows, fssVol) = volume(
+      EntityResolution.fastssVariants(dirtyDf, "dirty_name", "d")
+        .withColumnRenamed("d_variant", "key"),
+      EntityResolution.fastssVariants(custDf, "c_name", "c")
+        .withColumnRenamed("c_variant", "key"), Seq("key"))
+    val specs = EntityResolution.passJoinSegSpecs(custDf)
+      .toDF("l1", "seg_idx", "seg_start", "seg_width")
+    val (dk, ck) = EntityResolution.passJoinKeys(dirtyDf, custDf, specs)
+    val (segRows, segVol) = volume(dk, ck, Seq("l1", "seg_idx", "seg"))
+    // same verified result through both routes
+    val seg = EntityResolution.passJoinD2Verified(dirtyDf, custDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fss = EntityResolution.fastssD2Verified(dirtyDf, custDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(seg == fss)
+    assert(seg.map(_._1).size >= dirty.size) // every planted row resolves
+    // the degradation: FastSS emits 1+L+C(L,2) ≈ 500 variants/record
+    // of ~L chars at L=31; the segment route emits 3 index keys + ≤ 25
+    // windowed probes of ~L/3 chars. 10× is a floor — measured ~20×
+    // rows and the volumes are both near the true-pair count here
+    // (high per-segment entropy), so rows dominate total cost.
+    assert(fssRows + fssVol >= 10 * (segRows + segVol),
+      s"fss rows=$fssRows vol=$fssVol vs seg rows=$segRows vol=$segVol")
   }
 
   test("er2 router: empty inputs route to a defined path and yield an " +
