@@ -393,8 +393,14 @@ object EntityResolution {
     // ≤ τ+1−i), so s ∈ [p−(i−1), p+(i−1)] ∩ [p+Δ−(τ+1−i), p+Δ+(τ+1−i)]
     // — window sizes 1/≤3/1 instead of the loose ±τ's 5/5/5 (3× less
     // join volume, measured).
+    // the ±τ length-class fan-out is an explicit generator so the
+    // specs join stays an EQUI-join (a ≤ predicate against the
+    // broadcast specs frame would plan as BroadcastNestedLoopJoin —
+    // harmless at 15 spec rows but a banned operator in the audit)
     val dkeys = dirty
-      .join(specs, abs(length(col("dirty_name")) - col("l1")) <= Tau)
+      .withColumn("l1", explode(expr(
+        s"sequence(length(dirty_name) - $Tau, length(dirty_name) + $Tau)")))
+      .join(specs, "l1")
       .withColumn("delta", length(col("dirty_name")) - col("l1"))
       .withColumn("w_lo", greatest(lit(1),
         col("seg_start") - (col("seg_idx") - 1),
