@@ -35,4 +35,38 @@ class ToolsContractSpec extends AnyFunSuite {
     assert(out.contains("negative gap") && !out.contains("MISCLASSIFIED"),
       out)
   }
+
+  test("sweep_contracts.json: the approximate-path bounds are " +
+    "committed data with the declared values (r14 verdict #8 — a " +
+    "sweep cannot silently loosen them; changing one is a visible " +
+    "data+spec diff)") {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/sweep_contracts.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // the file is the single source both tools load at import time —
+    // pin each bound's exact committed value with a tight regex over
+    // the raw JSON (no JSON lib needed for five scalars)
+    def bound(section: String, key: String): String = {
+      val sec = txt.drop(txt.indexOf("\"" + section + "\""))
+      val m = ("\"" + key + "\"\\s*:\\s*([-0-9.eE]+)").r
+        .findFirstMatchIn(sec)
+      assert(m.isDefined, s"$section.$key missing from sweep_contracts.json")
+      m.get.group(1)
+    }
+    assert(bound("sim6_knn_capped", "gap_min").toDouble == -1e-9)
+    assert(bound("sim6_knn_capped", "gap_max").toDouble == 0.01)
+    assert(bound("dd5_blocked_neardup", "max_misses").toInt == 25)
+    assert(bound("dd5_blocked_neardup", "miss_cos_ceil").toDouble == 0.45)
+    assert(bound("sim3_ann_ivf", "min_recall").toDouble == 0.9)
+    assert(bound("sim3_ann_ivf", "top_pool").toInt == 50)
+    // and the python side actually reads the file: the constants must
+    // no longer be literal in either tool
+    for (tool <- Seq("tools/sf1_sweep.py", "tools/knn_oracle_chunked.py")) {
+      val src = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(tool)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(src.contains("sweep_contracts.json"),
+        s"$tool no longer loads the committed contract file")
+    }
+  }
 }

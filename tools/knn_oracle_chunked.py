@@ -22,16 +22,14 @@ from decimal import Decimal
 # sim6's engaged-cap contract (r14 verdict #1: ASSERTED, not printed).
 # The per-bucket cap may only DEMOTE a slot to a slightly-worse
 # partner, never invent a better one and never change the score of an
-# unchanged partner. Bounds:
-#  - GAP_MIN: every slot gap (oracle_cos - spark_cos) >= 0. Rounding
-#    cannot break this (round-to-4 is monotone; both engines round
-#    identically), so the tolerance is float-repr noise only.
-#  - GAP_MAX: declared near-tie ceiling. Measured engaged-regime max
-#    0.0041 (r10 sf1, results/r10_sf1/knn_chunked.log; SCALE.md pins
-#    "none >= 0.005"); 0.01 gives fresh-corpus headroom while sitting
-#    20x under the 0.2-magnitude error a real ranking bug produces.
-GAP_MIN = -1e-9
-GAP_MAX = 0.010
+# unchanged partner. The bounds are COMMITTED DATA (r14 verdict #8) —
+# tools/sweep_contracts.json is the single source, pinned by
+# ToolsContractSpec, so a sweep cannot silently loosen them; a missing
+# or malformed file fails loudly rather than falling back to defaults.
+_CONTRACTS = json.load(open(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "sweep_contracts.json")))
+GAP_MIN = float(_CONTRACTS["sim6_knn_capped"]["gap_min"])
+GAP_MAX = float(_CONTRACTS["sim6_knn_capped"]["gap_max"])
 
 
 def slot_contract(sm, om):

@@ -10,9 +10,17 @@ from the chunked runner is sim6's DOCUMENTED engaged-cap divergence
 
 Usage: sf1_sweep.py <sfDir> <verifyOutDir> <outJson> [timeoutSec]
 """
-import json, subprocess, sys, time
+import json, os, subprocess, sys, time
 
 KNN_CHUNKED = {"sim4_knn_join", "sim5_knn_blocked", "sim6_knn_capped"}
+
+# Contract parameters are COMMITTED DATA (r14 verdict #8):
+# tools/sweep_contracts.json is the single source for every
+# approximate-path bound this sweep grades against, pinned by
+# ToolsContractSpec. A missing/malformed file aborts the sweep —
+# no in-script fallback values to drift toward.
+_CONTRACTS = json.load(open(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "sweep_contracts.json")))
 
 # dd5_blocked_neardup is the banded-LSH production path graded against
 # the EXACT all-pairs oracle; its banding is derived for miss
@@ -27,8 +35,8 @@ KNN_CHUNKED = {"sim4_knn_join", "sim5_knn_blocked", "sim6_knn_capped"}
 # oracle, misses <= mean + 5 sigma (25), every missed pair within the
 # near-tau band, matched values identical.
 DD5_BLOCKED = "dd5_blocked_neardup"
-DD5_MAX_MISSES = 25
-DD5_MISS_COS_CEIL = 0.45
+DD5_MAX_MISSES = int(_CONTRACTS[DD5_BLOCKED]["max_misses"])
+DD5_MISS_COS_CEIL = float(_CONTRACTS[DD5_BLOCKED]["miss_cos_ceil"])
 
 # sim3_ann_ivf is a DECLARED approximate index with an ADAPTIVE grid
 # (r14 verdict #4): cells = max(16, ceil(sqrt(n))), nprobe =
@@ -42,8 +50,8 @@ DD5_MISS_COS_CEIL = 0.45
 # its exact rounded cosine (no fabricated values, no deep-rank junk),
 # and the adaptivity decision columns equal the oracle's re-derivation.
 SIM3 = "sim3_ann_ivf"
-SIM3_MIN_RECALL = 0.9
-SIM3_TOP_POOL = 50
+SIM3_MIN_RECALL = float(_CONTRACTS[SIM3]["min_recall"])
+SIM3_TOP_POOL = int(_CONTRACTS[SIM3]["top_pool"])
 
 
 def sim3_check(sf_dir, out_dir):
@@ -195,6 +203,12 @@ def main():
             print(f"TIMEOUT {name} ({timeout}s)")
     summary = {"sf_dir": sf_dir, "n": len(oracle), "pass": n_pass,
                "fail": n_fail, "timeout": n_to, "timeout_sec": timeout,
+               # the bounds this sweep was graded against, verbatim
+               # from the committed contract file (minus prose keys)
+               "contract_params": {
+                   k: {pk: pv for pk, pv in v.items()
+                       if not pk.startswith("_")}
+                   for k, v in _CONTRACTS.items() if not k.startswith("_")},
                "results": results}
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
