@@ -27,7 +27,9 @@ object Pipelines {
       Option(f.getParentFile).foreach(_.mkdirs())
       new java.io.PrintWriter(new java.io.FileWriter(f, true))
     }
-    def info(msg: String): Unit = {
+    def info(msg: String): Unit = synchronized {
+      // synchronized: CV folds log from a thread pool (r15); without
+      // it two folds' lines could interleave mid-write in the file
       val line = s"[${java.time.Instant.now()}] $msg"
       println(line)
       writer.foreach { w => w.println(line); w.flush() }
@@ -299,15 +301,31 @@ object Pipelines {
       .shuffle(labeled.filter(_.plans.length >= 2))
     val blocks = eligible.zipWithIndex.groupBy(_._2 % folds)
       .toSeq.sortBy(_._1).map(_._2.map(_._1))
-    blocks.indices.map { i =>
-      val (ffg, fm) = train(blocks.indices.filter(_ != i).flatMap(blocks),
-        epochs, seed)
-      val r = evaluate(ffg, fm, blocks(i))
-      val loss = r.rankingLoss.getOrElse(Double.NaN)
-      log.info(f"cv fold $i%d: held-out loss=$loss%.4f " +
-        f"(test=${blocks(i).size}%d queries)")
-      loss
-    }
+    // Folds retrain on already-paid labels — pure driver-side CPU
+    // (breeze math, per-instance state only), so they run CONCURRENTLY
+    // on a bounded pool. Each fold's training is bit-deterministic
+    // given (fold data, seed); parallelism changes only wall clock and
+    // log interleaving (Logger.info is synchronized). At the r15
+    // 300-query corpus a fold retrains in ~35 min — 5 sequential folds
+    // would dominate the pipeline; 5 concurrent ones cost one fold.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(folds, Runtime.getRuntime.availableProcessors()))
+    try {
+      val futures = blocks.indices.map { i =>
+        pool.submit(new java.util.concurrent.Callable[Double] {
+          def call(): Double = {
+            val (ffg, fm) = train(
+              blocks.indices.filter(_ != i).flatMap(blocks), epochs, seed)
+            val r = evaluate(ffg, fm, blocks(i))
+            val loss = r.rankingLoss.getOrElse(Double.NaN)
+            log.info(f"cv fold $i%d: held-out loss=$loss%.4f " +
+              f"(test=${blocks(i).size}%d queries)")
+            loss
+          }
+        })
+      }
+      futures.map(_.get())
+    } finally pool.shutdown()
   }
 
   /** M30 deployment/dynamic loop (`deployment.py:20-43`,

@@ -15,7 +15,16 @@ import graft.workload.{Harvester, WorkloadGen}
   * `results/stats/` goldens (BASELINE.md ranking loss 0.6132 on its
   * STATS corpus — different data, same metric).
   *
-  * Usage: runMain graft.planopt.StableMain [sfDir] [numGenerated] [epochs] [outDir]
+  * Usage: runMain graft.planopt.StableMain [sfDir] [numGenerated] [epochs] [outDir] [poolFile]
+  *
+  * With `poolFile` (r14 verdict #7 — scale the labeled workload toward
+  * the reference's 1000-labeled-query regime): instead of generating a
+  * fresh workload, sample `numGenerated` queries from the committed
+  * 20k pool artifact (`results/r14_pool/train_pool.txt`, the
+  * distribution-gated PoolMain output) with a seeded shuffle — the
+  * labeled set is then a cited subset of the same pool whose
+  * template/join/filter distributions were mechanically matched
+  * against the generator spec.
   */
 object StableMain {
   def main(args: Array[String]): Unit = {
@@ -27,6 +36,7 @@ object StableMain {
     val numGen = args.lift(1).map(_.toInt).getOrElse(100)
     val epochs = args.lift(2).map(_.toInt).getOrElse(60)
     val outDir = args.lift(3).getOrElse("results/r7_stable")
+    val poolFile = args.lift(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,9 +65,20 @@ object StableMain {
     val h = WorkloadGen.harvest(spark, seedSql)
     val rd = Harvester.rangeDict(spark, sfDir)
     Harvester.writeInfos(spark, sfDir, s"$outDir/infos", seedSql)
-    val generated = WorkloadGen.generateRandomSql(
-      h, rd, Harvester.revAliasMap, numSql = numGen, seed = 42L)
-    log.info(s"generated $numGen workload queries")
+    val generated = poolFile match {
+      case Some(pf) =>
+        val all = scala.io.Source.fromFile(pf).getLines()
+          .map(_.trim).filter(_.nonEmpty).toVector
+        val sample = new scala.util.Random(42L).shuffle(all).take(numGen)
+        log.info(s"sampled ${sample.size} of ${all.size} pool queries " +
+          s"from $pf (seeded shuffle, seed=42)")
+        sample
+      case None =>
+        val g = WorkloadGen.generateRandomSql(
+          h, rd, Harvester.revAliasMap, numSql = numGen, seed = 42L)
+        log.info(s"generated $numGen workload queries")
+        g
+    }
 
     val genQueries: Seq[(String, SparkSession => DataFrame)] =
       generated.zipWithIndex.map { case (q, i) =>
