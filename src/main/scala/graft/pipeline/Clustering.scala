@@ -163,6 +163,107 @@ object Clustering {
       .withColumn("distd", fin.getField("d"))
   }
 
+  /** Below this k the kernel skips the two-level bound machinery —
+    * √k groups would be a handful and the bound pass itself costs
+    * O(√k·dim) per row. */
+  private[graft] val PruneKMin = 128
+
+  /** Two-level pruning metadata for [[kernelAssign]] (the r14
+    * verdict's "O(n·k) asymptotics" note, closed EXACTLY rather than
+    * by the approximate coarse/fine trade SCALE.md declined):
+    * centroids are coarse-clustered into g = ⌈√k⌉ groups on the
+    * driver (2 Lloyd rounds over k×dim doubles — O(k^1.5·dim), fine
+    * to k ~ 10⁵; past that fit the reps on a centroid sample), and
+    * each group carries its rep vector, |rep|², and a CONSERVATIVE
+    * radius R ≥ max_{c∈G} ‖c − rep‖. At query time the metric triangle
+    * inequality gives d(q,c) ≥ d(q,rep) − R for every member, so a
+    * group whose (safe-margined) squared bound exceeds the best
+    * distance so far is skipped WHOLESALE — no member is touched, yet
+    * the evaluated-candidate arithmetic (and hence the output) is
+    * bit-identical to the full scan, because skipping only discards
+    * candidates that provably cannot win or tie. Margins: every
+    * float-sloppy quantity is rounded AGAINST pruning (radius up,
+    * bound down by 1e-9 relative + 1 absolute — ~10⁵× the worst-case
+    * accumulated IEEE error of these ≤70-op chains on <2^53 integer
+    * values), so correctness never rests on float niceness.
+    * Layout: CSR member lists (starts, memberIdx) + flat reps. */
+  private def buildGroups(flat: Array[Double], k: Int, dim: Int)
+      : (Array[Int], Array[Int], Array[Double], Array[Double], Array[Double]) = {
+    val g = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    var reps = Array.tabulate(g) { gi =>
+      val ci = (gi.toLong * k / g).toInt // evenly strided seeds
+      java.util.Arrays.copyOfRange(flat, ci * dim, ci * dim + dim)
+    }
+    val assignment = new Array[Int](k)
+    var iter = 0
+    while (iter < 2) {
+      var ci = 0
+      while (ci < k) {
+        var best = Double.MaxValue; var bg = 0; var gi = 0
+        while (gi < g) {
+          val r = reps(gi); val off = ci * dim
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = flat(off + j) - r(j); d += t * t; j += 1 }
+          if (d < best) { best = d; bg = gi }
+          gi += 1
+        }
+        assignment(ci) = bg
+        ci += 1
+      }
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val counts = new Array[Int](g)
+      ci = 0
+      while (ci < k) {
+        val gi = assignment(ci); counts(gi) += 1
+        var j = 0
+        while (j < dim) { sums(gi)(j) += flat(ci * dim + j); j += 1 }
+        ci += 1
+      }
+      reps = Array.tabulate(g) { gi =>
+        if (counts(gi) == 0) reps(gi) // empty group keeps its seed rep
+        else { val s = sums(gi); var j = 0
+          while (j < dim) { s(j) /= counts(gi); j += 1 }; s }
+      }
+      iter += 1
+    }
+    // CSR member layout + conservative radii
+    val starts = new Array[Int](g + 1)
+    var ci = 0
+    while (ci < k) { starts(assignment(ci) + 1) += 1; ci += 1 }
+    var gi = 1
+    while (gi <= g) { starts(gi) += starts(gi - 1); gi += 1 }
+    val fill = starts.clone()
+    val memberIdx = new Array[Int](k)
+    ci = 0
+    while (ci < k) {
+      val gg = assignment(ci); memberIdx(fill(gg)) = ci; fill(gg) += 1
+      ci += 1
+    }
+    val repsFlat = new Array[Double](g * dim)
+    val rn2 = new Array[Double](g)
+    val radius = new Array[Double](g)
+    gi = 0
+    while (gi < g) {
+      val r = reps(gi)
+      var n2 = 0.0; var j = 0
+      while (j < dim) { repsFlat(gi * dim + j) = r(j); n2 += r(j) * r(j); j += 1 }
+      rn2(gi) = n2
+      var mx = 0.0
+      var mi = starts(gi)
+      while (mi < starts(gi + 1)) {
+        val off = memberIdx(mi) * dim
+        var d = 0.0; j = 0
+        while (j < dim) { val t = flat(off + j) - r(j); d += t * t; j += 1 }
+        if (d > mx) mx = d
+        mi += 1
+      }
+      // radius rounded UP: over-estimating R only weakens pruning
+      radius(gi) = math.sqrt(mx) * (1 + 1e-9) + 1e-9
+      gi += 1
+    }
+    (starts, memberIdx, repsFlat, rn2, radius)
+  }
+
   /** The declared large-k escape hatch (r14 verdict #2), now code:
     * one mapPartitions pass against a BROADCAST centroid matrix in
     * the FAISS layout — ids / flat row-major k×dim doubles / |c|²
@@ -175,9 +276,23 @@ object Clustering {
     * deliberate non-codegen kernel (same contract as Multimodal's
     * codecs and Bpe's encoder): the per-row work is O(k·dim) FMAs
     * that whole-stage codegen could not improve, and the expression
-    * path stops PLANNING at this k anyway. */
+    * path stops PLANNING at this k anyway.
+    *
+    * At k ≥ [[PruneKMin]] (auto, or forced either way via `prune` for
+    * specs/measurement) the scan adds EXACT two-level pruning
+    * ([[buildGroups]]): the row's distance to each of ~√k group reps
+    * lower-bounds every member's distance via the triangle
+    * inequality, the most-promising group is scanned first to make
+    * the running best tight, and any group whose safe-margined bound
+    * exceeds it is skipped without touching a member. On an assigned
+    * (post-Lloyd) corpus — rows near their centroid — this touches
+    * O(√k) of the k centroids per row; on an adversarially uniform
+    * corpus it degrades to the full scan plus an O(√k·dim) bound
+    * pass, never worse asymptotically. Output is bit-identical either
+    * way (CurationSpec pins pruned ≡ unpruned at an engaged k). */
   private[graft] def kernelAssign(df: DataFrame,
-      centroids: Seq[(Long, Array[Long])]): DataFrame = {
+      centroids: Seq[(Long, Array[Long])],
+      prune: Option[Boolean] = None): DataFrame = {
     val spark = df.sparkSession
     val qvdIdx = df.schema.fieldIndex("qvd")
     val qnIdx = df.schema.fieldIndex("qn")
@@ -197,31 +312,88 @@ object Clustering {
       }
       cn2(ci) = n2.toDouble
     }
-    val bc = spark.sparkContext.broadcast((ids, flat, cn2))
+    val groups =
+      if (prune.getOrElse(k >= PruneKMin)) Some(buildGroups(flat, k, dim))
+      else None
+    val bc = spark.sparkContext.broadcast((ids, flat, cn2, groups))
     val outSchema = df.schema
       .add("cluster", org.apache.spark.sql.types.LongType, nullable = false)
       .add("distd", org.apache.spark.sql.types.DoubleType, nullable = false)
     val rdd = df.rdd.mapPartitions { it =>
-      val (cids, m, n2s) = bc.value
+      val (cids, m, n2s, grp) = bc.value
       val kk = cids.length
+      val q = new Array[Double](dim)
+      // per-partition scratch for the bound pass (reused across rows)
+      val nG = grp.map(_._5.length).getOrElse(0)
+      val lb2 = new Array[Double](nG)
       it.map { row =>
         val qSeq = row.getSeq[Double](qvdIdx)
-        val q = new Array[Double](dim)
         var i = 0
         while (i < dim) { q(i) = qSeq(i); i += 1 }
         val qn = row.getDouble(qnIdx)
         var bestD = Double.PositiveInfinity
         var bestC = Long.MaxValue
-        var ci = 0
-        while (ci < kk) {
-          var dot = 0.0
-          var j = 0
-          val off = ci * dim
-          while (j < dim) { dot += q(j) * m(off + j); j += 1 }
-          val d = qn - 2.0 * dot + n2s(ci) // assignExpr's exact expansion
-          val c = cids(ci)
-          if (d < bestD || (d == bestD && c < bestC)) { bestD = d; bestC = c }
-          ci += 1
+        // exact member scan shared by both paths — assignExpr's
+        // expansion verbatim, so evaluated candidates are bit-equal
+        def scanRange(startsArr: Array[Int], members: Array[Int],
+            gi: Int): Unit = {
+          var mi = startsArr(gi)
+          while (mi < startsArr(gi + 1)) {
+            val ci = members(mi)
+            var dot = 0.0
+            var j = 0
+            val off = ci * dim
+            while (j < dim) { dot += q(j) * m(off + j); j += 1 }
+            val d = qn - 2.0 * dot + n2s(ci)
+            val c = cids(ci)
+            if (d < bestD || (d == bestD && c < bestC)) { bestD = d; bestC = c }
+            mi += 1
+          }
+        }
+        grp match {
+          case None =>
+            var ci = 0
+            while (ci < kk) {
+              var dot = 0.0
+              var j = 0
+              val off = ci * dim
+              while (j < dim) { dot += q(j) * m(off + j); j += 1 }
+              val d = qn - 2.0 * dot + n2s(ci) // assignExpr's exact expansion
+              val c = cids(ci)
+              if (d < bestD || (d == bestD && c < bestC)) { bestD = d; bestC = c }
+              ci += 1
+            }
+          case Some((starts, members, reps, rn2, radius)) =>
+            // bound pass: squared lower bound per group, margins
+            // rounded AGAINST pruning (see buildGroups)
+            var gi = 0
+            var minG = 0
+            var minLb = Double.PositiveInfinity
+            while (gi < nG) {
+              var dot = 0.0
+              var j = 0
+              val off = gi * dim
+              while (j < dim) { dot += q(j) * reps(off + j); j += 1 }
+              val d2 = math.max(0.0, qn - 2.0 * dot + rn2(gi))
+              val dqr = math.sqrt(d2) * (1 - 1e-9)
+              val lb = math.max(0.0, dqr - radius(gi))
+              val v = lb * lb * (1 - 1e-9) - 1.0
+              lb2(gi) = v
+              if (v < minLb) { minLb = v; minG = gi }
+              gi += 1
+            }
+            // most-promising group first: a tight early best makes
+            // the remaining bounds bite (Hamerly's ordering insight,
+            // without a per-row sort)
+            scanRange(starts, members, minG)
+            gi = 0
+            while (gi < nG) {
+              // strict >: an equal bound could still tie and win on
+              // the smaller cluster id, so it must be scanned
+              if (gi != minG && lb2(gi) <= bestD)
+                scanRange(starts, members, gi)
+              gi += 1
+            }
         }
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bestC :+ bestD)
       }

@@ -73,38 +73,79 @@ object KernelScaleMain {
     }
     println(f"kernel: k=$k n=$nRows -> $kernelSec%.1fs")
 
+    // PRUNED vs FULL scan on a CLUSTERED corpus — the regime the
+    // two-level bounds target: after any Lloyd round rows sit near
+    // their centroid (that is what k-means assignment is FOR), so a
+    // realistic assignment pass sees exactly this shape. Row i =
+    // centroid (i % k + 1) plus hash noise 3 orders of magnitude
+    // below the value range. Both paths aggregate to the same sums
+    // (bit-identity is spec-pinned; this asserts it at measurement k
+    // too) — the uniform corpus above stays as the adversarial bound.
+    val qc = spark.range(nRows.toLong).toDF("vec_id")
+      .withColumn("qv", expr(
+        s"transform(sequence(1, $dim), i -> " +
+          s"((vec_id % $k + 1) * 97003 + i * 13007) % 2000000 - 1000000" +
+          " + (vec_id * 2654435761 + i * 40503) % 2000 - 1000)"))
+      .withColumn("qvd", expr("transform(qv, x -> cast(x as double))"))
+      .withColumn("qn", expr("graft_dot(qvd, qvd)"))
+      .persist()
+    qc.count()
+    def sums(prune: Boolean): (Double, Seq[Any]) = time {
+      Clustering.kernelAssign(qc, centroids, prune = Some(prune))
+        .agg(count(lit(1)), sum(col("cluster")), sum(col("distd")))
+        .collect().head.toSeq
+    }
+    val (fullSec, fullSums) = sums(prune = false)
+    val (prunedSec, prunedSums) = sums(prune = true)
+    require(fullSums == prunedSums,
+      s"pruned/full divergence: $prunedSums vs $fullSums")
+    println(f"clustered corpus: full scan $fullSec%.2fs, " +
+      f"pruned $prunedSec%.2fs (identical aggregates)")
+
     // LITERAL path, bounded: run in a worker thread with a hard
     // timeout. Even "success" after minutes is the point — the
-    // expression source grows as k*dim literals.
+    // expression source grows as k*dim literals. timeoutSec=0 skips
+    // the phase entirely (an interrupted Janino compile of a
+    // megabyte-scale expression is NOT cancellable and keeps churning
+    // the heap, so a prune-measurement-only run shouldn't start it;
+    // the timeout evidence is committed separately).
     val exprChars = (k.toLong * dim * 10) // rough source size, chars
-    val pool = Executors.newSingleThreadExecutor()
-    val litQ = q.limit(2000) // planning is the bottleneck, not rows
-    val fut = pool.submit(new java.util.concurrent.Callable[Double] {
-      def call(): Double = time {
-        Clustering.literalAssign(litQ, centroids)
-          .agg(count(lit(1)), sum(col("cluster")))
-          .collect()
-      }._1
-    })
     val literalOutcome: (String, Double) =
-      try { ("completed", fut.get(timeoutSec.toLong, TimeUnit.SECONDS)) }
-      catch {
-        case _: TimeoutException =>
-          fut.cancel(true)
-          (s"timeout>${timeoutSec}s", -1.0)
-        case e: java.util.concurrent.ExecutionException =>
-          val c = Option(e.getCause).getOrElse(e)
-          (s"error:${c.getClass.getSimpleName}:" +
-            Option(c.getMessage).getOrElse("").replaceAll("[\"\n]", " ")
-              .take(160), -1.0)
+      if (timeoutSec == 0) ("skipped", -1.0)
+      else {
+        val pool = Executors.newSingleThreadExecutor()
+        val litQ = q.limit(2000) // planning is the bottleneck, not rows
+        val fut = pool.submit(new java.util.concurrent.Callable[Double] {
+          def call(): Double = time {
+            Clustering.literalAssign(litQ, centroids)
+              .agg(count(lit(1)), sum(col("cluster")))
+              .collect()
+          }._1
+        })
+        val out =
+          try { ("completed", fut.get(timeoutSec.toLong, TimeUnit.SECONDS)) }
+          catch {
+            case _: TimeoutException =>
+              fut.cancel(true)
+              (s"timeout>${timeoutSec}s", -1.0)
+            case e: java.util.concurrent.ExecutionException =>
+              val c = Option(e.getCause).getOrElse(e)
+              (s"error:${c.getClass.getSimpleName}:" +
+                Option(c.getMessage).getOrElse("").replaceAll("[\"\n]", " ")
+                  .take(160), -1.0)
+          }
+        pool.shutdownNow()
+        out
       }
-    pool.shutdownNow()
     println(s"literal: ${literalOutcome._1} " +
       (if (literalOutcome._2 >= 0) f"${literalOutcome._2}%.1fs" else ""))
 
     val json =
       s"""{"k":$k,"dim":$dim,"n_rows":$nRows,""" +
         f""""kernel_sec":$kernelSec%.2f,"kernel_rows":$kernelRows,""" +
+        f""""clustered_full_scan_sec":$fullSec%.2f,""" +
+        f""""clustered_pruned_sec":$prunedSec%.2f,""" +
+        s""""pruned_equals_full":true,""" +
         s""""literal_n_rows":2000,""" +
         s""""literal_outcome":"${literalOutcome._1}",""" +
         f""""literal_sec":${literalOutcome._2}%.2f,""" +

@@ -200,6 +200,43 @@ class CurationSpec extends AnyFunSuite {
     assert(gotBig == want)
   }
 
+  test("kernel two-level pruning is bit-identical to the full scan at " +
+    "an engaged k, including ties, and engages by dispatch") {
+    import graft.pipeline.Clustering
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (q, small) = Clustering.kmeansModel(spark, corpus)
+    // synthesize k >= PruneKMin centroids from the fitted ones: shifted
+    // replicas plus EXACT duplicates under distinct ids, so the
+    // smallest-(d, c) tie rule is exercised through the pruned path
+    // (a duplicated centroid yields equal distances; the smaller id
+    // must win in both scans)
+    val base = (0 until Clustering.PruneKMin + 9).map { i =>
+      (i.toLong + 1L, small(i % small.size)._2.map(_ + (i / small.size) * 7L))
+    }
+    val dups = base.take(8).map { case (c, cv) => (c + 10000L, cv.clone()) }
+    val bigK = base ++ dups
+    assert(bigK.size >= Clustering.PruneKMin)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster"), col("distd"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2))))
+        .toMap
+    val pruned = collect(Clustering.kernelAssign(q, bigK,
+      prune = Some(true)))
+    val full = collect(Clustering.kernelAssign(q, bigK,
+      prune = Some(false)))
+    assert(pruned.nonEmpty && pruned == full)
+    // every duplicated centroid pair must have resolved to the
+    // SMALLER id wherever it won — i.e. no +10000 replica id appears
+    assert(!pruned.valuesIterator.exists(_._1 >= 10000L))
+    // and the auto dispatch engages pruning at this k: same result
+    // through the public entry point
+    val auto = collect(Clustering.withAssignment(q, bigK))
+    assert(auto == full)
+  }
+
   test("sdd1: every planted copy dropped, no original dropped, " +
     "copies co-clustered with their source") {
     val rows = SparkEntry.queries("sdd1_semantic_dedup")(spark, sf)
