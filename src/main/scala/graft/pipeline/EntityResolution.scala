@@ -183,6 +183,41 @@ object EntityResolution {
           expr(del(bump(longKey, p1), pDel)).as("dirty_name"))
       val custNames = cust.select(col("c_custkey"), expr(longKey).as("c_name"))
       resolveBest(d2Verified(dirty, custNames))
+    }),
+    // er4: the SHORT DENSE MIXED-LENGTH gate for the del+wildcard
+    // scheme (late r15 — the r14 verdict-#5 residual, implemented and
+    // then MEASURED OUT of the router; see [[delWildcardD2Verified]]).
+    // The gate calls the scheme DIRECTLY (not through the router,
+    // which correctly keeps FastSS here): its six arms must
+    // hash-match the independent FastSS-shape oracle on the regime
+    // the scheme was proposed for. The master key is 'K#' + the
+    // 9-digit zero-padded custkey — maximally dense by construction;
+    // each planted record bumps one key-derived digit and DELETES one
+    // other, so the dirty side is uniformly length 10 against the
+    // 11-char master. Every planted record sits at lev 2 from its
+    // source; the dense decimal space supplies closer collisions the
+    // resolution must rank correctly.
+    "er4_er_short_mixed" -> ((spark, sfDir) => {
+      val cust = Tables.load(spark, sfDir, "customer")
+      // digit helpers at prefix width 2 ('K#'): digit offset o lives
+      // at 1-based string position 3 + o
+      def bump(inner: String, off: String): String =
+        s"concat(substr($inner, 1, cast(2 + ($off) as int)), " +
+          s"cast((cast(substr($inner, cast(3 + ($off) as int), 1) as int) + 1) % 10 as string), " +
+          s"substr($inner, cast(4 + ($off) as int)))"
+      def del(inner: String, off: String): String =
+        s"concat(substr($inner, 1, cast(2 + ($off) as int)), " +
+          s"substr($inner, cast(4 + ($off) as int)))"
+      val shortKey = "concat('K#', lpad(cast(c_custkey as string), 9, '0'))"
+      val p1 = "c_custkey % 9"
+      val pDel = s"(c_custkey % 9 + 1 + c_custkey % 8) % 9" // always != p1
+      val dirty = cust
+        .filter(substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .select((col("c_custkey") + 4000000L).as("dirty_id"),
+          expr(del(bump(shortKey, p1), pDel)).as("dirty_name"))
+      val custNames = cust.select(col("c_custkey"), expr(shortKey).as("c_name"))
+      resolveBest(delWildcardD2Verified(dirty, custNames))
     })
   )
 
@@ -210,7 +245,10 @@ object EntityResolution {
   private val NameLen = 18
 
   /** The three exact lev-≤2 blocking schemes [[d2Verified]] routes
-    * over (r14 verdict #5 made the router three-way). */
+    * over (r14 verdict #5 made the router three-way). A FOURTH exact
+    * scheme exists ([[delWildcardD2Verified]], late r15) but is
+    * deliberately NOT routed — see its Scaladoc for the measurement
+    * that rules it out as a default. */
   private[graft] sealed trait D2Route
   private[graft] case object EqualLenRoute extends D2Route
   private[graft] case object SegmentsRoute extends D2Route
@@ -241,8 +279,10 @@ object EntityResolution {
     * lengths with max length ≥ [[SegMinLen]] → PassJoin segment
     * filters (exact at any length mix, no wildcard alphabet
     * constraint); everything else → FastSS (exact for any shape;
-    * optimal on short keys — see [[SegMinLen]]). Exposed so the
-    * dispatch itself is spec-pinnable. */
+    * optimal on short keys — see [[SegMinLen]], and the late-r15
+    * [[delWildcardD2Verified]] measurement that closed the last
+    * cited alternative for the short-mixed regime with a NEGATIVE
+    * result). Exposed so the dispatch itself is spec-pinnable. */
   private[graft] def routeFor(lo: Int, hi: Int, star: Int): D2Route =
     if (lo == hi && lo >= 3 && star == 0) EqualLenRoute
     else if (lo >= 3 && hi >= SegMinLen) SegmentsRoute
@@ -468,6 +508,105 @@ object EntityResolution {
 
   private val Tau = 2
 
+  /** The del+wildcard generalization of the equal-length fast path —
+    * the r14-verdict-cited alternative for SHORT MIXED-LENGTH dense
+    * corpora, implemented (late r15), MEASURED, and deliberately NOT
+    * routed. lev ≤ 2 across a length delta δ = |L₁ − L₂| ≤ 2
+    * decomposes exactly into:
+    *   δ=0: Hamming ≤ 2 (two-wildcard patterns), or a one-char block
+    *        shift (depth-1 deletions on both sides) — the er2 cover;
+    *   δ=1: 1 deletion + ≤ 1 substitution — the longer side's del1
+    *        patterns, each wildcarded at ≤ 1 position, meet the
+    *        shorter side's ≤-1-wildcard patterns (a del-only pair
+    *        matches with the wildcard at any shared position, so no
+    *        separate 0-wildcard arm is needed);
+    *   δ=2: 2 deletions — the longer side's del2 patterns meet the
+    *        shorter side VERBATIM.
+    * Six equi-join arms (both directions of the asymmetric ones);
+    * candidates are DISTINCT'd and levenshtein-verified. No arm ever
+    * joins depth-2 deletions against depth-2 deletions, so candidate
+    * volume tracks the lev-≤3 ball instead of FastSS's lev-≤4 ball.
+    *
+    * THE MEASUREMENT (the reason FastSS keeps the short-mixed route;
+    * CurationSpec pins it, plus a scaling model at n up to 20k):
+    * on the adversarial zero-padded dense-decimal fixture the lev-4
+    * ball is only ~1.7× the lev-≤3 ball (join volume 10.7M vs 6.2M at
+    * n=20k) while this scheme's fan-out is ~4.8× FastSS's rows (all
+    * six generators ≈ (L+1)² keys/record vs FastSS's distinct-
+    * collapsed 1+L+C(L,2)) — total cost 12.4M vs FastSS's 12.0M, a
+    * WASH with the ratio converging, not diverging, in n. The
+    * information floor that ruled segments out on short keys rules
+    * this out too: on short dense keys every exact scheme's volume is
+    * pinned near the (large) true ball, and FastSS already sits
+    * there with the smallest linear term. Kept as library surface —
+    * exact for any '*'-free length mix (lengths ≥ 3), gate-hashed by
+    * er4 against the independent FastSS-shape oracle — for corpora
+    * where wildcards are known to prune (e.g. high-entropy keys with
+    * localized noise), but not the default. */
+  private[graft] def delWildcardD2Verified(dirty: DataFrame,
+                                           cust: DataFrame): DataFrame = {
+    val cand = delWildcardArms(dirty, cust)
+      .map { case (dk, ck) =>
+        dk.hint("shuffle_hash").join(ck, col("d_key") === col("c_key"))
+          .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"))
+      }
+      .reduce(_ union _)
+      .distinct()
+    cand
+      .join(dirty, "dirty_id")
+      .join(cust, "c_custkey")
+      .select(col("dirty_id"), col("c_custkey"),
+        levenshtein(col("dirty_name"), col("c_name")).cast("long").as("dist"))
+      .filter(col("dist") <= Tau)
+  }
+
+  /** The six (dirty-keys, cust-keys) arm frames behind
+    * [[delWildcardD2Verified]], exposed so the degradation spec can
+    * measure per-arm JOIN VOLUME against FastSS's. */
+  private[graft] def delWildcardArms(dirty: DataFrame, cust: DataFrame)
+      : Seq[(DataFrame, DataFrame)] = {
+    val L = (n: String) => s"length($n)"
+    def self(n: String) = s"array($n)"
+    def wc1(n: String) =
+      s"""transform(sequence(1, ${L(n)}), i ->
+         |  concat(substr($n, 1, i - 1), '*', substr($n, i + 1)))""".stripMargin
+    def wc2(n: String) =
+      s"""flatten(transform(sequence(1, ${L(n)} - 1), i ->
+         |  transform(sequence(i + 1, ${L(n)}), j ->
+         |    concat(substr($n, 1, i - 1), '*',
+         |           substr($n, i + 1, j - i - 1), '*',
+         |           substr($n, j + 1)))))""".stripMargin
+    def del1(n: String) =
+      s"""array_distinct(transform(sequence(1, ${L(n)}), i ->
+         |  concat(substr($n, 1, i - 1), substr($n, i + 1))))""".stripMargin
+    // depth-1 deletion then one wildcard: the δ=1 longer-side arm.
+    // Built by wildcarding each del1 variant at every position;
+    // array_distinct collapses the (deleted run, wildcard) overlaps.
+    def del1wc1(n: String) =
+      s"""array_distinct(flatten(transform(${del1(n)}, v ->
+         |  transform(sequence(1, length(v)), q ->
+         |    concat(substr(v, 1, q - 1), '*', substr(v, q + 1))))))""".stripMargin
+    def del2(n: String) =
+      s"""array_distinct(flatten(transform(sequence(1, ${L(n)} - 1), i ->
+         |  transform(sequence(i + 1, ${L(n)}), j ->
+         |    concat(substr($n, 1, i - 1),
+         |           substr($n, i + 1, j - i - 1),
+         |           substr($n, j + 1))))))""".stripMargin
+    def keys(df: DataFrame, nameCol: String, pfx: String,
+             gen: String => String): DataFrame =
+      df.select(col(df.columns.head).as(s"${pfx}_id"),
+        explode(expr(gen(nameCol))).as(s"${pfx}_key"))
+    def d(gen: String => String) = keys(dirty, "dirty_name", "d", gen)
+    def c(gen: String => String) = keys(cust, "c_name", "c", gen)
+    Seq(
+      (d(wc2), c(wc2)),         // δ=0: Hamming ≤ 2
+      (d(del1), c(del1)),       // δ=0: one-char block shift
+      (d(del1wc1), c(wc1)),     // δ=1: dirty longer, 1 del + ≤1 sub
+      (d(wc1), c(del1wc1)),     // δ=1: cust longer
+      (d(del2), c(self)),       // δ=2: dirty longer
+      (d(self), c(del2)))       // δ=2: cust longer
+  }
+
   /** Variable-length / exotic-alphabet fallback: FastSS candidates +
     * an explicit levenshtein ≤ 2 verify over re-attached names. */
   private[graft] def fastssD2Verified(dirty: DataFrame, cust: DataFrame): DataFrame =
@@ -568,20 +707,38 @@ object EntityResolution {
       offset = 3000000L,
       masterExpr =
         "c_name || '|' || substr(md5(CAST(c_custkey AS VARCHAR)), 17, 12)",
-      maxLen = 31)
+      maxLen = 31),
+    // er4: bump ONE digit + DELETE one other of the SHORT dense key
+    // ('K#' + zero-padded 9-digit custkey, L = 11; prefix width 2) —
+    // a length-10 dirty side against the 11-char master, graded by
+    // the same independent FastSS-shape re-derivation (exact at any
+    // length mix; the SPARK side routes del+wildcard).
+    "er4_er_short_mixed" -> fastssD2OracleSql(
+      sqlDelAt(sqlBumpAt("c_name", "c_custkey % 9", 2),
+        "(c_custkey % 9 + 1 + c_custkey % 8) % 9", 2),
+      offset = 4000000L,
+      masterExpr = "'K#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')",
+      maxLen = 11)
   )
 
-  /** DuckDB digit-bump at digit offset `off` (mirrors er2's Spark
-    * fixture helper). */
-  private def sqlBump(inner: String, off: String): String =
-    s"substr($inner, 1, CAST(9 + ($off) AS INT)) " +
-      s"|| CAST((CAST(substr($inner, CAST(10 + ($off) AS INT), 1) AS INT) + 1) % 10 AS VARCHAR) " +
-      s"|| substr($inner, CAST(11 + ($off) AS INT))"
+  /** DuckDB digit-bump at digit offset `off` past a `base`-char
+    * prefix (er2/er3: base 9 = "Customer#"; er4: base 2 = "K#"). */
+  private def sqlBumpAt(inner: String, off: String, base: Int): String =
+    s"substr($inner, 1, CAST($base + ($off) AS INT)) " +
+      s"|| CAST((CAST(substr($inner, CAST(${base + 1} + ($off) AS INT), 1) AS INT) + 1) % 10 AS VARCHAR) " +
+      s"|| substr($inner, CAST(${base + 2} + ($off) AS INT))"
 
-  /** DuckDB digit-delete at digit offset `off` (er3's fixture). */
+  /** DuckDB digit-delete at digit offset `off` past a `base`-char
+    * prefix. */
+  private def sqlDelAt(inner: String, off: String, base: Int): String =
+    s"substr($inner, 1, CAST($base + ($off) AS INT)) " +
+      s"|| substr($inner, CAST(${base + 2} + ($off) AS INT))"
+
+  private def sqlBump(inner: String, off: String): String =
+    sqlBumpAt(inner, off, 9)
+
   private def sqlDel(inner: String, off: String): String =
-    s"substr($inner, 1, CAST(9 + ($off) AS INT)) " +
-      s"|| substr($inner, CAST(11 + ($off) AS INT))"
+    sqlDelAt(inner, off, 9)
 
   /** The FastSS-shape exact lev-≤2 oracle (deletion neighborhoods →
     * variant equi-join → levenshtein verify → ranked resolution),
