@@ -48,16 +48,13 @@ object StableMain {
     val log = new Pipelines.Logger(Some(s"$outDir/log.txt"))
     Tables.registerAll(spark, sfDir)
 
-    // seed workload: the join-bearing relational shapes, including the
-    // r11 upper-tail additions (10-way full-schema, multi-alias, and
-    // the 17-relation JOB-maximum multi-alias join) so the chooser is
-    // trained and evaluated where join-order search space actually
-    // bites
-    val seedNames = Seq("j1_join_2way", "j1_join_5way", "j1_join_7way",
-      "j1_join_10way", "j1_join_alias", "j1_join_17rel",
-      "a2_min_join", "q2_join_group_topn")
-    // shared with PoolMain so the committed 20k pool is drawn from the
-    // same harvest this trainer uses
+    // seed workload ([[SeedNames]]): the join-bearing relational
+    // shapes, including the r11 upper-tail additions (10-way
+    // full-schema, multi-alias, and the 17-relation JOB-maximum
+    // multi-alias join) so the chooser is trained and evaluated where
+    // join-order search space actually bites.
+    // Harvest is shared with PoolMain so the committed 20k pool is
+    // drawn from the same metadata this trainer uses.
     val seedSql = graft.workload.StableSeeds.seedSql
 
     // M20-M26: harvest + generate
@@ -66,13 +63,7 @@ object StableMain {
     val rd = Harvester.rangeDict(spark, sfDir)
     Harvester.writeInfos(spark, sfDir, s"$outDir/infos", seedSql)
     val generated = poolFile match {
-      case Some(pf) =>
-        val all = scala.io.Source.fromFile(pf).getLines()
-          .map(_.trim).filter(_.nonEmpty).toVector
-        val sample = new scala.util.Random(42L).shuffle(all).take(numGen)
-        log.info(s"sampled ${sample.size} of ${all.size} pool queries " +
-          s"from $pf (seeded shuffle, seed=42)")
-        sample
+      case Some(pf) => poolSample(pf, numGen, log)
       case None =>
         val g = WorkloadGen.generateRandomSql(
           h, rd, Harvester.revAliasMap, numSql = numGen, seed = 42L)
@@ -80,15 +71,7 @@ object StableMain {
         g
     }
 
-    val genQueries: Seq[(String, SparkSession => DataFrame)] =
-      generated.zipWithIndex.map { case (q, i) =>
-        s"gen$i" -> ((s: SparkSession) => s.sql(q.stripSuffix(";")))
-      }
-    val fixedQueries: Seq[(String, SparkSession => DataFrame)] =
-      seedNames.map(n => n -> ((s: SparkSession) => Relational.defs(n)(s, sfDir)))
-
-    val all = fixedQueries ++ genQueries
-    val (trainQ, testQ) = all.splitAt((all.length * 0.7).toInt)
+    val (trainQ, testQ) = assembleWorkload(sfDir, generated)
     log.info(s"train=${trainQ.length} test=${testQ.length} queries; epochs=$epochs")
 
     val art = Pipelines.stableWithModel(spark, trainQ, testQ, epochs = epochs,
@@ -154,12 +137,58 @@ object StableMain {
     val modelDir = s"$outDir/stable_model"
     ModelIO.save(modelDir, art.model, art.fg)
     log.info(s"saved model artifact to $modelDir")
+    E2EPhases.run(spark, sfDir, cpus, testQ, modelDir, log)
+    log.close()
+    spark.stop()
+  }
+
+  /** The workload-construction recipe shared by [[StableMain]] and
+    * [[StableE2EMain]] — BOTH must see the identical query list and
+    * 70% split, or the replay would time different held-out queries
+    * than the golden trained against. */
+  private[planopt] val SeedNames = Seq("j1_join_2way", "j1_join_5way",
+    "j1_join_7way", "j1_join_10way", "j1_join_alias", "j1_join_17rel",
+    "a2_min_join", "q2_join_group_topn")
+
+  private[planopt] def poolSample(poolFile: String, numGen: Int,
+      log: Pipelines.Logger): Seq[String] = {
+    val all = scala.io.Source.fromFile(poolFile).getLines()
+      .map(_.trim).filter(_.nonEmpty).toVector
+    val sample = new scala.util.Random(42L).shuffle(all).take(numGen)
+    log.info(s"sampled ${sample.size} of ${all.size} pool queries " +
+      s"from $poolFile (seeded shuffle, seed=42)")
+    sample
+  }
+
+  private[planopt] def assembleWorkload(sfDir: String, generated: Seq[String])
+      : (Seq[(String, SparkSession => DataFrame)],
+         Seq[(String, SparkSession => DataFrame)]) = {
+    val genQueries: Seq[(String, SparkSession => DataFrame)] =
+      generated.zipWithIndex.map { case (q, i) =>
+        s"gen$i" -> ((s: SparkSession) => s.sql(q.stripSuffix(";")))
+      }
+    val fixedQueries: Seq[(String, SparkSession => DataFrame)] =
+      SeedNames.map(n => n -> ((s: SparkSession) => Relational.defs(n)(s, sfDir)))
+    val all = fixedQueries ++ genQueries
+    all.splitAt((all.length * 0.7).toInt)
+  }
+}
+
+/** The in-engine deployment timing protocol (SURVEY §7.4), shared by
+  * StableMain (immediately after training) and [[StableE2EMain]]
+  * (clean replay from the saved artifact in a fresh, otherwise-idle
+  * JVM — the r14-verdict contention-attribution discipline applied to
+  * the E2E numbers, not just the bench). */
+private[planopt] object E2EPhases {
+  def run(spark: SparkSession, sfDir: String, cpus: String,
+          testQ: Seq[(String, SparkSession => DataFrame)],
+          modelDir: String, log: Pipelines.Logger): Unit = {
     graft.plans.PlanChoice.installFrom(modelDir)
 
-    // ---- in-engine deployment (SURVEY §7.4): run the SAME held-out
-    // queries through a session wired with GraftExtensions — the
-    // planner's LearnedPlanStrategy picks the argmin physical variant
-    // transparently; no per-query orchestration code.
+    // ---- run the SAME held-out queries through a session wired with
+    // GraftExtensions — the planner's LearnedPlanStrategy picks the
+    // argmin physical variant transparently; no per-query
+    // orchestration code.
     def extSession(extra: Seq[(String, String)]): SparkSession = {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
@@ -206,7 +235,7 @@ object StableMain {
     // pinned OFF on BOTH sides during timing — the extension sessions
     // disable it to keep chosen plans deterministic, and leaving it on
     // for the default side would confound the comparison with AQE's
-    // own runtime re-planning. The plain side is the training session
+    // own runtime re-planning. The plain side is the caller's session
     // (built WITHOUT the extension, so routing cannot fire there).
 
     // Timing protocol: the two sides run in ALTERNATING passes and
@@ -260,6 +289,43 @@ object StableMain {
     log.info(f"E2E(B) best-of-3, autoBroadcast=-1: injected ${injB}%.1fms vs default ${defB}%.1fms " +
       s"over ${testQ.size} held-out queries (routed choices re-enable broadcast)")
     graft.plans.PlanChoice.uninstall()
+  }
+}
+
+/** Clean E2E replay from a SAVED stable artifact: reconstructs the
+  * identical pool-sampled workload and 70% split as the StableMain
+  * run that produced the artifact, installs the persisted model, and
+  * re-times both deployment phases in an otherwise-idle JVM. Exists
+  * because a golden's E2E numbers deserve the same contention
+  * discipline as the bench (r14 verdict #6): the training run's own
+  * E2E phase may share the machine with whatever else the session is
+  * doing; this replay can be run alone.
+  *
+  * Usage: StableE2EMain [sfDir] [numGen] [artifactDir] [poolFile]
+  * — artifactDir must contain stable_model/ from the StableMain run
+  *   invoked with the same sfDir/numGen/poolFile.
+  */
+object StableE2EMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val numGen = args.lift(1).map(_.toInt).getOrElse(300)
+    val artDir = args.lift(2).getOrElse("results/r15_stable_300")
+    val poolFile = args.lift(3).getOrElse("results/r14_pool/train_pool.txt")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val log = new Pipelines.Logger(Some(s"$artDir/e2e_clean.log"))
+    Tables.registerAll(spark, sfDir)
+    val (_, testQ) = StableMain.assembleWorkload(sfDir,
+      StableMain.poolSample(poolFile, numGen, log))
+    log.info(s"replaying E2E phases over ${testQ.size} held-out queries " +
+      s"against $artDir/stable_model (clean JVM)")
+    E2EPhases.run(spark, sfDir, cpus, testQ, s"$artDir/stable_model", log)
     log.close()
     spark.stop()
   }
