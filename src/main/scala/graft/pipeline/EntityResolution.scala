@@ -184,19 +184,20 @@ object EntityResolution {
       val custNames = cust.select(col("c_custkey"), expr(longKey).as("c_name"))
       resolveBest(d2Verified(dirty, custNames))
     }),
-    // er4: the SHORT DENSE MIXED-LENGTH gate for the del+wildcard
-    // scheme (late r15 — the r14 verdict-#5 residual, implemented and
-    // then MEASURED OUT of the router; see [[delWildcardD2Verified]]).
-    // The gate calls the scheme DIRECTLY (not through the router,
-    // which correctly keeps FastSS here): its six arms must
-    // hash-match the independent FastSS-shape oracle on the regime
-    // the scheme was proposed for. The master key is 'K#' + the
-    // 9-digit zero-padded custkey — maximally dense by construction;
-    // each planted record bumps one key-derived digit and DELETES one
-    // other, so the dirty side is uniformly length 10 against the
-    // 11-char master. Every planted record sits at lev 2 from its
-    // source; the dense decimal space supplies closer collisions the
-    // resolution must rank correctly.
+    // er4: the SHORT DENSE MIXED-LENGTH gate for the router's
+    // length-aware del+wildcard route (late r15 — the r14 verdict-#5
+    // residual; see [[delWildcardD2Verified]] for the two-step
+    // measurement that first ruled the blind six-arm form out and
+    // then, with length-profile pruning, ruled it IN). The master key
+    // is 'K#' + the 9-digit zero-padded custkey — maximally dense by
+    // construction; each planted record bumps one key-derived digit
+    // and DELETES one other, so the dirty side is uniformly length 10
+    // against the 11-char master (lo=10, hi=11, '*'-free →
+    // DelWildcardRoute, with exactly ONE viable arm). Every planted
+    // record sits at lev 2 from its source; the dense decimal space
+    // supplies closer collisions the resolution must rank correctly.
+    // Oracle: the same independent FastSS-shape re-derivation as
+    // er2/er3 (exact at any length mix).
     "er4_er_short_mixed" -> ((spark, sfDir) => {
       val cust = Tables.load(spark, sfDir, "customer")
       // digit helpers at prefix width 2 ('K#'): digit offset o lives
@@ -217,7 +218,7 @@ object EntityResolution {
         .select((col("c_custkey") + 4000000L).as("dirty_id"),
           expr(del(bump(shortKey, p1), pDel)).as("dirty_name"))
       val custNames = cust.select(col("c_custkey"), expr(shortKey).as("c_name"))
-      resolveBest(delWildcardD2Verified(dirty, custNames))
+      resolveBest(d2Verified(dirty, custNames))
     })
   )
 
@@ -244,14 +245,15 @@ object EntityResolution {
     * this fixed width; the Spark paths derive L from the data). */
   private val NameLen = 18
 
-  /** The three exact lev-≤2 blocking schemes [[d2Verified]] routes
-    * over (r14 verdict #5 made the router three-way). A FOURTH exact
-    * scheme exists ([[delWildcardD2Verified]], late r15) but is
-    * deliberately NOT routed — see its Scaladoc for the measurement
-    * that rules it out as a default. */
+  /** The four exact lev-≤2 blocking schemes [[d2Verified]] routes
+    * over (r14 verdict #5 made the router three-way; late r15 adds
+    * the length-aware del+wildcard route for short dense mixed-length
+    * corpora — measured 1.55× cheaper than FastSS there and
+    * diverging, see [[delWildcardD2Verified]]). */
   private[graft] sealed trait D2Route
   private[graft] case object EqualLenRoute extends D2Route
   private[graft] case object SegmentsRoute extends D2Route
+  private[graft] case object DelWildcardRoute extends D2Route
   private[graft] case object FastSSRoute extends D2Route
 
   /** Minimum key length for the segment route. MEASURED crossover
@@ -278,14 +280,16 @@ object EntityResolution {
     * with a '*'-free alphabet → the wildcard-pair fast path; mixed
     * lengths with max length ≥ [[SegMinLen]] → PassJoin segment
     * filters (exact at any length mix, no wildcard alphabet
-    * constraint); everything else → FastSS (exact for any shape;
-    * optimal on short keys — see [[SegMinLen]], and the late-r15
-    * [[delWildcardD2Verified]] measurement that closed the last
-    * cited alternative for the short-mixed regime with a NEGATIVE
-    * result). Exposed so the dispatch itself is spec-pinnable. */
+    * constraint); SHORT mixed lengths with a '*'-free alphabet → the
+    * length-aware del+wildcard scheme (late r15: the r14-cited
+    * upgrade, routed only after arm pruning flipped its measurement —
+    * see [[delWildcardD2Verified]]); everything else → FastSS (exact
+    * for any shape). Exposed so the dispatch itself is
+    * spec-pinnable. */
   private[graft] def routeFor(lo: Int, hi: Int, star: Int): D2Route =
     if (lo == hi && lo >= 3 && star == 0) EqualLenRoute
     else if (lo >= 3 && hi >= SegMinLen) SegmentsRoute
+    else if (lo >= 3 && star == 0) DelWildcardRoute
     else FastSSRoute
 
   /** VERIFIED lev-≤2 pairs (dirty_id, c_custkey, dist), zero false
@@ -307,6 +311,7 @@ object EntityResolution {
     else routeFor(probe.getInt(0), probe.getInt(1), probe.getInt(2)) match {
       case EqualLenRoute => equalLenD2Verified(dirty, cust, probe.getInt(0))
       case SegmentsRoute => passJoinD2Verified(dirty, cust)
+      case DelWildcardRoute => delWildcardD2Verified(dirty, cust)
       case FastSSRoute => fastssD2Verified(dirty, cust)
     }
   }
@@ -508,11 +513,11 @@ object EntityResolution {
 
   private val Tau = 2
 
-  /** The del+wildcard generalization of the equal-length fast path —
-    * the r14-verdict-cited alternative for SHORT MIXED-LENGTH dense
-    * corpora, implemented (late r15), MEASURED, and deliberately NOT
-    * routed. lev ≤ 2 across a length delta δ = |L₁ − L₂| ≤ 2
-    * decomposes exactly into:
+  /** The LENGTH-AWARE del+wildcard generalization of the equal-length
+    * fast path — the r14-verdict-cited alternative for SHORT
+    * MIXED-LENGTH dense corpora, now the routed scheme there.
+    * lev ≤ 2 across a length delta δ = |L₁ − L₂| ≤ 2 decomposes
+    * exactly into:
     *   δ=0: Hamming ≤ 2 (two-wildcard patterns), or a one-char block
     *        shift (depth-1 deletions on both sides) — the er2 cover;
     *   δ=1: 1 deletion + ≤ 1 substitution — the longer side's del1
@@ -527,25 +532,34 @@ object EntityResolution {
     * joins depth-2 deletions against depth-2 deletions, so candidate
     * volume tracks the lev-≤3 ball instead of FastSS's lev-≤4 ball.
     *
-    * THE MEASUREMENT (the reason FastSS keeps the short-mixed route;
-    * CurationSpec pins it, plus a scaling model at n up to 20k):
-    * on the adversarial zero-padded dense-decimal fixture the lev-4
-    * ball is only ~1.7× the lev-≤3 ball (join volume 10.7M vs 6.2M at
-    * n=20k) while this scheme's fan-out is ~4.8× FastSS's rows (all
-    * six generators ≈ (L+1)² keys/record vs FastSS's distinct-
-    * collapsed 1+L+C(L,2)) — total cost 12.4M vs FastSS's 12.0M, a
-    * WASH with the ratio converging, not diverging, in n. The
-    * information floor that ruled segments out on short keys rules
-    * this out too: on short dense keys every exact scheme's volume is
-    * pinned near the (large) true ball, and FastSS already sits
-    * there with the smallest linear term. Kept as library surface —
-    * exact for any '*'-free length mix (lengths ≥ 3), gate-hashed by
-    * er4 against the independent FastSS-shape oracle — for corpora
-    * where wildcards are known to prune (e.g. high-entropy keys with
-    * localized noise), but not the default. */
+    * THE LENGTH-PROFILE PRUNING that makes it win (and the
+    * measurement history — both halves CurationSpec-pinned): every
+    * generator shifts a string's length by a constant, and equal keys
+    * have equal lengths, so an arm can only match where the two
+    * sides' shifted length sets intersect. [[delWildcardArms]]
+    * derives each side's distinct-length profile with one
+    * metadata-scale aggregate (the dd10/clu1 adaptive-parameter
+    * discipline), drops unsatisfiable arms entirely, and filters each
+    * surviving arm's emission to the rows whose length can match.
+    * Blind six-arm emission measured OUT (~4.8× FastSS's rows for a
+    * wash in total cost — the first r15 measurement); with the
+    * pruning, emission on a (10,11) corpus collapses to the ONE
+    * viable arm and the scheme beats FastSS **1.17× at n=2k and
+    * 1.55× at n=20k, DIVERGING toward the ~1.7× lev-ball ratio**
+    * (join volume 6.2M vs 10.7M at n=20k) — so the router now sends
+    * short mixed '*'-free corpora here. Exact for any '*'-free
+    * length mix (lengths ≥ 3), gate-hashed by er4 against the
+    * independent FastSS-shape oracle. */
   private[graft] def delWildcardD2Verified(dirty: DataFrame,
                                            cust: DataFrame): DataFrame = {
-    val cand = delWildcardArms(dirty, cust)
+    val arms = delWildcardArms(dirty, cust)
+    if (arms.isEmpty)
+      // no length pair within τ — provably no lev-≤2 pair exists
+      return dirty.select(col(dirty.columns.head).as("dirty_id"))
+        .limit(0)
+        .withColumn("c_custkey", lit(0L))
+        .withColumn("dist", lit(0L))
+    val cand = arms
       .map { case (dk, ck) =>
         dk.hint("shuffle_hash").join(ck, col("d_key") === col("c_key"))
           .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"))
@@ -560,9 +574,17 @@ object EntityResolution {
       .filter(col("dist") <= Tau)
   }
 
-  /** The six (dirty-keys, cust-keys) arm frames behind
-    * [[delWildcardD2Verified]], exposed so the degradation spec can
-    * measure per-arm JOIN VOLUME against FastSS's. */
+  /** The VIABLE (dirty-keys, cust-keys) arm frames behind
+    * [[delWildcardD2Verified]] — length-profile-pruned (see the
+    * route Scaladoc), exposed so the degradation spec can measure
+    * per-arm JOIN VOLUME and emission against FastSS's. Each
+    * generator shifts length by a constant (wc2/wc1/self: 0,
+    * del1/del1wc1: 1, del2: 2); an arm survives iff
+    * {l − dShift : l ∈ dirty lengths} ∩ {l − cShift : l ∈ cust
+    * lengths} ≠ ∅, and each side's emission is filtered to the rows
+    * whose shifted length lands in that intersection — string
+    * equality implies length equality, so dropped emissions can
+    * never have matched and the result is provably unchanged. */
   private[graft] def delWildcardArms(dirty: DataFrame, cust: DataFrame)
       : Seq[(DataFrame, DataFrame)] = {
     val L = (n: String) => s"length($n)"
@@ -592,19 +614,34 @@ object EntityResolution {
          |    concat(substr($n, 1, i - 1),
          |           substr($n, i + 1, j - i - 1),
          |           substr($n, j + 1))))))""".stripMargin
+    // length profiles: one metadata-scale aggregate per side (the
+    // dd10/clu1 adaptive-parameter discipline — distinct lengths are
+    // bounded by the key format, not the corpus)
+    def lensOf(df: DataFrame, nameCol: String): Set[Int] =
+      df.select(collect_set(length(col(nameCol))).as("ls"))
+        .head().getSeq[Int](0).toSet
+    val dLens = lensOf(dirty, "dirty_name")
+    val cLens = lensOf(cust, "c_name")
     def keys(df: DataFrame, nameCol: String, pfx: String,
-             gen: String => String): DataFrame =
-      df.select(col(df.columns.head).as(s"${pfx}_id"),
-        explode(expr(gen(nameCol))).as(s"${pfx}_key"))
-    def d(gen: String => String) = keys(dirty, "dirty_name", "d", gen)
-    def c(gen: String => String) = keys(cust, "c_name", "c", gen)
-    Seq(
-      (d(wc2), c(wc2)),         // δ=0: Hamming ≤ 2
-      (d(del1), c(del1)),       // δ=0: one-char block shift
-      (d(del1wc1), c(wc1)),     // δ=1: dirty longer, 1 del + ≤1 sub
-      (d(wc1), c(del1wc1)),     // δ=1: cust longer
-      (d(del2), c(self)),       // δ=2: dirty longer
-      (d(self), c(del2)))       // δ=2: cust longer
+             gen: String => String, okLens: Set[Int]): DataFrame =
+      df.filter(length(col(nameCol)).isin(okLens.toSeq.map(Int.box): _*))
+        .select(col(df.columns.head).as(s"${pfx}_id"),
+          explode(expr(gen(nameCol))).as(s"${pfx}_key"))
+    // (dirty generator, its length shift, cust generator, its shift)
+    val armSpecs: Seq[(String => String, Int, String => String, Int)] = Seq(
+      (wc2, 0, wc2, 0),         // δ=0: Hamming ≤ 2
+      (del1, 1, del1, 1),       // δ=0: one-char block shift
+      (del1wc1, 1, wc1, 0),     // δ=1: dirty longer, 1 del + ≤1 sub
+      (wc1, 0, del1wc1, 1),     // δ=1: cust longer
+      (del2, 2, self, 0),       // δ=2: dirty longer
+      (self, 0, del2, 2))       // δ=2: cust longer
+    armSpecs.flatMap { case (dGen, dShift, cGen, cShift) =>
+      val shared = dLens.map(_ - dShift) intersect cLens.map(_ - cShift)
+      if (shared.isEmpty) None
+      else Some((
+        keys(dirty, "dirty_name", "d", dGen, shared.map(_ + dShift)),
+        keys(cust, "c_name", "c", cGen, shared.map(_ + cShift))))
+    }
   }
 
   /** Variable-length / exotic-alphabet fallback: FastSS candidates +
