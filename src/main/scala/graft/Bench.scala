@@ -102,6 +102,7 @@ object Bench {
     // classifier (BenchEnv)
     val diagRows = scala.collection.mutable.ArrayBuffer[String]()
     val warmMetrics = scala.collection.mutable.Map[String, BenchDiag#Snap]()
+    val coldMetrics = scala.collection.mutable.Map[String, BenchDiag#Snap]()
     def timeAll(pass: String, recordErrors: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -122,6 +123,7 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         val m = diag.snapshotDelta(spark.sparkContext)
         if (pass == "warm") warmMetrics(name) = m
+        if (pass == "cold") coldMetrics(name) = m
         diagRows += s"""{"pass":"$pass","query":"$name","sec":${num3(sec)},""" +
           s""""m":${m.toJson}}"""
         name -> sec
@@ -138,17 +140,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
-    // contention self-attribution (r14 verdict #6): warm>cold at zero
-    // GC/spill is the hypervisor-contention signature — stamp the
-    // verdict INTO the artifact so a polluted run self-identifies
-    // instead of needing forensic comparison against a clean re-record
+    // contention self-attribution (r14 verdict #6 + r15 verdict #1):
+    // one pass slower than the other at zero GC/spill and identical
+    // shuffle volume is the hypervisor-contention signature — stamp
+    // the verdict INTO the artifact so a polluted run self-identifies
+    // instead of needing forensic comparison against a clean re-record.
+    // BOTH directions are tested: the r15 driver run was descheduled
+    // during the COLD pass and the warm-only rule stamped it "clean".
     val warmBySec = warm.toMap
     val envSamples = results.collect {
       case (name, cold) if warmBySec.contains(name) =>
-        val m = warmMetrics.get(name)
+        val wm = warmMetrics.get(name)
+        val cm = coldMetrics.get(name)
         name -> BenchEnv.Sample(cold, warmBySec(name),
-          m.map(_.jvmGcMs).getOrElse(0L),
-          m.map(x => x.memSpill + x.diskSpill).getOrElse(0L))
+          wm.map(_.jvmGcMs).getOrElse(0L),
+          wm.map(x => x.memSpill + x.diskSpill).getOrElse(0L),
+          cm.map(_.jvmGcMs).getOrElse(0L),
+          cm.map(x => x.memSpill + x.diskSpill).getOrElse(0L),
+          cm.map(x => x.shuffleWrite + x.shuffleRead).getOrElse(-1L),
+          wm.map(x => x.shuffleWrite + x.shuffleRead).getOrElse(-1L))
     }.toMap
     val envJson = BenchEnv.envJson(envSamples)
     val json =

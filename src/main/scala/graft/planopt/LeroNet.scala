@@ -80,25 +80,24 @@ final class LeroNet(val inputFeatureDim: Int, seed: Long = 17L) {
   def forwardBatch(nodesArr: Array[DenseMatrix[Double]], idxesArr: Array[Array[Int]])
   : (Array[Double], Array[DenseVector[Double]], LeroNet.BatchCache) = {
     val nT = nodesArr.length
+    // per-tree loops write disjoint slot i and read only shared
+    // immutable state (fc weights), so they run via parTrees —
+    // identical results at any thread count
     val (c1s, bc1) = conv1.forwardBatch(nodesArr, idxesArr)
     val n1s = new Array[DenseMatrix[Double]](nT)
     val ln1s = new Array[LNCache](nT)
     val a1s = new Array[DenseMatrix[Double]](nT)
-    var i = 0
-    while (i < nT) {
+    ParGemm.parTrees(nT) { i =>
       val (n1, ln1) = LayerNorm.forward(c1s(i))
       n1s(i) = n1; ln1s(i) = ln1; a1s(i) = LeakyReLU.forward(n1)
-      i += 1
     }
     val (c2s, bc2) = conv2.forwardBatch(a1s, idxesArr)
     val n2s = new Array[DenseMatrix[Double]](nT)
     val ln2s = new Array[LNCache](nT)
     val a2s = new Array[DenseMatrix[Double]](nT)
-    i = 0
-    while (i < nT) {
+    ParGemm.parTrees(nT) { i =>
       val (n2, ln2) = LayerNorm.forward(c2s(i))
       n2s(i) = n2; ln2s(i) = ln2; a2s(i) = LeakyReLU.forward(n2)
-      i += 1
     }
     val (c3s, bc3) = conv3.forwardBatch(a2s, idxesArr)
     val ln3s = new Array[LNCache](nT)
@@ -108,8 +107,7 @@ final class LeroNet(val inputFeatureDim: Int, seed: Long = 17L) {
     val h1s = new Array[DenseVector[Double]](nT)
     val a3s = new Array[DenseVector[Double]](nT)
     val scores = new Array[Double](nT)
-    i = 0
-    while (i < nT) {
+    ParGemm.parTrees(nT) { i =>
       val (n3, ln3) = LayerNorm.forward(c3s(i))
       val (pooled, argmax) = DynamicPooling.forward(n3)
       val h1 = fc1.forward(pooled)
@@ -117,7 +115,6 @@ final class LeroNet(val inputFeatureDim: Int, seed: Long = 17L) {
       scores(i) = fc2.forward(a3)(0)
       ln3s(i) = ln3; argmaxs(i) = argmax; n3rows(i) = n3.rows
       pooleds(i) = pooled; h1s(i) = h1; a3s(i) = a3
-      i += 1
     }
     (scores, pooleds,
       LeroNet.BatchCache(bc1, bc2, bc3, n1s, ln1s, n2s, ln2s, ln3s,
@@ -131,6 +128,10 @@ final class LeroNet(val inputFeatureDim: Int, seed: Long = 17L) {
                     dPooledExtra: Option[Array[DenseVector[Double]]] = None): Unit = {
     val nT = dScores.length
     val dC3s = new Array[DenseMatrix[Double]](nT)
+    // the fc head accumulates SHARED dW/dB per tree, so that part
+    // stays a sequential loop (tree order — same accumulation bits as
+    // ever); the per-tree pooling/LN backward below it is disjoint
+    val dPooleds = new Array[DenseVector[Double]](nT)
     var i = 0
     while (i < nT) {
       val dA3 = fc2.backward(cache.a3s(i), DenseVector(dScores(i)))
@@ -138,25 +139,24 @@ final class LeroNet(val inputFeatureDim: Int, seed: Long = 17L) {
         if (cache.h1s(i)(j) > 0) dA3(j) else LeakyReLU.Slope * dA3(j))
       var dPooled = fc1.backward(cache.pooleds(i), dH1)
       dPooledExtra.foreach(extra => dPooled = dPooled + extra(i))
-      val dN3 = DynamicPooling.backward(dPooled, cache.argmaxs(i), cache.n3rows(i))
-      dC3s(i) = LayerNorm.backward(dN3, cache.ln3s(i))
+      dPooleds(i) = dPooled
       i += 1
+    }
+    ParGemm.parTrees(nT) { j =>
+      val dN3 = DynamicPooling.backward(dPooleds(j), cache.argmaxs(j), cache.n3rows(j))
+      dC3s(j) = LayerNorm.backward(dN3, cache.ln3s(j))
     }
     val dA2s = conv3.backwardBatch(dC3s, cache.bc3)
     val dC2s = new Array[DenseMatrix[Double]](nT)
-    i = 0
-    while (i < nT) {
-      val dN2 = LeakyReLU.backward(dA2s(i), cache.n2s(i))
-      dC2s(i) = LayerNorm.backward(dN2, cache.ln2s(i))
-      i += 1
+    ParGemm.parTrees(nT) { j =>
+      val dN2 = LeakyReLU.backward(dA2s(j), cache.n2s(j))
+      dC2s(j) = LayerNorm.backward(dN2, cache.ln2s(j))
     }
     val dA1s = conv2.backwardBatch(dC2s, cache.bc2)
     val dC1s = new Array[DenseMatrix[Double]](nT)
-    i = 0
-    while (i < nT) {
-      val dN1 = LeakyReLU.backward(dA1s(i), cache.n1s(i))
-      dC1s(i) = LayerNorm.backward(dN1, cache.ln1s(i))
-      i += 1
+    ParGemm.parTrees(nT) { j =>
+      val dN1 = LeakyReLU.backward(dA1s(j), cache.n1s(j))
+      dC1s(j) = LayerNorm.backward(dN1, cache.ln1s(j))
     }
     conv1.backwardBatch(dC1s, cache.bc1) // dNodes discarded
   }

@@ -324,7 +324,15 @@ object Pipelines {
           }
         })
       }
-      futures.map(_.get())
+      try futures.map(_.get())
+      catch { case e: Throwable =>
+        // a failed fold must not leave the sibling folds (~minutes of
+        // training each) running on non-daemon threads while the
+        // exception propagates — cancel them and tear the pool down
+        futures.foreach(_.cancel(true))
+        pool.shutdownNow()
+        throw e
+      }
     } finally pool.shutdown()
   }
 

@@ -152,8 +152,10 @@ object StableMain {
 
   private[planopt] def poolSample(poolFile: String, numGen: Int,
       log: Pipelines.Logger): Seq[String] = {
-    val all = scala.io.Source.fromFile(poolFile).getLines()
-      .map(_.trim).filter(_.nonEmpty).toVector
+    val src = scala.io.Source.fromFile(poolFile)
+    val all =
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toVector
+      finally src.close()
     val sample = new scala.util.Random(42L).shuffle(all).take(numGen)
     log.info(s"sampled ${sample.size} of ${all.size} pool queries " +
       s"from $poolFile (seeded shuffle, seed=42)")

@@ -193,8 +193,8 @@ object TreeConv {
       val ks = idxesArr.map(_.length / 3)
       val offsets = ks.scanLeft(0)(_ + _) // length nT+1
       val g = DenseMatrix.zeros[Double](offsets(nT), 3 * inC)
-      var bi = 0
-      while (bi < nT) {
+      // per-tree fills write disjoint row ranges of g — parallel-safe
+      ParGemm.parTrees(nT) { bi =>
         val nodes = nodesArr(bi); val idx = idxesArr(bi)
         val off = offsets(bi); val k = ks(bi)
         var t = 0
@@ -208,12 +208,10 @@ object TreeConv {
           }
           t += 1
         }
-        bi += 1
       }
-      val conv = g * w // ONE gemm for the whole batch
+      val conv = ParGemm.mul(g, w) // ONE gemm for the whole batch
       val outs = new Array[DenseMatrix[Double]](nT)
-      bi = 0
-      while (bi < nT) {
+      ParGemm.parTrees(nT) { bi => // disjoint slots of outs
         val off = offsets(bi); val k = ks(bi)
         val out = DenseMatrix.zeros[Double](k + 1, outC)
         var r = 0
@@ -223,7 +221,6 @@ object TreeConv {
           r += 1
         }
         outs(bi) = out
-        bi += 1
       }
       (outs, BatchConvCache(g, idxesArr, offsets, nodesArr.map(_.rows)))
     }
@@ -234,8 +231,12 @@ object TreeConv {
       val nT = dOuts.length
       val offsets = cache.offsets
       val dConv = DenseMatrix.zeros[Double](offsets(nT), outC)
-      var bi = 0
-      while (bi < nT) {
+      // per-tree dConv fills write disjoint row ranges — parallel; the
+      // SHARED dB accumulator is hoisted into the sequential pass
+      // below, which walks (row, c) in exactly the order the old
+      // interleaved loop did (trees in offset order, rows ascending, c
+      // inner), so the accumulation bits are unchanged
+      ParGemm.parTrees(nT) { bi =>
         val off = offsets(bi)
         val k = cache.idxes(bi).length / 3
         val dOut = dOuts(bi)
@@ -243,20 +244,23 @@ object TreeConv {
         while (r < k) {
           var c = 0
           while (c < outC) {
-            val v = dOut(r + 1, c) // drop sentinel row grad
-            dConv(off + r, c) = v
-            dB(c) += v
+            dConv(off + r, c) = dOut(r + 1, c) // drop sentinel row grad
             c += 1
           }
           r += 1
         }
-        bi += 1
       }
-      dW += cache.gather.t * dConv // ONE gemm
-      val dG = dConv * w.t // ONE gemm
+      var r = 0
+      val totalRows = offsets(nT)
+      while (r < totalRows) {
+        var c = 0
+        while (c < outC) { dB(c) += dConv(r, c); c += 1 }
+        r += 1
+      }
+      dW += ParGemm.mulTA(cache.gather, dConv) // ONE gemm
+      val dG = ParGemm.mul(dConv, w.t) // ONE gemm
       val dNodesArr = new Array[DenseMatrix[Double]](nT)
-      bi = 0
-      while (bi < nT) {
+      ParGemm.parTrees(nT) { bi => // disjoint slots of dNodesArr
         val off = offsets(bi)
         val idx = cache.idxes(bi)
         val k = idx.length / 3
@@ -273,7 +277,6 @@ object TreeConv {
           t += 1
         }
         dNodesArr(bi) = dNodes
-        bi += 1
       }
       dNodesArr
     }

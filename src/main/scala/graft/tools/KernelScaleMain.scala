@@ -97,8 +97,19 @@ object KernelScaleMain {
     }
     val (fullSec, fullSums) = sums(prune = false)
     val (prunedSec, prunedSums) = sums(prune = true)
-    require(fullSums == prunedSums,
+    // compare count/sum(cluster) exactly and sum(distd) as a LONG:
+    // per-row distd values are exact integers by construction, but a
+    // Double sum of them is order-dependent once the total passes
+    // 2^53 — casting each side to long keeps the equality check
+    // deterministic if nRows/dim/noise ever grow
+    def canon(s: Seq[Any]): Seq[Any] = s.map {
+      case d: Double => d.toLong
+      case x => x
+    }
+    require(canon(fullSums) == canon(prunedSums),
       s"pruned/full divergence: $prunedSums vs $fullSums")
+    qc.unpersist() // free both corpora before the heap-hungry
+    q.unpersist()  // literal-path Janino compile below
     println(f"clustered corpus: full scan $fullSec%.2fs, " +
       f"pruned $prunedSec%.2fs (identical aggregates)")
 

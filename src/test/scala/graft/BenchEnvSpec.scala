@@ -48,11 +48,16 @@ class BenchEnvSpec extends AnyFunSuite {
     "g2_copurchase" -> S(1.553, 0.719))
 
   test("the two r14 runs classify as contended / clean respectively") {
-    val (vc, ac) = verdict(contendedRun)
+    val (vc, warmA, coldA) = verdictFull(contendedRun)
     assert(vc == "contended")
-    assert(ac.size == 9, s"anomalies: $ac")
-    assert(ac.toSet == contendedRun.keySet -- Set(
+    assert(warmA.size == 9, s"anomalies: $warmA")
+    assert(warmA.toSet == contendedRun.keySet -- Set(
       "q1_group_agg", "io10_range_layout", "g2_copurchase"))
+    // with the r16 cold rule, the same run's io10 (10.2s cold vs
+    // 0.75s warm) and g2 (5.8 vs 0.7) surface as COLD-side anomalies
+    // too — that run was descheduled in both passes
+    assert(coldA.toSet == Set("io10_range_layout", "g2_copurchase"),
+      s"cold side: $coldA")
     val (vl, al) = verdict(cleanRun)
     assert(vl == "clean" && al.isEmpty, s"clean run flagged: $al")
   }
@@ -79,5 +84,70 @@ class BenchEnvSpec extends AnyFunSuite {
     assert(j.contains("\"warm_regressions\":9"))
     assert(j.contains("txt2_lang_id") && j.contains("dd7_incremental_dedup"))
     assert(j.contains("\"rule\":"))
+    assert(j.contains("\"cold_regressions\":"))
+  }
+
+  // ---- r15 calibration: the COLD-side rule (r15 verdict #1) ----
+  // Fixtures are the three committed r15 bench runs' per-query
+  // (sec, gc, spill, shuffle) values extracted verbatim from their
+  // bench_diag.json artifacts (git e4cb7c8 / 466d9fc /
+  // results/r15_sf1) into src/test/resources/benchenv/*.csv.
+
+  private def loadFixture(name: String): Map[String, Sample] = {
+    val in = getClass.getResourceAsStream(s"/benchenv/$name")
+    assert(in != null, s"missing fixture $name")
+    val src = scala.io.Source.fromInputStream(in)
+    try {
+      src.getLines().drop(1).map { line =>
+        val f = line.split(",")
+        f(0) -> Sample(f(1).toDouble, f(2).toDouble,
+          warmGcMs = f(5).toLong, warmSpillBytes = f(6).toLong,
+          coldGcMs = f(3).toLong, coldSpillBytes = f(4).toLong,
+          coldShuffleBytes = f(7).toLong, warmShuffleBytes = f(8).toLong)
+      }.toMap
+    } finally src.close()
+  }
+
+  test("r15 driver run (e4cb7c8 artifact, 223.5s cold) classifies " +
+    "CONTENDED via the cold rule: 8 dd-family cold anomalies") {
+    val run = loadFixture("r15_driver_contended.csv")
+    val (v, warmA, coldA) = verdictFull(run)
+    assert(v == "contended", s"got $v")
+    assert(warmA.isEmpty, s"warm side should be clean: $warmA")
+    assert(coldA.toSet == Set(
+      "dd4_simhash", "dd5_blocked_neardup", "dd5_blocked_tau09",
+      "dd5_embed_neardup", "dd6_dup_clusters", "dd7_incremental_dedup",
+      "dd8_canonical_corpus", "dd9_boilerplate"), s"got $coldA")
+  }
+
+  test("r15 builder clean run (466d9fc, 126.7s cold) and the clean " +
+    "sf1 run classify CLEAN under both rules") {
+    for (fx <- Seq("r15_builder_clean.csv", "r15_sf1_clean.csv")) {
+      val (v, warmA, coldA) = verdictFull(loadFixture(fx))
+      assert(v == "clean", s"$fx: $v warm=$warmA cold=$coldA")
+      assert(warmA.isEmpty && coldA.isEmpty,
+        s"$fx flagged warm=$warmA cold=$coldA")
+    }
+  }
+
+  test("cold rule excludes internal causes and genuine compile cost") {
+    // genuine codegen-compile cold overhead: high ratio, small excess
+    // (the clean runs' max is dd5_embed 0.87s/0.19s = 4.6x, 0.7s)
+    assert(coldAnomalies(Map("compile" -> Sample(0.9, 0.2, 0, 0,
+      coldShuffleBytes = 100, warmShuffleBytes = 100))).isEmpty)
+    // big excess but below the ratio (heavy first-read I/O patterns)
+    assert(coldAnomalies(Map("io" -> Sample(11.0, 6.0, 0, 0,
+      coldShuffleBytes = 100, warmShuffleBytes = 100))).isEmpty)
+    val base = Sample(10.0, 1.0, 0, 0,
+      coldShuffleBytes = 100, warmShuffleBytes = 100)
+    assert(coldAnomalies(Map("x" -> base)) == Seq("x"))
+    // internal causes on the COLD pass suppress the flag
+    assert(coldAnomalies(Map("gc" -> base.copy(coldGcMs = 5000L))).isEmpty)
+    assert(coldAnomalies(Map("sp" -> base.copy(coldSpillBytes = 1L))).isEmpty)
+    // different shuffle volume = different work, not contention
+    assert(coldAnomalies(Map("sh" ->
+      base.copy(coldShuffleBytes = 200))).isEmpty)
+    // unknown shuffle bytes (warm-only callers) assume parity
+    assert(coldAnomalies(Map("unk" -> Sample(10.0, 1.0, 0, 0))) == Seq("unk"))
   }
 }
