@@ -292,10 +292,24 @@ object Clustering {
     * way (CurationSpec pins pruned ≡ unpruned at an engaged k). */
   private[graft] def kernelAssign(df: DataFrame,
       centroids: Seq[(Long, Array[Long])],
-      prune: Option[Boolean] = None): DataFrame = {
+      prune: Option[Boolean] = None,
+      carry: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val qvdIdx = df.schema.fieldIndex("qvd")
     val qnIdx = df.schema.fieldIndex("qn")
+    // carry mode ([[chunkedAssign]]): `df` already ends in (cluster,
+    // distd) holding the best over PREVIOUS centroid chunks; this
+    // pass continues the same scan (same init, same tie rule, chunks
+    // in ascending id order), so the chunk chain is bit-equal to one
+    // monolithic scan of the concatenated centroid list
+    val carryIdx =
+      if (carry) Some((df.schema.fieldIndex("cluster"),
+        df.schema.fieldIndex("distd")))
+      else None
+    carryIdx.foreach { case (ci, di) =>
+      require(ci == df.schema.length - 2 && di == df.schema.length - 1,
+        "carry mode expects (cluster, distd) as the trailing fields")
+    }
     val k = centroids.size
     require(k > 0, "kernelAssign: empty centroid set")
     val dim = centroids.head._2.length
@@ -316,9 +330,11 @@ object Clustering {
       if (prune.getOrElse(k >= PruneKMin)) Some(buildGroups(flat, k, dim))
       else None
     val bc = spark.sparkContext.broadcast((ids, flat, cn2, groups))
-    val outSchema = df.schema
-      .add("cluster", org.apache.spark.sql.types.LongType, nullable = false)
-      .add("distd", org.apache.spark.sql.types.DoubleType, nullable = false)
+    val outSchema =
+      if (carry) df.schema
+      else df.schema
+        .add("cluster", org.apache.spark.sql.types.LongType, nullable = false)
+        .add("distd", org.apache.spark.sql.types.DoubleType, nullable = false)
     val rdd = df.rdd.mapPartitions { it =>
       val (cids, m, n2s, grp) = bc.value
       val kk = cids.length
@@ -331,8 +347,10 @@ object Clustering {
         var i = 0
         while (i < dim) { q(i) = qSeq(i); i += 1 }
         val qn = row.getDouble(qnIdx)
-        var bestD = Double.PositiveInfinity
-        var bestC = Long.MaxValue
+        var bestD = carryIdx.map(x => row.getDouble(x._2))
+          .getOrElse(Double.PositiveInfinity)
+        var bestC = carryIdx.map(x => row.getLong(x._1))
+          .getOrElse(Long.MaxValue)
         // exact member scan shared by both paths — assignExpr's
         // expansion verbatim, so evaluated candidates are bit-equal
         def scanRange(startsArr: Array[Int], members: Array[Int],
@@ -395,7 +413,11 @@ object Clustering {
               gi += 1
             }
         }
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bestC :+ bestD)
+        if (carry)
+          org.apache.spark.sql.Row.fromSeq(
+            row.toSeq.dropRight(2) :+ bestC :+ bestD)
+        else
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bestC :+ bestD)
       }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -403,30 +425,57 @@ object Clustering {
 
   /** k-means over a (vec_id, embedding) corpus: quantize, seed from
     * the md5-smallest rows, run [[LloydIters]] assignment+refit
-    * rounds, return (vec_id, qv, qvd, cluster, dist2). */
+    * rounds, return (vec_id, qv, qvd, cluster, dist2).
+    *
+    * Dispatches on k (r15 verdict #2, the refit residency side of the
+    * r15 kernel work): up to [[CentroidChunk]] the fit keeps the
+    * centroid set driver-resident between rounds (bounded metadata —
+    * every gate SF engages k ≤ 40, so the gates ride — and hash-pin —
+    * this path unchanged); past it [[kmeansFitChunked]] takes over,
+    * where centroids live in a DataFrame, the refit stays a
+    * distributed aggregate, and the driver only ever holds ONE
+    * [[CentroidChunk]]-bounded chunk transiently while building each
+    * chunk broadcast — so driver state is O(chunk·dim), not
+    * O(k·dim) with k = n/625 ∝ n. */
   private[graft] def kmeans(spark: SparkSession, corpus: DataFrame): DataFrame = {
-    val (q, centroids) = kmeansModel(spark, corpus)
-    // q stays persisted for the caller's materialization of this
-    // final pass; Verify/Bench clear caches between queries
-    withAssignment(q, centroids)
-      .select(col("vec_id"), col("qv"), col("qvd"), col("cluster"),
-        col("distd").cast("long").as("dist2"))
+    DotProduct.register(spark)
+    val k = kFor(corpus.count())
+    if (k <= CentroidChunk) {
+      val (q, centroids) = kmeansModel(spark, corpus, Some(k))
+      // q stays persisted for the caller's materialization of this
+      // final pass; Verify/Bench clear caches between queries
+      withAssignment(q, centroids)
+        .select(col("vec_id"), col("qv"), col("qvd"), col("cluster"),
+          col("distd").cast("long").as("dist2"))
+    } else {
+      val (q, centroidDf) = kmeansFitChunked(spark, corpus, Some(k))
+      chunkedAssign(q, centroidDf, k)
+        .select(col("vec_id"), col("qv"), col("qvd"), col("cluster"),
+          col("distd").cast("long").as("dist2"))
+    }
   }
 
-  /** The fitted model behind [[kmeans]]: the persisted quantized
-    * corpus frame (vec_id, qv, qvd, qn) and the FINAL centroid set —
-    * exposed so sdd2's incremental probe can assign NEW rows under
-    * frozen centroids without refitting (the dd7 persisted-index
-    * discipline). */
-  private[graft] def kmeansModel(spark: SparkSession, corpus: DataFrame)
-      : (DataFrame, Seq[(Long, Array[Long])]) = {
+  /** The quantized corpus frame every fit variant scans: (vec_id, qv
+    * integer vector, qvd double view, qn = |q|²), persisted — scanned
+    * once per Lloyd round + once for the output. */
+  private def quantized(corpus: DataFrame): DataFrame = corpus
+    .select(col("vec_id"), qvCol.as("qv"))
+    .withColumn("qvd", expr("transform(qv, x -> cast(x as double))"))
+    .withColumn("qn", expr("graft_dot(qvd, qvd)")) // |q|², exact
+    .persist()
+
+  /** The fitted model behind [[kmeans]]'s small-k arm: the persisted
+    * quantized corpus frame (vec_id, qv, qvd, qn) and the FINAL
+    * centroid set — exposed so sdd2's incremental probe can assign
+    * NEW rows under frozen centroids without refitting (the dd7
+    * persisted-index discipline). Driver-resident centroids are the
+    * CONTRACT here (k ≤ [[CentroidChunk]] bounded metadata); the
+    * unbounded-k form is [[kmeansFitChunked]]. */
+  private[graft] def kmeansModel(spark: SparkSession, corpus: DataFrame,
+      kOpt: Option[Long] = None): (DataFrame, Seq[(Long, Array[Long])]) = {
     DotProduct.register(spark)
-    val q = corpus
-      .select(col("vec_id"), qvCol.as("qv"))
-      .withColumn("qvd", expr("transform(qv, x -> cast(x as double))"))
-      .withColumn("qn", expr("graft_dot(qvd, qvd)")) // |q|², exact
-      .persist() // scanned once per Lloyd round + once for the output
-    val k = kFor(corpus.count())
+    val q = quantized(corpus)
+    val k = kOpt.getOrElse(kFor(corpus.count()))
     // deterministic seeds: k rows, rank = position in (md5, vec_id)
     // order; k·dim longs — metadata-sized, same collect contract as
     // sim3's IVF quantizer fit
@@ -461,6 +510,112 @@ object Clustering {
         }.toSeq.sortBy(_._1)
     }
     (q, centroids)
+  }
+
+  /** Centroid-count bound for DRIVER residency: below it the fit
+    * keeps the centroid Seq on the driver (today's gate path, k·dim ≤
+    * 64k·64 longs ≈ 33 MB); above it centroids stay distributed and
+    * the driver holds at most one chunk transiently. Also the chunk
+    * height of [[chunkedAssign]]. */
+  private[graft] val CentroidChunk = 65536L
+
+  /** Exact assignment against a DISTRIBUTED centroid frame (cluster,
+    * qv), without ever materializing all k centroids on the driver:
+    * centroids are consumed in ascending-id chunks of `chunk` rows;
+    * each chunk is transiently collected (bounded), broadcast, and
+    * scanned by a carry-mode [[kernelAssign]] pass that continues the
+    * running (bestD, bestC) from the previous chunks. The chunk chain
+    * is a pipeline of NARROW mapPartitions — one pass over the corpus
+    * executes all chunk scans back to back — and because chunks
+    * ascend in id order with the same init (+∞, Long.MaxValue) and
+    * the same (d, c) tie rule, the result is BIT-IDENTICAL to one
+    * monolithic [[kernelAssign]] over the concatenated list
+    * (ClusteringChunkedSpec pins this). Per-chunk two-level pruning
+    * still applies, and the carried best makes later chunks prune
+    * harder. */
+  private[graft] def chunkedAssign(df: DataFrame, centroidDf: DataFrame,
+      k: Long, chunk: Long = CentroidChunk): DataFrame = {
+    var acc = df
+      .withColumn("cluster", lit(Long.MaxValue))
+      .withColumn("distd", lit(Double.PositiveInfinity))
+    val nChunks = ((k + chunk - 1) / chunk).toInt
+    for (ci <- 0 until nChunks) {
+      val lo = 1L + ci * chunk
+      val hi = lo + chunk
+      // transient driver state: ≤ chunk centroid rows, released to GC
+      // once the broadcast is built inside kernelAssign
+      val cs = centroidDf
+        .filter(col("cluster") >= lo && col("cluster") < hi)
+        .select(col("cluster"), col("qv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1).toSeq
+      if (cs.nonEmpty) acc = kernelAssign(acc, cs, carry = true)
+    }
+    acc
+  }
+
+  /** The unbounded-k fit (r15 verdict #2): same quantization, seeds,
+    * Lloyd rounds, and integer refit arithmetic as [[kmeansModel]],
+    * but no step holds O(k·dim) on the driver —
+    *  - seeds rank via a distributed sort + zipWithIndex (no k-element
+    *    id collect, no k-literal isin filter);
+    *  - assignment is [[chunkedAssign]] (chunk-bounded transients);
+    *  - the refit is the same sum-div-count hash-agg kept AS a
+    *    DataFrame, re-grouped to (cluster, qv array) rows.
+    * Returns (persisted q frame, centroid frame (cluster, qv)) —
+    * per-round centroid frames are persisted and the prior round's is
+    * released. Bit-equal to the collect-based fit at any k where both
+    * run (spec-pinned at k ≈ 5 chunks). */
+  private[graft] def kmeansFitChunked(spark: SparkSession, corpus: DataFrame,
+      kOpt: Option[Long] = None, chunk: Long = CentroidChunk)
+      : (DataFrame, DataFrame) = {
+    DotProduct.register(spark)
+    val q = quantized(corpus)
+    val k = kOpt.getOrElse(kFor(corpus.count()))
+    // rank = row_number in (md5, vec_id) order, distributed:
+    // zipWithIndex adds one partition-count pass, never a driver
+    // collect; ids beyond k are dropped executor-side
+    val seedRdd = corpus
+      .select(col("vec_id"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .sort(col("h"), col("vec_id"))
+      .select(col("vec_id"))
+      .rdd.zipWithIndex()
+      .filter(_._2 < k)
+      .map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getLong(0), i + 1L)
+      }
+    val seedDf = spark.createDataFrame(seedRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    var centroidDf = q.join(seedDf, "vec_id")
+      .select(col("cluster"), col("qv"))
+      .persist()
+    centroidDf.count() // materialize before the seed sort is dropped
+    for (_ <- 1 until LloydIters) {
+      val assigned = chunkedAssign(q, centroidDf, k, chunk)
+        .select(col("qv"), col("cluster"))
+      // the SAME integer refit as kmeansModel, kept distributed:
+      // (cluster, pos) sum-div-count, then re-grouped to one array
+      // row per cluster (pos-sorted, so the array layout matches the
+      // collect-based byPos fill)
+      val refit = assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("cv"))
+        .groupBy(col("cluster"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv)))," +
+          " s -> s.cv)").as("qv"))
+        .persist()
+      refit.count() // materialize before releasing the prior round
+      centroidDf.unpersist()
+      centroidDf = refit
+    }
+    (q, centroidDf)
   }
 
   /** sdd2's frozen-index probe — the incremental twin of sdd1's batch

@@ -47,33 +47,74 @@ object Multimodal {
                           width: Int, height: Int, checksum: Long)
 
   private val PngMime = "image/png"
+  private val JpegMime = "image/jpeg"
 
-  /** Per-partition PNG codec with CACHED reader/writer instances.
+  /** The explicit JPEG encode quality (a real corpus pins this in its
+    * ingest config; the exactness property below holds at ANY
+    * quality, so the value is not load-bearing for the oracle). */
+  private[graft] val JpegQuality = 0.9f
+
+  /** Per-partition image codec with CACHED reader/writer instances.
     * `ImageIO.read`/`write` pay a service-registry scan plus
     * disk-cache-policy stream construction on EVERY call — at hundreds
     * of thousands of small blobs per partition that overhead dominates
     * the actual codec work. One `PngCodec` per `mapPartitions` call
     * amortizes it to zero-per-blob, which is precisely why the decode
     * stages run as per-partition iterators and not per-row UDFs. Not
-    * thread-safe — one instance per partition iterator, never shared. */
+    * thread-safe — one instance per partition iterator, never shared.
+    *
+    * JPEG (r15 verdict #5 — a real 100 TB image corpus is mostly
+    * JPEG): same cached-instance discipline, lazily initialized so
+    * PNG-only stages never pay for the JPEG plugin. JPEG is LOSSY, so
+    * hash gates over it need an exactness property, not hope: a
+    * UNIFORM GRAY image round-trips bit-exactly through the JDK
+    * codec at any quality — gray means zero chroma (Cb = Cr = 128
+    * exactly, and 4:2:0 subsampling of a constant plane is that same
+    * constant), and a constant luma plane is DC-only per block, with
+    * the level-shifted DC a multiple of every quantizer's step after
+    * rounding, so dequantization reproduces it exactly (verified for
+    * all 256 gray values × edge geometries × qualities
+    * 0.75/0.9/0.95/1.0 — PipelineSpec pins the property at the gate
+    * quality). The mm5 fixture therefore fills JPEGs with
+    * id-derived GRAY, keeping the DuckDB oracle closed-form while
+    * the Spark side runs the genuine lossy codec. */
   private final class PngCodec {
     private val reader =
       javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
     private val writer =
       javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private lazy val jpegReader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    private lazy val jpegWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
 
-    /** Decode PNG bytes; null on undecodable input (the `ImageIO.read`
-      * contract the fallback paths rely on). */
-    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    private def readWith(r: javax.imageio.ImageReader,
+        bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
-        reader.setInput(iis, true, true)
-        reader.read(0)
+        r.setInput(iis, true, true)
+        r.read(0)
       } catch {
         case _: java.io.IOException => null // corrupt blob: fall back
       } finally iis.close()
     }
+
+    /** Decode PNG bytes; null on undecodable input (the `ImageIO.read`
+      * contract the fallback paths rely on). */
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      readWith(reader, bytes)
+
+    def decodeJpeg(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      readWith(jpegReader, bytes)
+
+    /** Mime-keyed decode — the mixed-corpus entry point. */
+    def decodeMime(mime: String, bytes: Array[Byte]): java.awt.image.BufferedImage =
+      mime match {
+        case PngMime => decode(bytes)
+        case JpegMime => decodeJpeg(bytes)
+        case _ => null
+      }
 
     def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -81,6 +122,24 @@ object Multimodal {
       try {
         writer.setOutput(ios)
         writer.write(img)
+        ios.flush()
+      } finally ios.close()
+      bos.toByteArray
+    }
+
+    /** JPEG encode at an explicit quality (the corpus-ingest shape —
+      * quality is a pipeline parameter, never a codec default). */
+    def encodeJpeg(img: java.awt.image.BufferedImage,
+        quality: Float = JpegQuality): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        jpegWriter.setOutput(ios)
+        val p = jpegWriter.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        jpegWriter.write(null,
+          new javax.imageio.IIOImage(img, null, null), p)
         ios.flush()
       } finally ios.close()
       bos.toByteArray
@@ -190,6 +249,87 @@ object Multimodal {
   private[graft] def pngRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     mediaRecords(spark, sfDir).mapPartitions(encodePng)
+  }
+
+  /** The mm5 gray value — JPEG fills are GRAY so the lossy codec
+    * round-trips exactly (see the codec Scaladoc). */
+  private def jpegGray(id: Long): Int = (id % 256).toInt
+
+  /** Mixed-format ingest (r15 verdict #5): even doc_ids carry the PNG
+    * fixture, odd ones a REAL JPEG (explicit quality, id-derived gray
+    * fill, the same closed-form geometry) — one corpus, two genuine
+    * codecs, one schema. */
+  private def encodeMixed(it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
+    val codec = new PngCodec
+    it.map { r =>
+      val (w, h) = (pngWidth(r.media_id), pngHeight(r.media_id))
+      if (r.media_id % 2 == 0) {
+        val (cr, cg, cb) = pngRgb(r.media_id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(cr, cg, cb))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        r.copy(mime = PngMime, content = codec.encode(img))
+      } else {
+        val v = jpegGray(r.media_id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(v, v, v))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        r.copy(mime = JpegMime, content = codec.encodeJpeg(img))
+      }
+    }
+  }
+
+  private[graft] def mixedRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaRecords(spark, sfDir).mapPartitions(encodeMixed)
+  }
+
+  /** Decoded features + the mime that produced them (the mixed-corpus
+    * post-decode schema). */
+  case class MixedFeature(media_id: Long, mime: String, width: Int,
+                          height: Int, px_sum: Long)
+
+  /** Mime-dispatched batched decoder for the mixed corpus: each blob
+    * goes through ITS format's cached reader; a genuinely undecodable
+    * blob in this pipeline is a bug — fail loudly (the fixture is
+    * codec output end to end). */
+  private def decodeMixed(it: Iterator[MediaRecord]): Iterator[MixedFeature] = {
+    val codec = new PngCodec
+    it.map { r =>
+      val img = codec.decodeMime(r.mime, r.content)
+      if (img == null) throw new IllegalStateException(
+        s"undecodable ${r.mime} blob for media ${r.media_id}")
+      MixedFeature(r.media_id, r.mime, img.getWidth, img.getHeight,
+        pixelSum(img))
+    }
+  }
+
+  private[graft] def mixedFeatures(spark: SparkSession, sfDir: String): Dataset[MixedFeature] = {
+    import spark.implicits._
+    mixedRecords(spark, sfDir).mapPartitions(decodeMixed)
+  }
+
+  /** The spec hook for the JPEG exactness property: encode a uniform
+    * gray (v, v, v) w×h image at `quality`, decode it, and report
+    * whether EVERY pixel came back exactly (v, v, v). */
+  private[graft] def jpegGrayRoundTripExact(v: Int, w: Int, h: Int,
+      quality: Float = JpegQuality): Boolean = {
+    val codec = new PngCodec
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(v, v, v))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val dec = codec.decodeJpeg(codec.encodeJpeg(img, quality))
+    dec != null && dec.getWidth == w && dec.getHeight == h &&
+      pixelSum(dec) == w.toLong * h * 3 * v
   }
 
   /** REAL image resize: decode → Graphics2D rescale to (tw, th) →
@@ -378,7 +518,16 @@ object Multimodal {
         .mapPartitions(decode).toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("checksum").as("px_sum"))
-    })
+    }),
+    // MIXED PNG/JPEG decode (r15 verdict #5): even ids round-trip the
+    // PNG fixture, odd ids a REAL lossy JPEG whose gray fill makes
+    // the decode closed-form (the exactness property the codec
+    // Scaladoc derives and PipelineSpec pins) — so one hash gate
+    // covers format dispatch, both codecs, and the decoded rasters.
+    "mm5_mixed_decode" -> ((spark, sfDir) =>
+      mixedFeatures(spark, sfDir).toDF()
+        .select(col("media_id"), col("mime"), col("width"),
+          col("height"), col("px_sum")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -422,6 +571,21 @@ object Multimodal {
          |  CAST($ResizeW * $ResizeH *
          |    (doc_id % 256 + (doc_id * 31) % 256 + (doc_id * 101) % 256)
          |    AS BIGINT) AS px_sum
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    // per-format closed forms: PNG rows state the colored-fill
+    // contract; JPEG rows state the gray fill (3·v per pixel), valid
+    // because uniform gray survives the lossy codec exactly
+    "mm5_mixed_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+        |       ELSE 'image/jpeg' END AS mime,
+        |  CAST(8 + doc_id % 25 AS INT) AS width,
+        |  CAST(8 + (doc_id * 7) % 25 AS INT) AS height,
+        |  CAST((8 + doc_id % 25) * (8 + (doc_id * 7) % 25) *
+        |    (CASE WHEN doc_id % 2 = 0
+        |       THEN doc_id % 256 + (doc_id * 31) % 256 + (doc_id * 101) % 256
+        |       ELSE 3 * (doc_id % 256) END)
+        |    AS BIGINT) AS px_sum
+        |FROM documents""".stripMargin
   )
 }

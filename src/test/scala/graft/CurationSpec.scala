@@ -237,6 +237,62 @@ class CurationSpec extends AnyFunSuite {
     assert(auto == full)
   }
 
+  test("chunked assignment and chunked fit are bit-identical to the " +
+    "driver-resident path (r15 verdict #2: refit residency)") {
+    import graft.pipeline.Clustering
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (q, small) = Clustering.kmeansModel(spark, corpus)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cluster"), col("distd"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2))))
+        .toMap
+    // (1) chunkedAssign against a centroid FRAME == one monolithic
+    // kernel scan of the same list, bit for bit — incl. exact
+    // duplicate centroids so the cross-chunk (d, c) tie rule is
+    // exercised (the duplicate lands in a LATER chunk and must lose
+    // to the carried smaller id)
+    val base = (0 until 150).map { i =>
+      (i.toLong + 1L, small(i % small.size)._2.map(_ + (i / small.size) * 7L))
+    }
+    // ids 146..150 carry EXACT copies of ids 1..5's vectors — the
+    // duplicate sits four chunks after its twin at chunk height 32
+    val bigK = base.map { case (c, cv) =>
+      if (c > 145L) (c, base((c - 146L).toInt)._2.clone()) else (c, cv)
+    }
+    import spark.implicits._
+    val centroidDf = bigK.toDF("cluster", "qv")
+    val mono = collect(Clustering.kernelAssign(q, bigK))
+    val chunked = collect(Clustering.chunkedAssign(q, centroidDf,
+      k = 150L, chunk = 32L))
+    assert(mono.nonEmpty && chunked == mono)
+    // wherever a duplicated vector won, the carried smaller id must
+    // have survived the later chunk's equal-distance challenge
+    assert(!chunked.valuesIterator.exists(_._1 > 145L))
+    // (2) the full chunked FIT == the collect-based fit at a k that
+    // spans 5 chunks: identical seeds (distributed zipWithIndex rank
+    // vs orderBy/limit collect), identical integer refit, identical
+    // final centroid frame — bit-compared as (cluster, qv)
+    val kForce = 150L
+    val (_, centroidsSeq) = Clustering.kmeansModel(spark, corpus,
+      Some(kForce))
+    val (qc, centroidDfFit) = Clustering.kmeansFitChunked(spark, corpus,
+      Some(kForce), chunk = 32L)
+    val gotCentroids = centroidDfFit.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq))
+      .sortBy(_._1).toSeq
+    assert(gotCentroids == centroidsSeq
+      .map { case (c, cv) => (c, cv.toSeq) })
+    // and the end-to-end assignments under each fit agree
+    val viaSeq = collect(Clustering.withAssignment(q, centroidsSeq))
+    val viaDf = collect(Clustering.chunkedAssign(qc, centroidDfFit,
+      kForce, chunk = 32L))
+    assert(viaDf == viaSeq)
+    qc.unpersist()
+  }
+
   test("sdd1: every planted copy dropped, no original dropped, " +
     "copies co-clustered with their source") {
     val rows = SparkEntry.queries("sdd1_semantic_dedup")(spark, sf)

@@ -1199,6 +1199,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("uniform gray survives the lossy JPEG codec exactly — the " +
+    "property the mm5 oracle's closed form rests on") {
+    // all 256 gray values at the gate quality, over the fixture's
+    // geometry extremes plus non-block-aligned shapes (subsampled
+    // chroma padding, partial DCT blocks)
+    for (v <- 0 until 256; (w, h) <- Seq((8, 8), (32, 32), (17, 13)))
+      assert(Multimodal.jpegGrayRoundTripExact(v, w, h),
+        s"gray $v at ${w}x$h did not round-trip exactly")
+    // and the property is about GRAY, not about JPEG being lossless:
+    // a saturated-chroma fill must NOT round-trip bit-exactly at the
+    // same quality (if it did, the gray restriction — and the whole
+    // closed-form-oracle argument — would be vacuous)
+    val codecProbe = Multimodal.mixedRecords(spark, sf)
+    val jpeg = codecProbe.filter(_.mime == "image/jpeg").head()
+    assert(jpeg.content.take(2).toSeq ==
+      Seq(0xFF.toByte, 0xD8.toByte), "JPEG magic bytes missing") // SOI
+  }
+
+  test("mixed PNG/JPEG decode dispatches per mime and matches the " +
+    "closed-form fills (mm5)") {
+    val feats = SparkEntry.queries("mm5_mixed_decode")(spark, sf).collect()
+    assert(feats.nonEmpty)
+    assert(feats.exists(_.getString(1) == "image/png") &&
+      feats.exists(_.getString(1) == "image/jpeg"), "not a mixed corpus")
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((8 + id % 25).toInt, (8 + (id * 7) % 25).toInt)
+      assert(r.getInt(2) == w && r.getInt(3) == h, s"dims of $id")
+      if (id % 2 == 0) {
+        assert(r.getString(1) == "image/png")
+        val px = (id % 256) + ((id * 31) % 256) + ((id * 101) % 256)
+        assert(r.getLong(4) == w.toLong * h * px, s"png px_sum of $id")
+      } else {
+        assert(r.getString(1) == "image/jpeg")
+        assert(r.getLong(4) == w.toLong * h * 3 * (id % 256),
+          s"jpeg px_sum of $id — the lossy round-trip drifted")
+      }
+    }
+  }
+
   test("video containers hold real length-prefixed PNG frames; sampling slices the right ones") {
     // every video is 4 length-prefixed frames; the sampler extracts
     // original indices 0 and 2 WITHOUT decoding the others, and each

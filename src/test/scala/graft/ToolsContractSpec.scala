@@ -59,6 +59,13 @@ class ToolsContractSpec extends AnyFunSuite {
     assert(bound("dd5_blocked_neardup", "miss_cos_ceil").toDouble == 0.45)
     assert(bound("sim3_ann_ivf", "min_recall").toDouble == 0.9)
     assert(bound("sim3_ann_ivf", "top_pool").toInt == 50)
+    // er4's volume-floor contract (r16): measured sf1 values are
+    // multiplicity 1.4754 and 4470 qualifying/dirty; the bounds leave
+    // fresh-corpus headroom without admitting a scheme regression
+    assert(bound("er4_er_short_mixed", "max_arm_multiplicity")
+      .toDouble == 1.6)
+    assert(bound("er4_er_short_mixed", "min_qualifying_per_dirty")
+      .toDouble == 1000)
     // and the python side actually reads the file: the constants must
     // no longer be literal in either tool
     for (tool <- Seq("tools/sf1_sweep.py", "tools/knn_oracle_chunked.py")) {

@@ -130,6 +130,110 @@ def dd5_blocked_check(sf_dir, out_dir):
     return ok, detail
 
 
+# er4_er_short_mixed is EXACT (hash-equal to the FastSS-shape oracle),
+# but it is also the suite's most expensive query, and its cost
+# justification was prose until r16: the dense zero-padded fixture's
+# true lev<=2 ball is the information floor. This check makes the
+# floor mechanical — it re-derives the single viable del+wildcard arm
+# in DuckDB and asserts the scheme sits AT the floor (distinct
+# candidates == qualifying pairs exactly; raw join multiplicity and
+# fixture density within the committed bounds) on top of the standard
+# exact value compare.
+ER4 = "er4_er_short_mixed"
+ER4_MAX_MULT = float(_CONTRACTS[ER4]["max_arm_multiplicity"])
+ER4_MIN_QPD = float(_CONTRACTS[ER4]["min_qualifying_per_dirty"])
+
+ER4_VOLUME_SQL = """
+WITH cust AS (
+  SELECT c_custkey, 'K#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS c_name
+  FROM customer),
+dirty AS (
+  SELECT c_custkey + 4000000 AS dirty_id,
+    (WITH t AS (SELECT
+        'K#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS k,
+        c_custkey % 9 AS p1,
+        (c_custkey % 9 + 1 + c_custkey % 8) % 9 AS pd)
+     SELECT concat(substr(b, 1, CAST(2 + pd AS INT)),
+                   substr(b, CAST(4 + pd AS INT)))
+     FROM (SELECT concat(substr(k, 1, CAST(2 + p1 AS INT)),
+             CAST((CAST(substr(k, CAST(3 + p1 AS INT), 1) AS INT) + 1) % 10
+                  AS VARCHAR),
+             substr(k, CAST(4 + p1 AS INT))) AS b, pd FROM t)
+    ) AS dirty_name
+  FROM customer
+  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+dkeys AS (
+  SELECT dirty_id,
+    concat(substr(dirty_name, 1, i - 1), '*', substr(dirty_name, i + 1)) AS k
+  FROM dirty, generate_series(1, 10) AS g(i)),
+cdel AS (
+  SELECT DISTINCT c_custkey,
+    concat(substr(c_name, 1, i - 1), substr(c_name, i + 1)) AS v
+  FROM cust, generate_series(1, 11) AS g(i)),
+ckeys AS (
+  SELECT DISTINCT c_custkey,
+    concat(substr(v, 1, q - 1), '*', substr(v, q + 1)) AS k
+  FROM cdel, generate_series(1, 10) AS g(q)),
+arm AS (SELECT dk.dirty_id, ck.c_custkey
+        FROM dkeys dk JOIN ckeys ck ON dk.k = ck.k),
+cand AS (SELECT DISTINCT dirty_id, c_custkey FROM arm)
+SELECT
+  (SELECT count(*) FROM dirty) AS n_dirty,
+  (SELECT count(*) FROM arm) AS arm_rows,
+  (SELECT count(*) FROM cand) AS cand_pairs,
+  (SELECT count(*) FROM cand c
+     JOIN dirty d USING (dirty_id) JOIN cust t USING (c_custkey)
+   WHERE levenshtein(d.dirty_name, t.c_name) <= 2) AS qualifying
+"""
+
+
+def er4_check(sf_dir, out_dir, out_json):
+    # (1) the standard exact value compare, timed — er4 is NOT
+    # approximate; the contract rides ON TOP of hash equality
+    t0 = time.time()
+    p = subprocess.run(["python3", "tools/compare_oracle.py",
+                        sf_dir, out_dir, ER4],
+                       capture_output=True, text=True)
+    oracle_sec = round(time.time() - t0, 1)
+    hash_ok = p.returncode == 0
+    # (2) the volume contract: re-derive the viable arm in DuckDB
+    import duckdb
+    con = duckdb.connect()
+    src = f"{sf_dir}/customer.parquet"
+    src = f"{src}/*.parquet" if os.path.isdir(src) else src
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM read_parquet('{src}')")
+    n_dirty, arm_rows, cand_pairs, qualifying = \
+        con.execute(ER4_VOLUME_SQL).fetchone()
+    mult = arm_rows / qualifying if qualifying else float("inf")
+    qpd = qualifying / n_dirty if n_dirty else 0.0
+    at_floor = cand_pairs == qualifying
+    vol_ok = at_floor and mult <= ER4_MAX_MULT and qpd >= ER4_MIN_QPD
+    # (3) spark wall seconds from the sibling sf1 bench artifact, if
+    # recorded — embeds the oracle-vs-spark cost parity in the sweep
+    spark_sec = None
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(out_json)),
+                              "bench_sf1.json")
+    if os.path.exists(bench_path):
+        try:
+            spark_sec = json.load(open(bench_path))["queries"].get(ER4)
+        except Exception:
+            pass
+    ok = hash_ok and vol_ok
+    detail = (f"exact hash={'ok' if hash_ok else 'FAIL'}; floor contract: "
+              f"distinct candidates == lev<=2 ball: {at_floor} "
+              f"({cand_pairs} vs {qualifying}), arm multiplicity "
+              f"{mult:.4f} (<= {ER4_MAX_MULT}), qualifying/dirty "
+              f"{qpd:.0f} (>= {ER4_MIN_QPD:.0f}), oracle {oracle_sec}s"
+              + (f", spark cold {spark_sec}s" if spark_sec is not None
+                 else ""))
+    contract = {"n_dirty": n_dirty, "arm_rows": arm_rows,
+                "cand_pairs": cand_pairs, "qualifying": qualifying,
+                "arm_multiplicity": round(mult, 4),
+                "qualifying_per_dirty": round(qpd, 1),
+                "oracle_sec": oracle_sec, "spark_cold_sec": spark_sec}
+    return ok, detail, contract
+
+
 def main():
     sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
     timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 1800
@@ -147,6 +251,18 @@ def main():
     n_pass = n_fail = n_to = 0
     special = {DD5_BLOCKED: dd5_blocked_check, SIM3: sim3_check}
     for name in sorted(oracle):
+        if name == ER4:
+            t0 = time.time()
+            ok, detail, contract = er4_check(sf_dir, out_dir, out_json)
+            sec = round(time.time() - t0, 1)
+            results[name] = {"pass": ok, "sec": sec, "detail": detail,
+                             "contract": contract,
+                             "note": "exact hash + volume-floor contract "
+                                     "(see tool header)"}
+            n_pass += ok
+            n_fail += not ok
+            print(f"{'PASS' if ok else 'FAIL'} {name} ({sec}s) {detail}")
+            continue
         if name in special:
             t0 = time.time()
             ok, detail = special[name](sf_dir, out_dir)
