@@ -25,7 +25,13 @@ import graft.workload.{Harvester, WorkloadGen}
   * reference logs separately.
   *
   * Usage: runMain graft.planopt.DynamicMain [sfDir] [numGenerated]
-  *        [batchSize] [epochs] [outDir]
+  *        [batchSize] [epochs] [outDir] [poolFile]
+  *
+  * With `poolFile` (r15 verdict #6 — the same pool-sampling treatment
+  * StableMain got in r15): the stream is sampled from the committed
+  * 20k distribution-gated pool instead of freshly generated, with
+  * seed 123 (NOT StableMain's 42) so the dynamic stream and the
+  * stable training corpus stay disjoint draws of the same pool.
   */
 object DynamicMain {
   def main(args: Array[String]): Unit = {
@@ -34,6 +40,7 @@ object DynamicMain {
     val batchSize = args.lift(2).map(_.toInt).getOrElse(12)
     val epochs = args.lift(3).map(_.toInt).getOrElse(60)
     val outDir = args.lift(4).getOrElse("results/r10_dynamic")
+    val poolFile = args.lift(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,8 +63,20 @@ object DynamicMain {
         |  AND c.c_acctbal > 0 AND l.l_quantity < 30""".stripMargin)
     val h = WorkloadGen.harvest(spark, seedSql)
     val rd = Harvester.rangeDict(spark, sfDir)
-    val generated = WorkloadGen.generateRandomSql(
-      h, rd, Harvester.revAliasMap, numSql = numGen, seed = 123L)
+    val generated = poolFile match {
+      case Some(pf) =>
+        val src = scala.io.Source.fromFile(pf)
+        val all =
+          try src.getLines().map(_.trim).filter(_.nonEmpty).toVector
+          finally src.close()
+        val sample = new scala.util.Random(123L).shuffle(all).take(numGen)
+        log.info(s"sampled ${sample.size} of ${all.size} pool queries " +
+          s"from $pf (seeded shuffle, seed=123 — disjoint draw from " +
+          "StableMain's seed=42)")
+        sample
+      case None => WorkloadGen.generateRandomSql(
+        h, rd, Harvester.revAliasMap, numSql = numGen, seed = 123L)
+    }
     val queries: Seq[(String, SparkSession => DataFrame)] =
       generated.zipWithIndex.map { case (q, i) =>
         s"dyn$i" -> ((s: SparkSession) => s.sql(q.stripSuffix(";")))
