@@ -23,7 +23,14 @@ import graft.workload.{Harvester, WorkloadGen}
   * Query features are the pooled 64-d tree-conv features of each
   * query's default candidate plan under a seed-trained model.
   *
-  * Usage: runMain graft.planopt.ActiveMain [sfDir] [poolSize] [budget] [epochs]
+  * Usage: runMain graft.planopt.ActiveMain [sfDir] [poolSize] [budget]
+  *        [epochs] [outDir] [poolFile]
+  *
+  * With `poolFile` (r16 — the same pool-sampling treatment the stable
+  * and dynamic pipelines got): the unlabeled pool and held-out test
+  * set are a seeded sample (seed 99) of the committed 20k
+  * distribution-gated pool — a disjoint draw from StableMain's 42 and
+  * DynamicMain's 123, so none of the three pipelines share queries.
   */
 object ActiveMain {
   def main(args: Array[String]): Unit = {
@@ -34,6 +41,7 @@ object ActiveMain {
     val budget = args.lift(2).map(_.toInt).getOrElse(24)
     val epochs = args.lift(3).map(_.toInt).getOrElse(60)
     val outDir = args.lift(4).getOrElse("results/r7_active")
+    val poolFile = args.lift(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,8 +68,21 @@ object ActiveMain {
         |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey""".stripMargin)
     val h = WorkloadGen.harvest(spark, seedSql)
     val rd = Harvester.rangeDict(spark, sfDir)
-    val gen = WorkloadGen.generateRandomSql(
-      h, rd, Harvester.revAliasMap, numSql = poolSize + 10, seed = 99L)
+    val gen = poolFile match {
+      case Some(pf) =>
+        val src = scala.io.Source.fromFile(pf)
+        val all =
+          try src.getLines().map(_.trim).filter(_.nonEmpty).toVector
+          finally src.close()
+        val sample = new scala.util.Random(99L).shuffle(all)
+          .take(poolSize + 10)
+        log.info(s"sampled ${sample.size} of ${all.size} pool queries " +
+          s"from $pf (seeded shuffle, seed=99 — disjoint from stable's " +
+          "42 and dynamic's 123)")
+        sample
+      case None => WorkloadGen.generateRandomSql(
+        h, rd, Harvester.revAliasMap, numSql = poolSize + 10, seed = 99L)
+    }
     def q(sql: String): SparkSession => DataFrame =
       s => s.sql(sql.stripSuffix(";"))
     val pool = gen.take(poolSize).zipWithIndex.map { case (s, i) => s"pool$i" -> q(s) }
