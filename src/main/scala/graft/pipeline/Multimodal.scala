@@ -351,6 +351,39 @@ object Multimodal {
     }
   }
 
+  /** Mime-preserving resize for the mixed corpus: decode with the
+    * blob's OWN codec, rescale, re-encode with the SAME codec (a
+    * corpus resize must not silently transcode formats). Constant
+    * fills rescale to the same constant under any interpolation, so
+    * the mm6 oracle stays closed-form — PNG losslessly, JPEG by the
+    * gray exactness property (uniform gray in → uniform gray out →
+    * bit-exact round-trip). */
+  private def resizeMixed(tw: Int, th: Int)(
+      it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
+    val codec = new PngCodec
+    it.map { r =>
+      val img = codec.decodeMime(r.mime, r.content)
+      if (img == null) r // non-image blob: pass through
+      else {
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.drawImage(img, 0, 0, tw, th, null)
+        g.dispose()
+        r.copy(content =
+          if (r.mime == JpegMime) codec.encodeJpeg(out)
+          else codec.encode(out))
+      }
+    }
+  }
+
+  private[graft] def mixedResized(spark: SparkSession, sfDir: String): Dataset[MixedFeature] = {
+    import spark.implicits._
+    mixedRecords(spark, sfDir)
+      .mapPartitions(resizeMixed(ResizeW, ResizeH))
+      .mapPartitions(decodeMixed)
+  }
+
   /** One sampled frame of a media blob (the video-style schema).
     * `frame_idx` is the frame's ORIGINAL index in the container, not
     * its rank among the sampled frames. */
@@ -527,6 +560,15 @@ object Multimodal {
     "mm5_mixed_decode" -> ((spark, sfDir) =>
       mixedFeatures(spark, sfDir).toDF()
         .select(col("media_id"), col("mime"), col("width"),
+          col("height"), col("px_sum"))),
+    // MIME-PRESERVING mixed resize: decode with the blob's own codec,
+    // rescale, re-encode with the SAME codec, decode again — the full
+    // lossy round-trip for JPEG rows. Constant fills rescale to the
+    // same constant, so both formats stay closed-form (PNG losslessly,
+    // JPEG by the gray exactness property).
+    "mm6_mixed_resize" -> ((spark, sfDir) =>
+      mixedResized(spark, sfDir).toDF()
+        .select(col("media_id"), col("mime"), col("width"),
           col("height"), col("px_sum")))
   )
 
@@ -586,6 +628,21 @@ object Multimodal {
         |       THEN doc_id % 256 + (doc_id * 31) % 256 + (doc_id * 101) % 256
         |       ELSE 3 * (doc_id % 256) END)
         |    AS BIGINT) AS px_sum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // post-resize, both formats are the target raster with the source
+    // fill: constant fills survive rescale AND (for gray) the second
+    // lossy JPEG encode→decode
+    "mm6_mixed_resize" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+         |       ELSE 'image/jpeg' END AS mime,
+         |  CAST($ResizeW AS INT) AS width,
+         |  CAST($ResizeH AS INT) AS height,
+         |  CAST($ResizeW * $ResizeH *
+         |    (CASE WHEN doc_id % 2 = 0
+         |       THEN doc_id % 256 + (doc_id * 31) % 256 + (doc_id * 101) % 256
+         |       ELSE 3 * (doc_id % 256) END)
+         |    AS BIGINT) AS px_sum
+         |FROM documents""".stripMargin
   )
 }

@@ -1239,6 +1239,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed resize preserves each blob's mime and the closed-form " +
+    "fill through the full lossy round-trip (mm6)") {
+    val feats = SparkEntry.queries("mm6_mixed_resize")(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) == 16 && r.getInt(3) == 12, s"dims of $id")
+      if (id % 2 == 0) {
+        assert(r.getString(1) == "image/png")
+        val px = (id % 256) + ((id * 31) % 256) + ((id * 101) % 256)
+        assert(r.getLong(4) == 16L * 12 * px)
+      } else {
+        assert(r.getString(1) == "image/jpeg")
+        assert(r.getLong(4) == 16L * 12 * 3 * (id % 256),
+          s"jpeg resize round-trip drifted for $id")
+      }
+    }
+    // mime preservation is structural, not just labeled: the resized
+    // JPEG blobs must still carry JPEG magic (no silent transcode)
+    val resized = graft.pipeline.Multimodal
+      .mixedRecords(spark, sf).collect().filter(_.media_id % 2 == 1)
+    assert(resized.forall(_.content.take(2).toSeq ==
+      Seq(0xFF.toByte, 0xD8.toByte)))
+  }
+
   test("video containers hold real length-prefixed PNG frames; sampling slices the right ones") {
     // every video is 4 length-prefixed frames; the sampler extracts
     // original indices 0 and 2 WITHOUT decoding the others, and each
