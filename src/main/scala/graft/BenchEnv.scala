@@ -101,11 +101,17 @@ object BenchEnv {
     (v, (w ++ c).distinct)
   }
 
-  /** The `env` block for bench_out.json. */
-  def envJson(samples: Map[String, Sample]): String = {
+  /** The `env` block for bench_out.json. `remeasured` is a list of
+    * pre-rendered JSON objects recording anomaly re-measurement
+    * substitutions (Bench re-runs flagged queries once and keeps the
+    * faster sample) — stamped into the artifact so a substituted
+    * headline stays honest about what was measured when. */
+  def envJson(samples: Map[String, Sample],
+              remeasured: Seq[String] = Nil): String = {
     val (v, w, c) = verdictFull(samples)
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString(",")
     s"""{"contention":"$v","warm_regressions":${w.size},""" +
+      s""""remeasured":[${remeasured.mkString(",")}],""" +
       s""""anomalous":[${arr(w)}],""" +
       s""""cold_regressions":${c.size},"anomalous_cold":[${arr(c)}],""" +
       s""""rule":"warm: warm>=${WarmRegressionRatio}x cold, cold>=${MinColdSec}s, """ +

@@ -12,9 +12,11 @@ import graft.engine.Tables
   * The IMAGE path is real: PNGs are encoded and decoded with the
   * JDK's `javax.imageio` codec (no external deps), and the decode /
   * resize stages are oracle-gated — the PNG corpus is generated with
-  * dimensions and fill color that are closed-form functions of
-  * `doc_id`, so DuckDB can state the expected decoded output without
-  * running a codec, while the Spark side round-trips real PNG bytes.
+  * dimensions and a PER-PIXEL GRADIENT fill that are closed-form
+  * functions of `doc_id` (and pixel position), so DuckDB can state
+  * the expected decoded output without running a codec, while the
+  * Spark side round-trips real PNG bytes. The AUDIO path mirrors it
+  * with real RIFF/WAV PCM via `javax.sound.sampled`.
   * The execution shape is the 100 TB one:
   *  - media rides in a `BINARY` column inside the row (at production
   *    scale you'd point at object-store keys instead once blobs exceed
@@ -177,11 +179,72 @@ object Multimodal {
   }
 
   /** Closed-form PNG geometry/fill from the id — the contract shared
-    * by the Spark-side generator and the DuckDB oracle. */
+    * by the Spark-side generator and the DuckDB oracle.
+    *
+    * The fill is a PER-PIXEL GRADIENT, not a constant (r16 verdict
+    * #4): channel c at pixel (x, y) is `base_c(id) + x + y`, with the
+    * id-derived bases in [0, 192) so the brightest pixel
+    * (191 + 31 + 31 = 253) never clips — PNG is lossless, so the
+    * decode/resize gates are content-exact over a raster whose every
+    * pixel differs, and a decoder that only got the fill's average
+    * right (or a resize that sampled the wrong source pixels) now
+    * hash-fails where a constant fill would have hidden it. */
   private def pngWidth(id: Long): Int = 8 + (id % 25).toInt
   private def pngHeight(id: Long): Int = 8 + ((id * 7) % 25).toInt
-  private def pngRgb(id: Long): (Int, Int, Int) =
-    ((id % 256).toInt, ((id * 31) % 256).toInt, ((id * 101) % 256).toInt)
+  private def pngBase(id: Long): (Int, Int, Int) =
+    ((id % 192).toInt, ((id * 31) % 192).toInt, ((id * 101) % 192).toInt)
+
+  /** Encode the gradient fixture raster for `id` as a real PNG. */
+  private def gradientPng(codec: PngCodec, id: Long): Array[Byte] = {
+    val w = pngWidth(id)
+    val h = pngHeight(id)
+    val (br, bg, bb) = pngBase(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = x + y
+        px(y * w + x) = ((br + d) << 16) | ((bg + d) << 8) | (bb + d)
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    codec.encode(img)
+  }
+
+  /** The gradient's decoded pixel-channel total — the Scala twin of
+    * the oracle SQL's closed form (PipelineSpec cross-checks both
+    * against the actually-decoded raster). */
+  private[graft] def gradientPxSum(id: Long): Long = {
+    val w = pngWidth(id).toLong
+    val h = pngHeight(id).toLong
+    val (br, bg, bb) = pngBase(id)
+    w * h * (br + bg + bb) + 3L * (h * w * (w - 1) / 2 + w * h * (h - 1) / 2)
+  }
+
+  /** Post-resize gradient total under the declared nearest-neighbor
+    * kernel: target pixel (x, y) samples source (x*w/tw, y*h/th). */
+  private[graft] def gradientResizedPxSum(id: Long, tw: Int, th: Int): Long = {
+    val w = pngWidth(id)
+    val h = pngHeight(id)
+    val (br, bg, bb) = pngBase(id)
+    var s = 0L
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        s += (br + bg + bb) + 3L * (x * w / tw + sy)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
 
   /** Batched decoder. PNG blobs go through the REAL `javax.imageio`
     * codec (width/height from the decoded raster, checksum = sum of
@@ -228,22 +291,14 @@ object Multimodal {
   }
 
   /** PNG ingest: one REAL PNG per document (encoded with
-    * `javax.imageio`), geometry/fill a closed-form function of doc_id
-    * so decode output is oracle-checkable. The constant fill keeps the
-    * blob small; the bytes are genuine codec output, not a fake. */
+    * `javax.imageio`), geometry and per-pixel gradient fill a
+    * closed-form function of doc_id so decode output is
+    * oracle-checkable content-exactly. The bytes are genuine codec
+    * output, not a fake. */
   private def encodePng(it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
     val codec = new PngCodec
-    it.map { r =>
-      val (w, h) = (pngWidth(r.media_id), pngHeight(r.media_id))
-      val (cr, cg, cb) = pngRgb(r.media_id)
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = img.createGraphics()
-      g.setColor(new java.awt.Color(cr, cg, cb))
-      g.fillRect(0, 0, w, h)
-      g.dispose()
-      r.copy(mime = PngMime, content = codec.encode(img))
-    }
+    it.map(r => r.copy(mime = PngMime,
+      content = gradientPng(codec, r.media_id)))
   }
 
   private[graft] def pngRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
@@ -256,23 +311,18 @@ object Multimodal {
   private def jpegGray(id: Long): Int = (id % 256).toInt
 
   /** Mixed-format ingest (r15 verdict #5): even doc_ids carry the PNG
-    * fixture, odd ones a REAL JPEG (explicit quality, id-derived gray
-    * fill, the same closed-form geometry) — one corpus, two genuine
-    * codecs, one schema. */
+    * gradient fixture (content-exact — PNG is lossless), odd ones a
+    * REAL JPEG (explicit quality, id-derived gray CONSTANT fill —
+    * gray constancy is what makes the lossy codec bit-exact; a
+    * gradient would not survive quantization) — one corpus, two
+    * genuine codecs, one schema. */
   private def encodeMixed(it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
     val codec = new PngCodec
     it.map { r =>
-      val (w, h) = (pngWidth(r.media_id), pngHeight(r.media_id))
-      if (r.media_id % 2 == 0) {
-        val (cr, cg, cb) = pngRgb(r.media_id)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = img.createGraphics()
-        g.setColor(new java.awt.Color(cr, cg, cb))
-        g.fillRect(0, 0, w, h)
-        g.dispose()
-        r.copy(mime = PngMime, content = codec.encode(img))
-      } else {
+      if (r.media_id % 2 == 0)
+        r.copy(mime = PngMime, content = gradientPng(codec, r.media_id))
+      else {
+        val (w, h) = (pngWidth(r.media_id), pngHeight(r.media_id))
         val v = jpegGray(r.media_id)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -332,32 +382,55 @@ object Multimodal {
       pixelSum(dec) == w.toLong * h * 3 * v
   }
 
-  /** REAL image resize: decode → Graphics2D rescale to (tw, th) →
-    * re-encode PNG. Non-PNG blobs pass through unchanged. */
+  /** The resize KERNEL: explicit nearest-neighbor with the floor
+    * mapping — target pixel (x, y) samples source
+    * (x*sw/tw, y*sh/th), integer division. Declared (not delegated to
+    * Graphics2D, whose scaling interpolation is implementation-
+    * defined) so the resize gates can state the sampled source pixel
+    * per target pixel in SQL and stay content-exact over GRADIENT
+    * rasters, not just constants (r16 verdict #4). */
+  private def resizeNearest(img: java.awt.image.BufferedImage,
+      tw: Int, th: Int): java.awt.image.BufferedImage = {
+    val sw = img.getWidth
+    val sh = img.getHeight
+    val src = img.getRGB(0, 0, sw, sh, null, 0, sw)
+    val dst = new Array[Int](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = y * sh / th
+      var x = 0
+      while (x < tw) {
+        dst(y * tw + x) = src(sy * sw + x * sw / tw)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    out.setRGB(0, 0, tw, th, dst, 0, tw)
+    out
+  }
+
+  /** REAL image resize: decode → nearest-neighbor rescale to
+    * (tw, th) → re-encode PNG. Non-PNG blobs pass through unchanged. */
   private def resizeImage(tw: Int, th: Int)(
       it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
     val codec = new PngCodec
     it.map { r =>
       val img = if (r.mime == PngMime) codec.decode(r.content) else null
       if (img == null) r // non-image or undecodable blob: pass through
-      else {
-        val out = new java.awt.image.BufferedImage(
-          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = out.createGraphics()
-        g.drawImage(img, 0, 0, tw, th, null)
-        g.dispose()
-        r.copy(content = codec.encode(out))
-      }
+      else r.copy(content = codec.encode(resizeNearest(img, tw, th)))
     }
   }
 
   /** Mime-preserving resize for the mixed corpus: decode with the
-    * blob's OWN codec, rescale, re-encode with the SAME codec (a
-    * corpus resize must not silently transcode formats). Constant
-    * fills rescale to the same constant under any interpolation, so
-    * the mm6 oracle stays closed-form — PNG losslessly, JPEG by the
-    * gray exactness property (uniform gray in → uniform gray out →
-    * bit-exact round-trip). */
+    * blob's OWN codec, rescale with the declared nearest-neighbor
+    * kernel, re-encode with the SAME codec (a corpus resize must not
+    * silently transcode formats). PNG rows stay content-exact over the
+    * gradient (lossless round-trip of the sampled pixels); JPEG rows
+    * stay exact because nearest-neighbor sampling of a uniform gray is
+    * that same uniform gray, which round-trips the lossy codec
+    * bit-exactly. */
   private def resizeMixed(tw: Int, th: Int)(
       it: Iterator[MediaRecord]): Iterator[MediaRecord] = {
     val codec = new PngCodec
@@ -365,11 +438,7 @@ object Multimodal {
       val img = codec.decodeMime(r.mime, r.content)
       if (img == null) r // non-image blob: pass through
       else {
-        val out = new java.awt.image.BufferedImage(
-          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = out.createGraphics()
-        g.drawImage(img, 0, 0, tw, th, null)
-        g.dispose()
+        val out = resizeNearest(img, tw, th)
         r.copy(content =
           if (r.mime == JpegMime) codec.encodeJpeg(out)
           else codec.encode(out))
@@ -377,11 +446,113 @@ object Multimodal {
     }
   }
 
+  /** The post-resize RECORDS (still encoded blobs) — exposed so the
+    * spec can assert mime preservation structurally on the actual
+    * resize output (r16 advice #2: the previous check collected the
+    * PRE-resize ingest fixture and could not detect a silent
+    * transcode in the resize stage). */
+  private[graft] def mixedResizedRecords(spark: SparkSession,
+      sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mixedRecords(spark, sfDir).mapPartitions(resizeMixed(ResizeW, ResizeH))
+  }
+
   private[graft] def mixedResized(spark: SparkSession, sfDir: String): Dataset[MixedFeature] = {
     import spark.implicits._
-    mixedRecords(spark, sfDir)
-      .mapPartitions(resizeMixed(ResizeW, ResizeH))
-      .mapPartitions(decodeMixed)
+    mixedResizedRecords(spark, sfDir).mapPartitions(decodeMixed)
+  }
+
+  // ---------------------------------------------------------------
+  // AUDIO (r16 verdict #4): WAV PCM via the JDK's javax.sound.sampled
+  // — lossless like PNG, so the decode gate is content-exact with a
+  // closed-form oracle. Same declared-kernel pattern as the image
+  // path: the fixture's sample count and amplitudes are closed-form
+  // in doc_id; the Spark side encodes REAL WAV containers and decodes
+  // them with the real parser, and DuckDB restates the waveform
+  // arithmetic without running a codec.
+  // ---------------------------------------------------------------
+
+  private val WavMime = "audio/wav"
+  private[graft] val WavSampleRate = 8000
+
+  /** Closed-form waveform contract shared by generator and oracle:
+    * 16-bit signed PCM mono, `64 + id % 192` samples, sample i =
+    * `(id*31 + i*17) % 4001 - 2000` (fits int16 with headroom). */
+  private def wavSamples(id: Long): Int = 64 + (id % 192).toInt
+  private def wavAmp(id: Long, i: Int): Int =
+    ((id * 31 + i * 17) % 4001).toInt - 2000
+
+  /** Audio ingest: one REAL WAV per document (RIFF container written
+    * by `AudioSystem.write`, not hand-rolled bytes). */
+  private def encodeWav(it: Iterator[MediaRecord]): Iterator[MediaRecord] =
+    it.map { r =>
+      val n = wavSamples(r.media_id)
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = wavAmp(r.media_id, i)
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        WavSampleRate.toFloat, 16, 1, true, false) // signed PCM, little-endian
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      try javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      finally ais.close()
+      r.copy(mime = WavMime, content = bos.toByteArray)
+    }
+
+  private[graft] def wavRecords(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaRecords(spark, sfDir).mapPartitions(encodeWav)
+  }
+
+  /** Decoded per-clip audio features. */
+  case class AudioFeature(media_id: Long, n_samples: Long,
+                          sample_rate: Int, amp_sum: Long)
+
+  /** Batched WAV decode through the REAL `AudioSystem` parser. The
+    * fixture is codec output end to end, so an unparsable clip or an
+    * unexpected format is a pipeline bug — fail loudly. */
+  private def decodeWav(it: Iterator[MediaRecord]): Iterator[AudioFeature] =
+    it.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian)
+          throw new IllegalStateException(
+            s"unexpected WAV format for media ${r.media_id}: $fmt")
+        val bytes = ais.readAllBytes()
+        var s = 0L
+        var i = 0
+        while (i + 1 < bytes.length) {
+          s += ((bytes(i) & 0xff) | (bytes(i + 1).toInt << 8)).toShort
+          i += 2
+        }
+        AudioFeature(r.media_id, bytes.length / 2L,
+          fmt.getSampleRate.toInt, s)
+      } finally ais.close()
+    }
+
+  private[graft] def wavFeatures(spark: SparkSession, sfDir: String): Dataset[AudioFeature] = {
+    import spark.implicits._
+    wavRecords(spark, sfDir).mapPartitions(decodeWav)
+  }
+
+  /** The spec hook mirroring [[gradientPxSum]] for audio: the
+    * closed-form amplitude sum the oracle states. */
+  private[graft] def wavAmpSum(id: Long): Long = {
+    var s = 0L
+    var i = 0
+    val n = wavSamples(id)
+    while (i < n) { s += wavAmp(id, i); i += 1 }
+    s
   }
 
   /** One sampled frame of a media blob (the video-style schema).
@@ -530,20 +701,23 @@ object Multimodal {
       sampledFrameFeatures(spark, sfDir).toDF()
         .select(col("media_id"), col("frame_idx"),
           col("width"), col("height"), col("px_sum"))),
-    // REAL codec round-trip: encode a per-doc PNG, decode it with
+    // REAL codec round-trip over a PER-PIXEL GRADIENT: encode a
+    // per-doc PNG whose every pixel differs, decode it with
     // javax.imageio, report decoded raster dims + pixel-channel sum.
-    // The oracle states the closed-form expected values — a decoder
-    // that fabricated dimensions would hash-fail.
+    // The oracle states the gradient's closed-form total — a decoder
+    // that fabricated dimensions OR got any pixel wrong hash-fails.
     "mm3_png_decode" -> ((spark, sfDir) => {
       import spark.implicits._
       pngRecords(spark, sfDir).mapPartitions(decode).toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("checksum").as("px_sum"))
     }),
-    // REAL resize: decode → rescale to (ResizeW, ResizeH) → re-encode
-    // → decode again. Constant-fill images rescale to the same
-    // constant, so the pixel sum is closed-form for the oracle while
-    // the Spark side exercises the full codec→raster→codec path.
+    // REAL resize over the gradient: decode → nearest-neighbor rescale
+    // to (ResizeW, ResizeH) → re-encode → decode again. The oracle
+    // enumerates the target grid and states which SOURCE pixel each
+    // target pixel samples under the declared floor mapping — a resize
+    // that sampled wrong pixels (off-by-one, transposed axes, wrong
+    // interpolation) hash-fails where a constant fill hid it.
     "mm4_png_resize" -> ((spark, sfDir) => {
       import spark.implicits._
       pngRecords(spark, sfDir)
@@ -569,8 +743,42 @@ object Multimodal {
     "mm6_mixed_resize" -> ((spark, sfDir) =>
       mixedResized(spark, sfDir).toDF()
         .select(col("media_id"), col("mime"), col("width"),
-          col("height"), col("px_sum")))
+          col("height"), col("px_sum"))),
+    // WAV PCM decode (r16 verdict #4): one REAL RIFF/WAV container per
+    // doc through AudioSystem — sample count, rate, and the signed
+    // 16-bit amplitude sum, all closed-form for the oracle because the
+    // codec is lossless. Single scan, zero shuffles, per-partition
+    // parser amortization like the image path.
+    "mm7_wav_decode" -> ((spark, sfDir) =>
+      wavFeatures(spark, sfDir).toDF()
+        .select(col("media_id"), col("n_samples"),
+          col("sample_rate"), col("amp_sum")))
   )
+
+  /** `(VALUES (0),(1),…,(n-1)) AS a(i)` — target-grid enumeration for
+    * the resize oracles. */
+  private def valuesGrid(n: Int, alias: String): String =
+    (0 until n).map(i => s"($i)").mkString("(VALUES ", ",", s") AS $alias(i)")
+
+  /** The gradient-decode closed form in SQL (mm3/mm5 even rows):
+    * w·h·(Σ bases) + 3·(h·w(w−1)/2 + w·h(h−1)/2). `//` is DuckDB
+    * integer division; w(w−1) is always even so it is exact. */
+  private val GradientPxSumSql: String =
+    """(8 + doc_id % 25) * (8 + (doc_id * 7) % 25) *
+      |     (doc_id % 192 + (doc_id * 31) % 192 + (doc_id * 101) % 192)
+      |   + 3 * ((8 + (doc_id * 7) % 25) *
+      |            (((8 + doc_id % 25) * (8 + doc_id % 25 - 1)) // 2)
+      |        + (8 + doc_id % 25) *
+      |            (((8 + (doc_id * 7) % 25) * (8 + (doc_id * 7) % 25 - 1)) // 2))""".stripMargin
+
+  /** Per-target-pixel gradient value under the declared
+    * nearest-neighbor mapping (mm4/mm6 even rows): the target grid is
+    * enumerated as x(i)/y(i) cross joins and each term states the
+    * sampled source pixel. */
+  private val GradientResizedTermSql: String =
+    s"""doc_id % 192 + (doc_id * 31) % 192 + (doc_id * 101) % 192
+       |     + 3 * (((x.i * (8 + doc_id % 25)) // $ResizeW)
+       |          + ((y.i * (8 + (doc_id * 7) % 25)) // $ResizeH))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the frame generator contract (frameWidth/frameHeight/frameRgb)
@@ -596,53 +804,70 @@ object Multimodal {
          |     (101*doc_id + 13*f.i) % 256) AS BIGINT) AS px_sum
          |FROM documents
          |CROSS JOIN (VALUES (0),(2)) AS f(i)""".stripMargin,
-    // the generator contract (pngWidth/pngHeight/pngRgb) in SQL: the
-    // Spark side must reproduce these via a REAL PNG encode→decode
+    // the generator contract (pngWidth/pngHeight/pngBase + the x+y
+    // gradient) in SQL: the Spark side must reproduce the whole raster
+    // via a REAL PNG encode→decode for the totals to match
     "mm3_png_decode" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(8 + doc_id % 25 AS INT) AS width,
-        |  CAST(8 + (doc_id * 7) % 25 AS INT) AS height,
-        |  CAST((8 + doc_id % 25) * (8 + (doc_id * 7) % 25) *
-        |    (doc_id % 256 + (doc_id * 31) % 256 + (doc_id * 101) % 256)
-        |    AS BIGINT) AS px_sum
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id AS media_id,
+         |  CAST(8 + doc_id % 25 AS INT) AS width,
+         |  CAST(8 + (doc_id * 7) % 25 AS INT) AS height,
+         |  CAST($GradientPxSumSql AS BIGINT) AS px_sum
+         |FROM documents""".stripMargin,
+    // the declared nearest-neighbor kernel in SQL: enumerate the
+    // target grid, state the sampled source pixel per target pixel
     "mm4_png_resize" ->
       s"""SELECT doc_id AS media_id,
          |  CAST($ResizeW AS INT) AS width,
          |  CAST($ResizeH AS INT) AS height,
-         |  CAST($ResizeW * $ResizeH *
-         |    (doc_id % 256 + (doc_id * 31) % 256 + (doc_id * 101) % 256)
+         |  CAST(SUM($GradientResizedTermSql) AS BIGINT) AS px_sum
+         |FROM documents
+         |CROSS JOIN ${valuesGrid(ResizeW, "x")}
+         |CROSS JOIN ${valuesGrid(ResizeH, "y")}
+         |GROUP BY doc_id""".stripMargin,
+    // per-format closed forms: PNG rows state the gradient contract
+    // (content-exact, lossless); JPEG rows state the gray fill (3·v
+    // per pixel), valid because uniform gray survives the lossy codec
+    // exactly
+    "mm5_mixed_decode" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+         |       ELSE 'image/jpeg' END AS mime,
+         |  CAST(8 + doc_id % 25 AS INT) AS width,
+         |  CAST(8 + (doc_id * 7) % 25 AS INT) AS height,
+         |  CAST(CASE WHEN doc_id % 2 = 0
+         |    THEN $GradientPxSumSql
+         |    ELSE (8 + doc_id % 25) * (8 + (doc_id * 7) % 25) *
+         |         3 * (doc_id % 256) END
          |    AS BIGINT) AS px_sum
          |FROM documents""".stripMargin,
-    // per-format closed forms: PNG rows state the colored-fill
-    // contract; JPEG rows state the gray fill (3·v per pixel), valid
-    // because uniform gray survives the lossy codec exactly
-    "mm5_mixed_decode" ->
-      """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png'
-        |       ELSE 'image/jpeg' END AS mime,
-        |  CAST(8 + doc_id % 25 AS INT) AS width,
-        |  CAST(8 + (doc_id * 7) % 25 AS INT) AS height,
-        |  CAST((8 + doc_id % 25) * (8 + (doc_id * 7) % 25) *
-        |    (CASE WHEN doc_id % 2 = 0
-        |       THEN doc_id % 256 + (doc_id * 31) % 256 + (doc_id * 101) % 256
-        |       ELSE 3 * (doc_id % 256) END)
-        |    AS BIGINT) AS px_sum
-        |FROM documents""".stripMargin,
-    // post-resize, both formats are the target raster with the source
-    // fill: constant fills survive rescale AND (for gray) the second
-    // lossy JPEG encode→decode
+    // post-resize: PNG rows sum the gradient at the sampled source
+    // pixels; JPEG rows stay the uniform gray (nearest-neighbor of a
+    // constant is that constant, which survives the second lossy
+    // encode→decode bit-exactly)
     "mm6_mixed_resize" ->
       s"""SELECT doc_id AS media_id,
          |  CASE WHEN doc_id % 2 = 0 THEN 'image/png'
          |       ELSE 'image/jpeg' END AS mime,
          |  CAST($ResizeW AS INT) AS width,
          |  CAST($ResizeH AS INT) AS height,
-         |  CAST($ResizeW * $ResizeH *
-         |    (CASE WHEN doc_id % 2 = 0
-         |       THEN doc_id % 256 + (doc_id * 31) % 256 + (doc_id * 101) % 256
-         |       ELSE 3 * (doc_id % 256) END)
-         |    AS BIGINT) AS px_sum
-         |FROM documents""".stripMargin
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 0
+         |    THEN $GradientResizedTermSql
+         |    ELSE 3 * (doc_id % 256) END) AS BIGINT) AS px_sum
+         |FROM documents
+         |CROSS JOIN ${valuesGrid(ResizeW, "x")}
+         |CROSS JOIN ${valuesGrid(ResizeH, "y")}
+         |GROUP BY doc_id""".stripMargin,
+    // the waveform contract in SQL: n samples and the amplitude sum,
+    // enumerated over a 0..255 index table (n ≤ 256 by construction)
+    "mm7_wav_decode" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST(64 + doc_id % 192 AS BIGINT) AS n_samples,
+         |  CAST($WavSampleRate AS INT) AS sample_rate,
+         |  CAST(SUM(CASE WHEN i.i < 64 + doc_id % 192
+         |    THEN (doc_id * 31 + i.i * 17) % 4001 - 2000
+         |    ELSE 0 END) AS BIGINT) AS amp_sum
+         |FROM documents
+         |CROSS JOIN range(0, 256) AS i(i)
+         |GROUP BY doc_id""".stripMargin
   )
 }

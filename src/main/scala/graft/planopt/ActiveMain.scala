@@ -28,9 +28,11 @@ import graft.workload.{Harvester, WorkloadGen}
   *
   * With `poolFile` (r16 — the same pool-sampling treatment the stable
   * and dynamic pipelines got): the unlabeled pool and held-out test
-  * set are a seeded sample (seed 99) of the committed 20k
-  * distribution-gated pool — a disjoint draw from StableMain's 42 and
-  * DynamicMain's 123, so none of the three pipelines share queries.
+  * set come from the active pipeline's [[PoolSlices]] stripe of the
+  * committed 20k distribution-gated pool — structurally disjoint from
+  * the stable and dynamic draws (one canonical shuffle partitioned by
+  * index residue; the previous independent seeded draws overlapped in
+  * expectation despite distinct seeds).
   */
 object ActiveMain {
   def main(args: Array[String]): Unit = {
@@ -69,17 +71,7 @@ object ActiveMain {
     val h = WorkloadGen.harvest(spark, seedSql)
     val rd = Harvester.rangeDict(spark, sfDir)
     val gen = poolFile match {
-      case Some(pf) =>
-        val src = scala.io.Source.fromFile(pf)
-        val all =
-          try src.getLines().map(_.trim).filter(_.nonEmpty).toVector
-          finally src.close()
-        val sample = new scala.util.Random(99L).shuffle(all)
-          .take(poolSize + 10)
-        log.info(s"sampled ${sample.size} of ${all.size} pool queries " +
-          s"from $pf (seeded shuffle, seed=99 — disjoint from stable's " +
-          "42 and dynamic's 123)")
-        sample
+      case Some(pf) => PoolSlices.sample(pf, "active", poolSize + 10, log)
       case None => WorkloadGen.generateRandomSql(
         h, rd, Harvester.revAliasMap, numSql = poolSize + 10, seed = 99L)
     }

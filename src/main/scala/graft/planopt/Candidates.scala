@@ -208,23 +208,36 @@ object Candidates {
   /** [[labelCandidates]] for order-aware candidates. The variant list
     * is derived ONCE for the query; a candidate whose variant index no
     * longer resolves (drift) is DROPPED from the labeled set (logged),
-    * never mislabeled with a different plan's latency. */
+    * never mislabeled with a different plan's latency.
+    *
+    * `repeats` > 1 labels each candidate as the MIN of `repeats`
+    * timed executions (r16 verdict #1 — single-sample labels at
+    * sub-second latencies carry enough timer/JIT noise that the
+    * trained comparator's ranking loss converged onto the relabel
+    * noise floor). Min, not median: wall-clock noise on a fixed plan
+    * is one-sided — descheduling, GC, code-cache misses only ever ADD
+    * time — so the minimum is the standard robust estimator of the
+    * plan's intrinsic latency, and it additionally discards the first
+    * run's one-time codegen compile, which is not a property of the
+    * plan being ranked. */
   def labelCandidatesOrdered(spark: SparkSession,
                              build: SparkSession => DataFrame,
                              candidates: Seq[Candidate],
-                             warmup: Boolean = false): Seq[(Candidate, Double)] = {
+                             warmup: Boolean = false,
+                             repeats: Int = 1): Seq[(Candidate, Double)] = {
     val variants =
       if (candidates.exists(_.variantIdx > 0)) orderVariants(spark, build)
       else Nil
     candidates.flatMap { c =>
       if (warmup) executeOrdered(spark, build, c, variants)
-      executeOrdered(spark, build, c, variants) match {
-        case Some((_, ms)) => Some((c, ms))
-        case None =>
-          System.err.println(s"[graft] dropping candidate variantIdx=" +
-            s"${c.variantIdx} [${c.knobs.label}]: variant list shrank to " +
-            s"${variants.size} between enumerate and execute")
-          None
+      val runs = (1 to math.max(1, repeats)).flatMap(_ =>
+        executeOrdered(spark, build, c, variants).map(_._2))
+      if (runs.length == math.max(1, repeats)) Some((c, runs.min))
+      else {
+        System.err.println(s"[graft] dropping candidate variantIdx=" +
+          s"${c.variantIdx} [${c.knobs.label}]: variant list shrank to " +
+          s"${variants.size} between enumerate and execute")
+        None
       }
     }
   }
@@ -269,13 +282,16 @@ object Candidates {
     }
 
   /** Label every candidate by execution (optionally with warmup runs
-    * for timing stability). */
+    * for timing stability); `repeats` > 1 takes the MIN of that many
+    * timed executions per candidate (see [[labelCandidatesOrdered]]
+    * for why min, not median). */
   def labelCandidates(spark: SparkSession, build: SparkSession => DataFrame,
-                      candidates: Seq[Candidate], warmup: Boolean = false): Seq[(Candidate, Double)] =
+                      candidates: Seq[Candidate], warmup: Boolean = false,
+                      repeats: Int = 1): Seq[(Candidate, Double)] =
     candidates.map { c =>
       if (warmup) execute(spark, build, c.knobs)
-      val (_, ms) = execute(spark, build, c.knobs)
-      (c, ms)
+      val runs = (1 to math.max(1, repeats)).map(_ => execute(spark, build, c.knobs)._2)
+      (c, runs.min)
     }
 
   /** The learned chooser (M12 applied to live candidates): featurize

@@ -28,10 +28,12 @@ import graft.workload.{Harvester, WorkloadGen}
   *        [batchSize] [epochs] [outDir] [poolFile]
   *
   * With `poolFile` (r15 verdict #6 — the same pool-sampling treatment
-  * StableMain got in r15): the stream is sampled from the committed
-  * 20k distribution-gated pool instead of freshly generated, with
-  * seed 123 (NOT StableMain's 42) so the dynamic stream and the
-  * stable training corpus stay disjoint draws of the same pool.
+  * StableMain got in r15): the stream is sampled from the dynamic
+  * pipeline's [[PoolSlices]] stripe of the committed 20k
+  * distribution-gated pool instead of freshly generated — structurally
+  * disjoint from the stable training corpus and the active pool (one
+  * canonical shuffle partitioned by index residue, not independent
+  * seeded draws, which overlap in expectation).
   */
 object DynamicMain {
   def main(args: Array[String]): Unit = {
@@ -64,16 +66,7 @@ object DynamicMain {
     val h = WorkloadGen.harvest(spark, seedSql)
     val rd = Harvester.rangeDict(spark, sfDir)
     val generated = poolFile match {
-      case Some(pf) =>
-        val src = scala.io.Source.fromFile(pf)
-        val all =
-          try src.getLines().map(_.trim).filter(_.nonEmpty).toVector
-          finally src.close()
-        val sample = new scala.util.Random(123L).shuffle(all).take(numGen)
-        log.info(s"sampled ${sample.size} of ${all.size} pool queries " +
-          s"from $pf (seeded shuffle, seed=123 — disjoint draw from " +
-          "StableMain's seed=42)")
-        sample
+      case Some(pf) => PoolSlices.sample(pf, "dynamic", numGen, log)
       case None => WorkloadGen.generateRandomSql(
         h, rd, Harvester.revAliasMap, numSql = numGen, seed = 123L)
     }
@@ -83,7 +76,8 @@ object DynamicMain {
       }
     val batches = queries.grouped(batchSize).toSeq
     log.info(s"dynamic stream: ${queries.length} queries in " +
-      s"${batches.length} batches of $batchSize; epochs=$epochs")
+      s"${batches.length} batches of $batchSize; epochs=$epochs; " +
+      s"label_repeats=${Pipelines.LabelRepeats}")
 
     // label every batch once (candidate enumeration + timed execution
     // — the expensive step, paid per batch exactly once, as in the

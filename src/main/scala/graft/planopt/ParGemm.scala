@@ -40,8 +40,21 @@ object ParGemm {
 
   @volatile var threads: Int =
     sys.props.get("graft.train.threads")
-      .orElse(sys.env.get("SPARK_GRAFT_TRAIN_THREADS"))
-      .map(_.toInt).getOrElse(1)
+      .orElse(sys.env.get("SPARK_GRAFT_TRAIN_THREADS")) match {
+      case Some(v) => v.trim.toIntOption match {
+        case Some(n) => n
+        case None =>
+          // a malformed value must degrade to sequential, not throw
+          // NumberFormatException inside the object initializer (an
+          // ExceptionInInitializerError at first ParGemm touch points
+          // nowhere near the bad setting)
+          System.err.println(s"[graft] unparsable train-thread count " +
+            s"'$v' (graft.train.threads / SPARK_GRAFT_TRAIN_THREADS); " +
+            "falling back to 1 (sequential)")
+          1
+      }
+      case None => 1
+    }
 
   // shared daemon pool: folds train concurrently, so their slice
   // tasks interleave here; sized to the box, not to `threads`, which

@@ -62,6 +62,20 @@ object Pipelines {
     * that made an r14 CV fold cost 37 min. */
   val MaxLabeledPerQuery = 6
 
+  /** Timed executions per candidate label, reduced by MIN (r16
+    * verdict #1: single-sample labels pinned the golden's ranking
+    * loss to its own relabel noise floor; latency noise is one-sided,
+    * so min is the robust estimator — see Candidates.
+    * labelCandidatesOrdered). Process-wide via
+    * SPARK_GRAFT_LABEL_REPEATS or -Dgraft.label.repeats so BOTH
+    * passes of every noise-floor protocol (stable and dynamic) label
+    * identically — a floor measured under a cheaper protocol than the
+    * labels would understate the labels' noise. */
+  val LabelRepeats: Int =
+    sys.props.get("graft.label.repeats")
+      .orElse(sys.env.get("SPARK_GRAFT_LABEL_REPEATS"))
+      .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(1)
+
   def labelWorkload(spark: SparkSession,
                     queries: Seq[(String, SparkSession => DataFrame)],
                     log: Logger): Seq[LabeledQuery] =
@@ -73,7 +87,8 @@ object Pipelines {
       // joins previously labeled only 2 knob-distinct plans)
       val cands = Candidates.capCandidates(
         Candidates.enumerateOrdered(spark, build), MaxLabeledPerQuery)
-      val labeled = Candidates.labelCandidatesOrdered(spark, build, cands)
+      val labeled = Candidates.labelCandidatesOrdered(spark, build, cands,
+        repeats = LabelRepeats)
       log.info(s"$qid: ${cands.length} candidates " +
         s"(${cands.map(_.variantIdx).distinct.length} order variant(s)), " +
         s"latencies=${labeled.map(l => f"${l._2}%.1f").mkString(",")}ms")

@@ -19,12 +19,22 @@ import graft.workload.{Harvester, WorkloadGen}
   *
   * With `poolFile` (r14 verdict #7 — scale the labeled workload toward
   * the reference's 1000-labeled-query regime): instead of generating a
-  * fresh workload, sample `numGenerated` queries from the committed
-  * 20k pool artifact (`results/r14_pool/train_pool.txt`, the
-  * distribution-gated PoolMain output) with a seeded shuffle — the
-  * labeled set is then a cited subset of the same pool whose
-  * template/join/filter distributions were mechanically matched
-  * against the generator spec.
+  * fresh workload, sample `numGenerated` queries from the stable
+  * pipeline's [[PoolSlices]] stripe of the committed 20k pool artifact
+  * (`results/r14_pool/train_pool.txt`, the distribution-gated PoolMain
+  * output) — the labeled set is then a cited subset of the same pool
+  * whose template/join/filter distributions were mechanically matched
+  * against the generator spec, structurally disjoint from the
+  * dynamic/active pipelines' draws.
+  *
+  * Label quality knobs (r16 verdict #1 — the golden's ranking loss
+  * converged onto its own relabel noise floor at sf0.001 labeling):
+  *  - run against a LARGER sfDir (sf0.01 candidate latencies are ~10×
+  *    timer/JIT jitter instead of ~1×);
+  *  - SPARK_GRAFT_LABEL_REPEATS=k labels every candidate as the
+  *    MIN of k timed executions (both passes of the noise-floor
+  *    protocol use the same k, so the floor measures the deployed
+  *    labeling protocol, not a cheaper one).
   */
 object StableMain {
   def main(args: Array[String]): Unit = {
@@ -72,7 +82,9 @@ object StableMain {
     }
 
     val (trainQ, testQ) = assembleWorkload(sfDir, generated)
-    log.info(s"train=${trainQ.length} test=${testQ.length} queries; epochs=$epochs")
+    log.info(s"train=${trainQ.length} test=${testQ.length} queries; " +
+      s"epochs=$epochs; label_repeats=${Pipelines.LabelRepeats} " +
+      "(min-of-k timed executions per candidate, both floor passes included)")
 
     val art = Pipelines.stableWithModel(spark, trainQ, testQ, epochs = epochs,
       seed = 17L, log = log)
@@ -151,16 +163,8 @@ object StableMain {
     "a2_min_join", "q2_join_group_topn")
 
   private[planopt] def poolSample(poolFile: String, numGen: Int,
-      log: Pipelines.Logger): Seq[String] = {
-    val src = scala.io.Source.fromFile(poolFile)
-    val all =
-      try src.getLines().map(_.trim).filter(_.nonEmpty).toVector
-      finally src.close()
-    val sample = new scala.util.Random(42L).shuffle(all).take(numGen)
-    log.info(s"sampled ${sample.size} of ${all.size} pool queries " +
-      s"from $poolFile (seeded shuffle, seed=42)")
-    sample
-  }
+      log: Pipelines.Logger): Seq[String] =
+    PoolSlices.sample(poolFile, "stable", numGen, log)
 
   private[planopt] def assembleWorkload(sfDir: String, generated: Seq[String])
       : (Seq[(String, SparkSession => DataFrame)],

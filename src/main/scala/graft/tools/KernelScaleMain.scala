@@ -90,23 +90,21 @@ object KernelScaleMain {
       .withColumn("qn", expr("graft_dot(qvd, qvd)"))
       .persist()
     qc.count()
+    // sum(distd) is cast to LONG PER ROW before aggregation: distd
+    // values are exact integers by construction, so the long sum is
+    // exact and order-independent at any nRows/dim — a Double sum is
+    // already order-dependent/lossy before any driver-side truncation,
+    // and truncating the totals would additionally mask ulp-level
+    // divergence between the two arms instead of detecting it
     def sums(prune: Boolean): (Double, Seq[Any]) = time {
       Clustering.kernelAssign(qc, centroids, prune = Some(prune))
-        .agg(count(lit(1)), sum(col("cluster")), sum(col("distd")))
+        .agg(count(lit(1)), sum(col("cluster")),
+          sum(col("distd").cast("long")))
         .collect().head.toSeq
     }
     val (fullSec, fullSums) = sums(prune = false)
     val (prunedSec, prunedSums) = sums(prune = true)
-    // compare count/sum(cluster) exactly and sum(distd) as a LONG:
-    // per-row distd values are exact integers by construction, but a
-    // Double sum of them is order-dependent once the total passes
-    // 2^53 — casting each side to long keeps the equality check
-    // deterministic if nRows/dim/noise ever grow
-    def canon(s: Seq[Any]): Seq[Any] = s.map {
-      case d: Double => d.toLong
-      case x => x
-    }
-    require(canon(fullSums) == canon(prunedSums),
+    require(fullSums == prunedSums,
       s"pruned/full divergence: $prunedSums vs $fullSums")
     qc.unpersist() // free both corpora before the heap-hungry
     q.unpersist()  // literal-path Janino compile below

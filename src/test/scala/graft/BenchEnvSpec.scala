@@ -85,6 +85,12 @@ class BenchEnvSpec extends AnyFunSuite {
     assert(j.contains("txt2_lang_id") && j.contains("dd7_incremental_dedup"))
     assert(j.contains("\"rule\":"))
     assert(j.contains("\"cold_regressions\":"))
+    // no substitutions -> an empty (but present) remeasured list
+    assert(j.contains("\"remeasured\":[]"))
+    // substitutions render as the pre-built objects, verbatim
+    val sub = """{"query":"x","side":"warm","orig":3.000,"new":0.500,"kept":0.500}"""
+    assert(BenchEnv.envJson(contendedRun, Seq(sub))
+      .contains("\"remeasured\":[" + sub + "]"))
   }
 
   // ---- r15 calibration: the COLD-side rule (r15 verdict #1) ----

@@ -1171,16 +1171,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.forall(f => f.width == 0 && f.height == 0))
   }
 
-  test("PNG path is a real imageio round-trip: decoded dims + pixels match the generator contract") {
+  test("PNG path is a real imageio round-trip: decoded dims + per-pixel " +
+    "gradient match the generator contract (mm3)") {
     val feats = SparkEntry.queries("mm3_png_decode")(spark, sf).collect()
     assert(feats.nonEmpty)
     feats.foreach { r =>
       val id = r.getLong(0)
       assert(r.getInt(1) == 8 + (id % 25).toInt, s"width of doc $id")
       assert(r.getInt(2) == 8 + ((id * 7) % 25).toInt, s"height of doc $id")
-      val (cr, cg, cb) = ((id % 256).toInt, ((id * 31) % 256).toInt, ((id * 101) % 256).toInt)
-      assert(r.getLong(3) == r.getInt(1).toLong * r.getInt(2) * (cr + cg + cb),
-        s"pixel sum of doc $id")
+      // the gradient total — content-exact over a raster whose every
+      // pixel differs (a constant fill would hide a decoder that only
+      // got the average right)
+      assert(r.getLong(3) == Multimodal.gradientPxSum(id),
+        s"gradient pixel sum of doc $id")
     }
     // the blobs are genuine PNGs (magic bytes), not fabricated
     val blob = Multimodal.pngRecords(spark, sf).head()
@@ -1188,14 +1191,15 @@ class PipelineSpec extends AnyFunSuite {
       Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
   }
 
-  test("PNG resize rescales through the codec to the target raster") {
+  test("PNG resize samples the declared nearest-neighbor source pixels " +
+    "through the codec (mm4)") {
     val feats = SparkEntry.queries("mm4_png_resize")(spark, sf).collect()
     assert(feats.nonEmpty)
     feats.foreach { r =>
       val id = r.getLong(0)
       assert(r.getInt(1) == 16 && r.getInt(2) == 12)
-      val (cr, cg, cb) = ((id % 256).toInt, ((id * 31) % 256).toInt, ((id * 101) % 256).toInt)
-      assert(r.getLong(3) == 16L * 12 * (cr + cg + cb))
+      assert(r.getLong(3) == Multimodal.gradientResizedPxSum(id, 16, 12),
+        s"resized gradient pixel sum of doc $id")
     }
   }
 
@@ -1229,8 +1233,8 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getInt(2) == w && r.getInt(3) == h, s"dims of $id")
       if (id % 2 == 0) {
         assert(r.getString(1) == "image/png")
-        val px = (id % 256) + ((id * 31) % 256) + ((id * 101) % 256)
-        assert(r.getLong(4) == w.toLong * h * px, s"png px_sum of $id")
+        assert(r.getLong(4) == Multimodal.gradientPxSum(id),
+          s"png gradient px_sum of $id")
       } else {
         assert(r.getString(1) == "image/jpeg")
         assert(r.getLong(4) == w.toLong * h * 3 * (id % 256),
@@ -1240,7 +1244,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("mixed resize preserves each blob's mime and the closed-form " +
-    "fill through the full lossy round-trip (mm6)") {
+    "content through the full lossy round-trip (mm6)") {
     val feats = SparkEntry.queries("mm6_mixed_resize")(spark, sf).collect()
     assert(feats.nonEmpty)
     feats.foreach { r =>
@@ -1248,20 +1252,48 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getInt(2) == 16 && r.getInt(3) == 12, s"dims of $id")
       if (id % 2 == 0) {
         assert(r.getString(1) == "image/png")
-        val px = (id % 256) + ((id * 31) % 256) + ((id * 101) % 256)
-        assert(r.getLong(4) == 16L * 12 * px)
+        assert(r.getLong(4) == Multimodal.gradientResizedPxSum(id, 16, 12),
+          s"png resized gradient px_sum of $id")
       } else {
         assert(r.getString(1) == "image/jpeg")
         assert(r.getLong(4) == 16L * 12 * 3 * (id % 256),
           s"jpeg resize round-trip drifted for $id")
       }
     }
-    // mime preservation is structural, not just labeled: the resized
-    // JPEG blobs must still carry JPEG magic (no silent transcode)
+    // mime preservation is structural, not just labeled, asserted on
+    // the POST-resize records (r16 advice #2: checking the pre-resize
+    // ingest fixture could not detect a silent transcode in the
+    // resize stage): resized JPEG blobs still carry JPEG SOI magic,
+    // resized PNG blobs the PNG signature
     val resized = graft.pipeline.Multimodal
-      .mixedRecords(spark, sf).collect().filter(_.media_id % 2 == 1)
-    assert(resized.forall(_.content.take(2).toSeq ==
-      Seq(0xFF.toByte, 0xD8.toByte)))
+      .mixedResizedRecords(spark, sf).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { rec =>
+      if (rec.media_id % 2 == 1)
+        assert(rec.content.take(2).toSeq ==
+          Seq(0xFF.toByte, 0xD8.toByte), s"JPEG ${rec.media_id} transcoded")
+      else
+        assert(rec.content.take(4).toSeq ==
+          Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
+          s"PNG ${rec.media_id} transcoded")
+    }
+  }
+
+  test("WAV path is a real RIFF round-trip: parsed format, sample " +
+    "count and amplitude sum match the waveform contract (mm7)") {
+    val feats = SparkEntry.queries("mm7_wav_decode")(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 64 + id % 192, s"sample count of $id")
+      assert(r.getInt(2) == Multimodal.WavSampleRate, s"rate of $id")
+      assert(r.getLong(3) == Multimodal.wavAmpSum(id), s"amp sum of $id")
+    }
+    // the blobs are genuine RIFF/WAVE containers, not fabricated
+    val blob = Multimodal.wavRecords(spark, sf).head()
+    assert(blob.content.take(4).toSeq == "RIFF".getBytes.toSeq)
+    assert(blob.content.slice(8, 12).toSeq == "WAVE".getBytes.toSeq)
+    assert(blob.mime == "audio/wav")
   }
 
   test("video containers hold real length-prefixed PNG frames; sampling slices the right ones") {
