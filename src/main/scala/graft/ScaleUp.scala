@@ -49,13 +49,34 @@ object ScaleUp {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
+  /** Per-replica alphabet substitution. k < 26 keeps the original
+    * ROTATION (bit-compatible with the committed sf1 artifacts, which
+    * were generated at factor 10); k ≥ 26 would wrap — replicas k and
+    * k+26 would carry IDENTICAL text, planting cross-replica exact
+    * duplicates the dedup contracts would mistake for engine cost —
+    * so larger k switches to a k-seeded Fisher–Yates PERMUTATION of
+    * the alphabet (deterministic, length-preserving, period far
+    * beyond any realistic factor). */
   private def rotAlpha(k: Int): (String, String) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    val r = k % 26
-    val rl = lower.drop(r) + lower.take(r)
-    val ru = upper.drop(r) + upper.take(r)
-    (lower + upper, rl + ru)
+    if (k < 26) {
+      val r = k % 26
+      val rl = lower.drop(r) + lower.take(r)
+      val ru = upper.drop(r) + upper.take(r)
+      (lower + upper, rl + ru)
+    } else {
+      val perm = lower.toCharArray
+      val rnd = new scala.util.Random(0x5ca1eab1eL + k)
+      var i = perm.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = perm(i); perm(i) = perm(j); perm(j) = t
+        i -= 1
+      }
+      val pl = new String(perm)
+      (lower + upper, pl + pl.toUpperCase)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,6 +100,11 @@ object ScaleUp {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     new java.io.File(dest).mkdirs()
 
+    // the shift wraps at k = dim — read the actual fixture dim once
+    // rather than hardcoding it (see the embeddings branch below)
+    lazy val embDim: Int = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0)
+
     def replica(df: DataFrame, table: String, k: Int): DataFrame = {
       var out = df
       keyCols.getOrElse(table, Nil).foreach { c =>
@@ -100,12 +126,28 @@ object ScaleUp {
           case _ =>
             out.withColumn("ts", col("ts") + expr(s"INTERVAL $k SECOND"))
         }
-      if (table == "embeddings" && k > 0)
-        // circular shift by k: orthogonal, norm- and in-replica-
-        // cosine-preserving, cross-replica-decorrelating (see header)
+      if (table == "embeddings" && k > 0) {
+        // circular shift by (k mod dim): orthogonal, norm- and
+        // in-replica-cosine-preserving, cross-replica-decorrelating
+        // (see header). The shift alone wraps at k = dim (64): replica
+        // k and k+dim would carry IDENTICAL vectors — a planted
+        // cos=1.0 clique per embedding, the exact r8 fixture artifact
+        // the header recounts — so k ≥ dim replicas ADDITIONALLY apply
+        // a k-seeded deterministic sign-flip pattern. A sign flip is a
+        // diagonal orthogonal transform: within-replica cosines are
+        // preserved EXACTLY (the d_i² terms cancel), while
+        // cross-replica cosines of differing patterns drop to
+        // background noise; 2^dim patterns never wrap.
+        val dimExpr = "size(embedding)"
         out = out.withColumn("embedding", expr(
-          s"concat(slice(embedding, $k + 1, size(embedding) - $k), " +
-            s"slice(embedding, 1, $k))"))
+          s"concat(slice(embedding, pmod($k, $dimExpr) + 1, " +
+            s"$dimExpr - pmod($k, $dimExpr)), " +
+            s"slice(embedding, 1, pmod($k, $dimExpr)))"))
+        if (k >= embDim)
+          out = out.withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> " +
+              s"IF(pmod(hash($k, i), 2) = 0, x, -x))"))
+      }
       out
     }
 

@@ -1,0 +1,312 @@
+#!/usr/bin/env python3
+"""sf10 SPOT-CERTIFICATION of the scale-path contracts (r16 verdict
+#3): the 100 TB claims previously topped out at sf1. This runner
+re-asserts the committed approximate-path bounds
+(tools/sweep_contracts.json — the same single source the sf1 sweep
+loads; no bound is redefined here) at the 100x ScaleUp corpus, using
+SAMPLED ground truth where the exact oracle is computationally
+infeasible at this scale:
+
+  io6_dpp_join       full DuckDB hash compare (oracle is cheap at any SF)
+  dd10               planted-pair recall + adaptive banding plan
+                     re-derivation (bits/bands must match the n-derived
+                     values; the planted duplicate must be recovered
+                     with cos_sim 1.0)
+  dd5_blocked        (a) EVERY emitted pair exactly re-verified in
+                     DuckDB — zero false pairs, zero value drift —
+                     this side is complete, not sampled;
+                     (b) misses graded on a uniform 1/SAMPLE_MOD pair
+                     sample (pairs whose smaller id ≡ 0 mod M): bound
+                     re-derived from the committed per_pair_miss_prob
+                     over the sampled qualifying count, every miss
+                     within the committed near-tau ceiling
+  sim6_knn_capped    knn_oracle_chunked.py in sampled-probe mode —
+                     the engaged-cap demotion contract (committed
+                     gap_min/gap_max) asserted on a uniform probe
+                     sample
+  er4                the volume-floor contract re-derived in DuckDB on
+                     a uniform dirty-name sample facing the FULL
+                     customer key space (exactly the density-growth
+                     question: multiplicity and qualifying/dirty must
+                     hold as every name's lev<=2 ball grows 10x);
+                     materializing the full sf10 candidate set
+                     (~1.7e10 pairs) is the floor's own cost, so the
+                     Spark-parity half of er4 stays certified at sf1
+  clu1_kmeans        output-shape sanity (one row per vector, cluster
+                     ids within the n-derived k) — the chunked-driver
+                     contract itself is spec-pinned
+                     (ClusteringChunkedSpec / CurationSpec) and
+                     measured in results/r16_kernel/
+
+Usage: sf10_spotcert.py <sf10Dir> <verifyOutDir> <outJson>
+"""
+import json, math, os, subprocess, sys, time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+_CONTRACTS = json.load(open(os.path.join(HERE, "sweep_contracts.json")))
+
+# sampling moduli: chosen so each sampled ground-truth computation is
+# ~sf1-sweep-sized; recorded in the artifact so the evidence scope is
+# explicit. Env overrides exist for smoke-testing the runner at tiny
+# SFs (GRAFT_SPOT_*) — the committed defaults are the sf10 protocol.
+DD5_SAMPLE_MOD = int(os.environ.get("GRAFT_SPOT_DD5_MOD", "100"))
+SIM6_CHUNKS = int(os.environ.get("GRAFT_SPOT_SIM6_CHUNKS", "200"))
+SIM6_SAMPLE_CHUNKS = int(os.environ.get("GRAFT_SPOT_SIM6_SAMPLE", "2"))
+ER4_SAMPLE_MOD = int(os.environ.get("GRAFT_SPOT_ER4_MOD", "997"))
+
+DD5 = "dd5_blocked_neardup"
+ER4 = "er4_er_short_mixed"
+
+
+def duck():
+    import duckdb
+    return duckdb.connect()
+
+
+def view(con, sf_dir, table):
+    p = f"{sf_dir}/{table}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE OR REPLACE VIEW {table} AS "
+                f"SELECT * FROM read_parquet('{src}')")
+
+
+def check_io6(sf_dir, out_dir):
+    p = subprocess.run(["python3", os.path.join(HERE, "compare_oracle.py"),
+                        sf_dir, out_dir, "io6_dpp_join"],
+                       capture_output=True, text=True)
+    ok = p.returncode == 0
+    tail = (p.stdout.strip().splitlines() or ["(no output)"])[-1]
+    return ok, f"full hash compare: {tail}"
+
+
+def check_dd10(sf_dir, out_dir):
+    con = duck()
+    view(con, sf_dir, "embeddings")
+    n = con.execute("SELECT count(*) + 1 FROM embeddings").fetchone()[0]
+    bits = next(b for b in range(4, 25) if (1 << b) * 16 >= n)
+    bands_of = {4: 9, 5: 12, 6: 14, 7: 17, 8: 21, 9: 25, 10: 29, 11: 35,
+                12: 41, 13: 49, 14: 57, 15: 68, 16: 79, 17: 93, 18: 109,
+                19: 128, 20: 150, 21: 176, 22: 206, 23: 241, 24: 282}
+    rows = con.execute(
+        "SELECT a_id, b_id, cos_sim, bits, bands FROM "
+        f"read_parquet('{out_dir}/dd10_adaptive_neardup/*.parquet')"
+    ).fetchall()
+    planted = [r for r in rows if r[0] == 0 and r[1] == 1000000]
+    plan_ok = all(r[3] == bits and r[4] == bands_of[bits] for r in rows)
+    planted_ok = len(planted) == 1 and float(planted[0][2]) == 1.0
+    ok = bool(rows) and plan_ok and planted_ok
+    detail = (f"adaptive plan: n={n} -> bits={bits} bands={bands_of[bits]} "
+              f"(all {len(rows)} rows match={plan_ok}); planted pair "
+              f"(0, 1000000) recovered at cos 1.0: {planted_ok}")
+    return ok, detail
+
+
+def check_dd5(sf_dir, out_dir):
+    tau = 0.4
+    miss_prob = float(_CONTRACTS[DD5]["per_pair_miss_prob"])
+    cos_ceil = float(_CONTRACTS[DD5]["miss_cos_ceil"])
+    con = duck()
+    view(con, sf_dir, "embeddings")
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[DD5]
+    anchor = "WHERE a.vec_id < b.vec_id"
+    if sql.count(anchor) != 1:
+        return False, (f"DRIFT: committed {DD5} oracle no longer contains "
+                       f"exactly one '{anchor}' — update the sampler")
+    con.execute("CREATE TABLE spark AS SELECT * FROM "
+                f"read_parquet('{out_dir}/{DD5}/*.parquet')")
+    # (a) COMPLETE false-pair + value check: re-derive the exact cosine
+    # for every emitted pair (linear in emitted pairs, not all-pairs)
+    bad = con.execute(f"""
+      WITH ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings)
+      SELECT count(*) FROM spark s
+      JOIN ed a ON a.vec_id = s.a_id JOIN ed b ON b.vec_id = s.b_id
+      WHERE round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 4) <> s.cos_sim
+         OR list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) < {tau}
+    """).fetchone()[0]
+    n_spark = con.execute("SELECT count(*) FROM spark").fetchone()[0]
+    # (b) SAMPLED miss check: exact oracle restricted to pairs whose
+    # smaller id is in the 1/M residue class — a uniform pair sample
+    sampled_sql = sql.replace(
+        anchor, anchor + f" AND a.vec_id % {DD5_SAMPLE_MOD} = 0")
+    con.execute(f"CREATE TABLE osample AS {sampled_sql}")
+    n_osample = con.execute("SELECT count(*) FROM osample").fetchone()[0]
+    misses = con.execute(
+        "SELECT o.cos_sim FROM osample o ANTI JOIN spark s "
+        "ON s.a_id = o.a_id AND s.b_id = o.b_id").fetchall()
+    mean = n_osample * miss_prob
+    miss_bound = max(2, math.ceil(mean + 5 * math.sqrt(max(mean, 1.0))))
+    ok = (bad == 0 and n_osample > 0 and len(misses) <= miss_bound and
+          all(float(m[0]) <= cos_ceil for m in misses))
+    detail = (f"complete emitted-pair check: {n_spark} pairs, "
+              f"{bad} false/value-drifted (0 required); sampled misses "
+              f"(1/{DD5_SAMPLE_MOD} of pairs, {n_osample} qualifying): "
+              f"{len(misses)} <= bound {miss_bound} "
+              f"(per-pair p={miss_prob}), miss_cos_max="
+              f"{max((float(m[0]) for m in misses), default=0)} "
+              f"(ceil {cos_ceil})")
+    return ok, detail
+
+
+def check_sim6(sf_dir, out_dir):
+    p = subprocess.run(
+        ["python3", os.path.join(HERE, "knn_oracle_chunked.py"),
+         sf_dir, out_dir, "sim6_knn_capped",
+         str(SIM6_CHUNKS), str(SIM6_SAMPLE_CHUNKS)],
+        capture_output=True, text=True)
+    ok = p.returncode in (0, 3)
+    lines = [l for l in p.stdout.strip().splitlines()
+             if l.startswith(("PASS", "FAIL", "DIVERGED-OK", "CONTRACT"))]
+    note = "engaged-cap divergence (exit 3)" if p.returncode == 3 else \
+           f"exit {p.returncode}"
+    return ok, (f"sampled-probe chunked oracle "
+                f"({SIM6_SAMPLE_CHUNKS}/{SIM6_CHUNKS} of probes), {note}: "
+                + " | ".join(lines[-2:]))
+
+
+# the sf1 sweep's ER4 volume derivation with the dirty side restricted
+# to a uniform custkey residue sample — the candidate/qualifying RATIO
+# and per-dirty density are per-dirty quantities, so a dirty sample
+# facing the FULL customer key space measures exactly the judge's
+# density-growth question without materializing ~1.7e10 pairs
+ER4_SAMPLED_VOLUME_SQL = """
+WITH cust AS (
+  SELECT c_custkey, 'K#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS c_name
+  FROM customer),
+dirty AS (
+  SELECT c_custkey + 4000000 AS dirty_id,
+    (WITH t AS (SELECT
+        'K#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS k,
+        c_custkey % 9 AS p1,
+        (c_custkey % 9 + 1 + c_custkey % 8) % 9 AS pd)
+     SELECT concat(substr(b, 1, CAST(2 + pd AS INT)),
+                   substr(b, CAST(4 + pd AS INT)))
+     FROM (SELECT concat(substr(k, 1, CAST(2 + p1 AS INT)),
+             CAST((CAST(substr(k, CAST(3 + p1 AS INT), 1) AS INT) + 1) % 10
+                  AS VARCHAR),
+             substr(k, CAST(4 + p1 AS INT))) AS b, pd FROM t)
+    ) AS dirty_name
+  FROM customer
+  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    AND c_custkey % {mod} = 0),
+dkeys AS (
+  SELECT dirty_id,
+    concat(substr(dirty_name, 1, i - 1), '*', substr(dirty_name, i + 1)) AS k
+  FROM dirty, generate_series(1, 10) AS g(i)),
+cdel AS (
+  SELECT DISTINCT c_custkey,
+    concat(substr(c_name, 1, i - 1), substr(c_name, i + 1)) AS v
+  FROM cust, generate_series(1, 11) AS g(i)),
+ckeys AS (
+  SELECT DISTINCT c_custkey,
+    concat(substr(v, 1, q - 1), '*', substr(v, q + 1)) AS k
+  FROM cdel, generate_series(1, 10) AS g(q)),
+arm AS (SELECT dk.dirty_id, ck.c_custkey
+        FROM dkeys dk JOIN ckeys ck ON dk.k = ck.k),
+cand AS (SELECT DISTINCT dirty_id, c_custkey FROM arm)
+SELECT
+  (SELECT count(*) FROM dirty) AS n_dirty,
+  (SELECT count(*) FROM arm) AS arm_rows,
+  (SELECT count(*) FROM cand) AS cand_pairs,
+  (SELECT count(*) FROM cand c
+     JOIN dirty d USING (dirty_id) JOIN cust t USING (c_custkey)
+   WHERE levenshtein(d.dirty_name, t.c_name) <= 2) AS qualifying
+"""
+
+
+def check_er4(sf_dir):
+    max_mult = float(_CONTRACTS[ER4]["max_arm_multiplicity"])
+    min_qpd = float(_CONTRACTS[ER4]["min_qualifying_per_dirty"])
+    con = duck()
+    view(con, sf_dir, "customer")
+    n_dirty, arm_rows, cand_pairs, qualifying = con.execute(
+        ER4_SAMPLED_VOLUME_SQL.format(mod=ER4_SAMPLE_MOD)).fetchone()
+    mult = arm_rows / qualifying if qualifying else float("inf")
+    qpd = qualifying / n_dirty if n_dirty else 0.0
+    at_floor = cand_pairs == qualifying
+    ok = at_floor and mult <= max_mult and qpd >= min_qpd and n_dirty > 0
+    detail = (f"sampled dirty (1/{ER4_SAMPLE_MOD}, n={n_dirty}) vs FULL "
+              f"customer space: candidates == lev<=2 ball: {at_floor} "
+              f"({cand_pairs} vs {qualifying}), arm multiplicity "
+              f"{mult:.4f} (<= {max_mult}), qualifying/dirty {qpd:.0f} "
+              f"(>= {min_qpd:.0f})")
+    contract = {"n_dirty": n_dirty, "arm_rows": arm_rows,
+                "cand_pairs": cand_pairs, "qualifying": qualifying,
+                "arm_multiplicity": round(mult, 4),
+                "qualifying_per_dirty": round(qpd, 1),
+                "dirty_sample_mod": ER4_SAMPLE_MOD}
+    return ok, detail, contract
+
+
+def check_clu1(sf_dir, out_dir):
+    con = duck()
+    view(con, sf_dir, "embeddings")
+    n = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    nrows, nclusters, maxc = con.execute(
+        "SELECT count(*), count(DISTINCT cluster), max(cluster) FROM "
+        f"read_parquet('{out_dir}/clu1_kmeans/*.parquet')").fetchone()
+    k = max(8, n // 625)  # Clustering.kFor: max(MinK=8, n/RowsPerCluster=625)
+    ok = nrows == n and maxc <= k
+    detail = (f"one row per vector: {nrows}/{n}; clusters used "
+              f"{nclusters} (k={k}, max id {maxc} <= k: {maxc <= k}); "
+              "chunked-driver contract spec-pinned "
+              "(ClusteringChunkedSpec), engaged-k measurement in "
+              "results/r16_kernel/refit_scale.json")
+    return ok, detail
+
+
+def main():
+    sf_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
+    results = {}
+    blocks = [
+        ("io6_dpp_join", lambda: check_io6(sf_dir, out_dir)),
+        ("dd10_adaptive_neardup", lambda: check_dd10(sf_dir, out_dir)),
+        (DD5, lambda: check_dd5(sf_dir, out_dir)),
+        ("sim6_knn_capped", lambda: check_sim6(sf_dir, out_dir)),
+        ("clu1_kmeans", lambda: check_clu1(sf_dir, out_dir)),
+    ]
+    n_fail = 0
+    for name, fn in blocks:
+        t0 = time.time()
+        try:
+            r = fn()
+            ok, detail = r[0], r[1]
+            extra = r[2] if len(r) > 2 else None
+        except Exception as e:
+            ok, detail, extra = False, f"EXCEPTION: {e}", None
+        sec = round(time.time() - t0, 1)
+        results[name] = {"pass": bool(ok), "sec": sec, "detail": detail}
+        if extra:
+            results[name]["contract"] = extra
+        n_fail += 0 if ok else 1
+        print(f"{'PASS' if ok else 'FAIL'} {name} ({sec}s): {detail}",
+              flush=True)
+    t0 = time.time()
+    try:
+        ok, detail, contract = check_er4(sf_dir)
+    except Exception as e:
+        ok, detail, contract = False, f"EXCEPTION: {e}", None
+    sec = round(time.time() - t0, 1)
+    results[ER4] = {"pass": bool(ok), "sec": sec, "detail": detail,
+                    "contract": contract,
+                    "note": "volume-floor contract on a dirty sample; "
+                            "Spark-parity half certified at sf1"}
+    n_fail += 0 if ok else 1
+    print(f"{'PASS' if ok else 'FAIL'} {ER4} ({sec}s): {detail}", flush=True)
+    out = {"sf_dir": sf_dir, "n_blocks": len(results), "n_fail": n_fail,
+           "sampling": {"dd5_pair_sample_mod": DD5_SAMPLE_MOD,
+                        "sim6_probe_sample": f"{SIM6_SAMPLE_CHUNKS}/{SIM6_CHUNKS}",
+                        "er4_dirty_sample_mod": ER4_SAMPLE_MOD},
+           "results": results}
+    os.makedirs(os.path.dirname(os.path.abspath(out_json)), exist_ok=True)
+    json.dump(out, open(out_json, "w"), indent=1)
+    print(f"wrote {out_json}: {len(results) - n_fail}/{len(results)} pass")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
