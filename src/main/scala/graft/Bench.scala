@@ -175,19 +175,24 @@ object Bench {
           resetState()
           diag.snapshotDelta(spark.sparkContext)
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case scala.util.control.NonFatal(_) => () }
+          // a THROWING re-run measures time-to-exception, not the
+          // query — it must never substitute (a transient failure
+          // would smuggle a near-zero sample into the headline)
+          val ran =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case scala.util.control.NonFatal(_) => false }
           val sec = (System.nanoTime() - t0) / 1e9
           val m = diag.snapshotDelta(spark.sparkContext)
           diagRows += s"""{"pass":"remeasure","query":"$name","sec":${num3(sec)},""" +
-            s""""m":${m.toJson}}"""
+            s""""ok":$ran,"m":${m.toJson}}"""
           val orig = if (side == "warm") warmRuns(name) else coldRuns(name)
-          if (sec < orig) {
+          val kept = if (ran) math.min(orig, sec) else orig
+          if (ran && sec < orig) {
             if (side == "warm") { warmRuns(name) = sec; warmMetrics(name) = m }
             else { coldRuns(name) = sec; coldMetrics(name) = m }
           }
           remeasured += s"""{"query":"$name","side":"$side","orig":${num3(orig)},""" +
-            s""""new":${num3(sec)},"kept":${num3(math.min(orig, sec))}}"""
+            s""""new":${num3(sec)},"ok":$ran,"kept":${num3(kept)}}"""
         }
       }
     }
