@@ -269,6 +269,42 @@ object Candidates {
       out.toSeq
     }
 
+  /** [[labelCandidatesOrdered]] producing TWO independent label
+    * vectors from ONE pass, for the same-pass noise floor: each
+    * candidate runs 2·`repeats` times with executions ASSIGNED
+    * ALTERNATELY to the two vectors, each vector reduced by min — so
+    * both vectors sample the identical JVM state and the floor
+    * computed between them measures the labeling protocol's own
+    * reproducibility. The r17 golden measured why this matters: a
+    * relabel pass taken 90 minutes later (post-training JVM) ran ~30%
+    * faster systematically and put the cross-phase floor at 0.2397
+    * while the labels' tie structure predicts ~0.05 — the old floor
+    * was mostly JVM drift, not label noise. */
+  def labelCandidatesDual(spark: SparkSession,
+                          build: SparkSession => DataFrame,
+                          candidates: Seq[Candidate],
+                          repeats: Int = 1)
+      : (Seq[(Candidate, Double)], Seq[(Candidate, Double)]) = {
+    val k = math.max(1, repeats)
+    val variants =
+      if (candidates.exists(_.variantIdx > 0)) orderVariants(spark, build)
+      else Nil
+    val both = candidates.flatMap { c =>
+      val runs = (0 until 2 * k).flatMap(_ =>
+        executeOrdered(spark, build, c, variants).map(_._2))
+      if (runs.length == 2 * k) {
+        val (r1, r2) = runs.zipWithIndex.partition(_._2 % 2 == 0)
+        Some((c, r1.map(_._1).min, r2.map(_._1).min))
+      } else {
+        System.err.println(s"[graft] dropping candidate variantIdx=" +
+          s"${c.variantIdx} [${c.knobs.label}]: variant list shrank to " +
+          s"${variants.size} between enumerate and execute")
+        None
+      }
+    }
+    (both.map(t => (t._1, t._2)), both.map(t => (t._1, t._3)))
+  }
+
   /** Execute the query under a candidate's knobs, returning (rowCount,
     * wallClockMs) — the labeling step (Spark-native stand-in for the
     * reference's `Execution Time` from EXPLAIN ANALYZE). */

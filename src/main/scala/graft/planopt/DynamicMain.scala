@@ -17,9 +17,10 @@ import graft.workload.{Harvester, WorkloadGen}
   *     batches 0..i — label-rich, drift-naive.
   * Labels (the expensive step: candidate enumeration + timed
   * execution) are paid once per batch and shared by both variants.
-  * Each eval batch is additionally RELABELED once and the run1-vs-run2
-  * positional ranking loss logged as that batch's noise floor — a
-  * batch loss is a model statement only when it exceeds its floor.
+  * Each batch's labels are collected as TWO same-pass interleaved
+  * vectors (Candidates.labelCandidatesDual) and the run1-vs-run2
+  * ranking loss logged as that batch's noise floor — a batch loss is
+  * a model statement only when it exceeds its floor.
   * Reports the reference's lero_latency_list (per-batch selected-plan
   * totals) plus the per-batch default totals and ranking losses the
   * reference logs separately.
@@ -81,29 +82,26 @@ object DynamicMain {
 
     // label every batch once (candidate enumeration + timed execution
     // — the expensive step, paid per batch exactly once, as in the
-    // reference where each batch's plans run against PG once)
-    val labeled = batches.zipWithIndex.map { case (b, i) =>
-      log.info(s"labeling batch $i (${b.length} queries)")
-      Pipelines.labelWorkload(spark, b, log)
+    // reference where each batch's plans run against PG once), with
+    // the SAME-PASS dual protocol (r17): each batch yields two
+    // interleaved label vectors from one pass, so the per-batch noise
+    // floor measures the labeling protocol's own reproducibility
+    // instead of conflating it with cross-phase JVM drift (the pre-r17
+    // relabel-later floors sat at 0.10–0.32 on 20-query batches partly
+    // because of that drift).
+    val labeledBoth = batches.zipWithIndex.map { case (b, i) =>
+      log.info(s"labeling batch $i (${b.length} queries, dual-pass)")
+      Pipelines.labelWorkloadDual(spark, b, log)
     }
-    // Per-batch NOISE FLOOR (same protocol as StableMain's, r9 verdict
-    // #5): relabel each batch once and pair run-1 vs run-2 latency
-    // vectors positionally; a batch ranking loss above its floor is a
-    // model statement, at-or-under is re-measurement noise. Mismatched
-    // candidate counts are dropped (never fatal), as in StableMain.
-    val floors = batches.zipWithIndex.map { case (b, i) =>
-      val relabeled = Pipelines.labelWorkload(spark, b,
-        new Pipelines.Logger(None))
-      val byQid = relabeled.map(r => r.qid -> r.latenciesMs).toMap
-      val pairs = labeled(i).filter { q =>
-        byQid.get(q.qid).exists(_.length == q.latenciesMs.length) ||
-          { log.info(s"noise-floor: dropping qid=${q.qid} in batch $i — " +
-              "relabel candidate count mismatch"); false }
-      }
+    val labeled = labeledBoth.map(_._1)
+    // Per-batch SAME-PASS noise floor: a batch ranking loss above its
+    // floor is a model statement, at-or-under is measurement noise.
+    val floors = labeledBoth.zipWithIndex.map { case ((l1, l2), i) =>
       val floor = graft.planopt.Ranking.rankingLoss(
-        pairs.map(q => byQid(q.qid)), pairs.map(_.latenciesMs))
-      log.info(f"batch $i noise floor (run1-vs-run2 relabel): " +
-        f"${floor.getOrElse(Double.NaN)}%.4f over ${pairs.size} queries")
+        l2.map(_.latenciesMs), l1.map(_.latenciesMs))
+      log.info(f"batch $i noise floor (same-pass interleaved " +
+        f"run1-vs-run2): ${floor.getOrElse(Double.NaN)}%.4f " +
+        s"over ${l1.size} queries")
       floor.getOrElse(Double.NaN)
     }
 

@@ -95,6 +95,30 @@ object Pipelines {
       LabeledQuery(qid, labeled.map(_._1.plan), labeled.map(_._2))
     }
 
+  /** [[labelWorkload]] producing TWO label vectors per query from one
+    * interleaved pass (see Candidates.labelCandidatesDual): `_1` is
+    * the label set (identical protocol and cost to labelWorkload with
+    * the same LabelRepeats budget would need two passes); `_2` exists
+    * ONLY for the same-pass noise floor. */
+  def labelWorkloadDual(spark: SparkSession,
+                        queries: Seq[(String, SparkSession => DataFrame)],
+                        log: Logger)
+      : (Seq[LabeledQuery], Seq[LabeledQuery]) = {
+    val both = queries.map { case (qid, build) =>
+      val cands = Candidates.capCandidates(
+        Candidates.enumerateOrdered(spark, build), MaxLabeledPerQuery)
+      val (l1, l2) = Candidates.labelCandidatesDual(spark, build, cands,
+        repeats = LabelRepeats)
+      log.info(s"$qid: ${cands.length} candidates " +
+        s"(${cands.map(_.variantIdx).distinct.length} order variant(s)), " +
+        s"latencies=${l1.map(l => f"${l._2}%.1f").mkString(",")}ms " +
+        s"(floor pass: ${l2.map(l => f"${l._2}%.1f").mkString(",")}ms)")
+      (LabeledQuery(qid, l1.map(_._1.plan), l1.map(_._2)),
+        LabeledQuery(qid, l2.map(_._1.plan), l2.map(_._2)))
+    }
+    (both.map(_._1), both.map(_._2))
+  }
+
   /** All-ordered-pairs training tensors for `labeled` under a FIXED
     * featurizer (`lero_train.py:26-40` pairing). */
   private def trainingTensors(trainable: Seq[LabeledQuery], fg: FeatureGenerator):
@@ -277,7 +301,8 @@ object Pipelines {
   final case class StableArtifacts(result: EvalResult, fg: FeatureGenerator,
                                    model: LeroModelPairWise,
                                    testLabeled: Seq[LabeledQuery],
-                                   trainLabeled: Seq[LabeledQuery])
+                                   trainLabeled: Seq[LabeledQuery],
+                                   testFloorLabels: Seq[LabeledQuery] = Nil)
 
   /** M30 stable pipeline (`stable.py:13-30`): label, train on the
     * train split, evaluate on the test split. */
@@ -288,20 +313,27 @@ object Pipelines {
              log: Logger = new Logger(None)): EvalResult =
     stableWithModel(spark, trainQueries, testQueries, epochs, seed, log).result
 
-  /** `stable` variant returning the trained model for deployment. */
+  /** `stable` variant returning the trained model for deployment.
+    * With `dualTestFloor` the test split is labeled via
+    * [[labelWorkloadDual]] and the second (same-pass) label vectors
+    * ride in `testFloorLabels` so the caller can state the labeling
+    * protocol's own noise floor. */
   def stableWithModel(spark: SparkSession,
                       trainQueries: Seq[(String, SparkSession => DataFrame)],
                       testQueries: Seq[(String, SparkSession => DataFrame)],
                       epochs: Int = 100, seed: Long = 17L,
-                      log: Logger = new Logger(None)): StableArtifacts = {
+                      log: Logger = new Logger(None),
+                      dualTestFloor: Boolean = false): StableArtifacts = {
     val trainLabeled = labelWorkload(spark, trainQueries, log)
-    val testLabeled = labelWorkload(spark, testQueries, log)
+    val (testLabeled, testFloor) =
+      if (dualTestFloor) labelWorkloadDual(spark, testQueries, log)
+      else (labelWorkload(spark, testQueries, log), Nil)
     val (fg, model) = train(trainLabeled, epochs, seed)
     val res = evaluate(fg, model, testLabeled)
     log.info(s"ranking loss: ${res.rankingLoss}")
     log.info(f"total latency: selected=${res.selectedTotalSec}%.3fs " +
       f"default=${res.defaultTotalSec}%.3fs")
-    StableArtifacts(res, fg, model, testLabeled, trainLabeled)
+    StableArtifacts(res, fg, model, testLabeled, trainLabeled, testFloor)
   }
 
   /** k-fold CV over an already-labeled corpus (labels are the

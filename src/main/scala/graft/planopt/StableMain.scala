@@ -87,31 +87,43 @@ object StableMain {
       "(min-of-k timed executions per candidate, both floor passes included)")
 
     val art = Pipelines.stableWithModel(spark, trainQ, testQ, epochs = epochs,
-      seed = 17L, log = log)
+      seed = 17L, log = log, dualTestFloor = true)
     val res = art.result
     Pipelines.writeLeroDict(res, s"$outDir/lero_dict.json")
     log.info(s"ranking_loss=${res.rankingLoss.getOrElse(Double.NaN)} " +
       f"selected=${res.selectedTotalSec}%.3fs default=${res.defaultTotalSec}%.3fs " +
       "(reference STATS golden: 0.6132 ranking loss, different corpus)")
 
-    // Measured NOISE FLOOR of the ranking-loss metric: relabel the
-    // test split a second time and score run-1 labels as if they were
-    // predictions of run-2 labels. Sub-second candidate latencies
-    // carry enough measurement noise to flip near-tie orders, so even
-    // a perfect model cannot score below this (r9 analysis: r7-vs-r8
-    // label sets of the SAME queries disagree at loss 0.15–0.20 —
-    // the entire r7→r8 "regression" from 0.0875 to 0.2688 sits inside
-    // that band). A model loss at or under the floor means the model
-    // ranks as well as re-measurement reproduces the ground truth.
+    // SAME-PASS noise floor of the ranking-loss metric (the honest
+    // bound a model loss is judged against): the test split's labels
+    // were collected as TWO interleaved vectors in one pass
+    // (Candidates.labelCandidatesDual — both vectors sample the same
+    // JVM state), and the floor is the ranking loss of vector 2
+    // scored as predictions of vector 1. A model at or under this
+    // floor ranks as well as the labeling protocol reproduces itself.
+    val samePassFloor = Ranking.rankingLoss(
+      art.testFloorLabels.map(_.latenciesMs),
+      art.testLabeled.map(_.latenciesMs))
+    log.info(f"label-noise floor (SAME-PASS interleaved run1-vs-run2 " +
+      f"of the test split): ${samePassFloor.getOrElse(Double.NaN)}%.4f " +
+      s"over ${art.testLabeled.size} queries; model ranking_loss above " +
+      "is judged RELATIVE to this floor")
+
+    // CROSS-PHASE drift diagnostic (the pre-r17 floor protocol, kept
+    // because its r17 failure mode is instructive): relabel the test
+    // split AFTER training and score run-1 labels against it. This
+    // number conflates label noise with 60+ minutes of JVM drift —
+    // the r17 golden measured the post-training relabel running ~30%
+    // faster systematically, putting this number at 0.2397 while the
+    // labels' own tie structure predicts ~0.05 — so it is NOT the
+    // bound model quality is judged against; it documents how much
+    // the deployment-time latency ORDERING drifts across JVM phases.
     val relabeled = Pipelines.labelWorkload(spark, testQ,
       new Pipelines.Logger(None)) // second pass: no per-query log spam
     val byQid = relabeled.map(r => r.qid -> r.latenciesMs).toMap
-    // The floor pairs run-1 and run-2 latency vectors POSITIONALLY, so
-    // a qid whose second enumeration yielded a different candidate
-    // count (conf drift, nondeterminism) would trip rankingLoss's
-    // length require and abort the run AFTER training/eval already
-    // succeeded. A diagnostic-only metric must never kill the run:
-    // drop (and log) any mismatched qid instead (r9 advice).
+    // Positional pairing: drop (and log) any qid whose re-enumeration
+    // yielded a different candidate count — a diagnostic must never
+    // kill the run (r9 advice).
     val floorPairs = art.testLabeled.filter { q =>
       byQid.get(q.qid) match {
         case Some(l2) if l2.length == q.latenciesMs.length => true
@@ -125,10 +137,9 @@ object StableMain {
     }
     val floor = Ranking.rankingLoss(
       floorPairs.map(q => byQid(q.qid)), floorPairs.map(_.latenciesMs))
-    log.info(f"label-noise floor (run1-vs-run2 relabel of the test " +
-      f"split): ${floor.getOrElse(Double.NaN)}%.4f over " +
-      s"${floorPairs.size} queries; model ranking_loss above is " +
-      "judged RELATIVE to this floor")
+    log.info(f"cross-phase relabel drift (post-training re-label vs " +
+      f"run-1 labels; NOT the model's floor): " +
+      f"${floor.getOrElse(Double.NaN)}%.4f over ${floorPairs.size} queries")
 
     // split-independent ranking loss: 5-fold CV over the full labeled
     // corpus (labels already paid for above; folds only retrain)
