@@ -167,8 +167,17 @@ object Bench {
     // one-time compile cost along with the contention — the recorded
     // `orig` preserves the raw sample for anyone who wants it back.
     val remeasured = scala.collection.mutable.ArrayBuffer[String]()
+    // PRE-substitution snapshot: the contention verdict and anomaly
+    // lists are derived from (and stamped for) THESE samples — a
+    // substitution changes a sample's provenance (re-run in a warm
+    // JVM), so classifying post-substitution data could fabricate
+    // flags that were never measured or erase the verdict that
+    // triggered the re-measurement (r17 advice #1).
+    val preSamples = buildSamples()
+    val rawColdTotal = coldRuns.values.sum
+    val rawWarmTotal = warmRuns.values.sum
     locally {
-      val (_, warmAnoms, coldAnoms) = BenchEnv.verdictFull(buildSamples())
+      val (_, warmAnoms, coldAnoms) = BenchEnv.verdictFull(preSamples)
       val flagged = warmAnoms.map(_ -> "warm") ++ coldAnoms.map(_ -> "cold")
       flagged.foreach { case (name, side) =>
         SparkEntry.queries.get(name).foreach { fn =>
@@ -205,16 +214,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val warmTotal = warm.map(_._2).sum
-    val envSamples = buildSamples()
-    val envJson = BenchEnv.envJson(envSamples, remeasured.toSeq)
+    // value_raw/warm_total_raw (r17 advice #3): the UNSUBSTITUTED
+    // totals — a cold-side substitution runs in a warm JVM and
+    // excludes compile cost, so the substituted headline quietly
+    // changes meaning between rounds with and without substitutions;
+    // the raw totals keep cross-round comparisons one field away.
+    val envVerdict = BenchEnv.envJson(preSamples, remeasured.toSeq,
+      postContention = Some(BenchEnv.verdict(buildSamples())._1))
     val json =
       "{" +
         "\"metric\":\"total\",\"value\":" + num3(total) + "," +
+        "\"value_raw\":" + num3(rawColdTotal) + "," +
         "\"unit\":\"sec\",\"queries\":" + toJson(results) + "," +
         "\"warm_total\":" + num3(warmTotal) + "," +
+        "\"warm_total_raw\":" + num3(rawWarmTotal) + "," +
         "\"queries_warm\":" + toJson(warm) + "," +
         "\"errors\":" + errJson + "," +
-        "\"env\":" + envJson + "," +
+        "\"env\":" + envVerdict + "," +
         "\"sf\":\"" + sfDir + "\"}"
     // The driver captures only a bounded TAIL of stdout (~2000 chars);
     // a 106-query map blows through it and every round's BENCH_r*.json
@@ -233,12 +249,14 @@ object Bench {
     val stdoutJson =
       "{" +
         "\"metric\":\"total\",\"value\":" + num3(total) + "," +
+        "\"value_raw\":" + num3(rawColdTotal) + "," +
         "\"unit\":\"sec\"," +
         "\"n_queries\":" + results.size + "," +
         "\"queries\":" + toJson(results.filter(r => headline(r._1))) + "," +
         "\"warm_total\":" + num3(warmTotal) + "," +
+        "\"warm_total_raw\":" + num3(rawWarmTotal) + "," +
         "\"errors\":" + errJson + "," +
-        "\"env_contention\":\"" + BenchEnv.verdict(envSamples)._1 + "\"," +
+        "\"env_contention\":\"" + BenchEnv.verdictFull(preSamples)._1 + "\"," +
         "\"full\":\"bench_out.json\"," +
         "\"sf\":\"" + sfDir + "\"}"
     println(stdoutJson)

@@ -30,6 +30,8 @@ object ModelIO {
   private val FormatVersion = 1
   private val MetaFile = "model_meta.json"
   private val WeightsFile = "nn_weights.bin"
+  private val GateMetaFile = "bayes_meta.json"
+  private val GateWeightsFile = "bayes_weights.bin"
 
   def save(dir: String, model: LeroModelPairWise, gen: FeatureGenerator): Unit = {
     require(model.featureDim == gen.featureDim,
@@ -62,6 +64,67 @@ object ModelIO {
         while (i < param.length) { out.writeDouble(param(i)); i += 1 }
       }
     } finally out.close()
+  }
+
+  /** Persist the calibrated Bayesian margin gate next to the main
+    * comparator (optional files — a pre-gate artifact stays loadable).
+    * Same weight-block format as `nn_weights.bin`, covering the gate's
+    * trunk AND head parameters; the calibrated threshold and its
+    * train-split evidence ride in `bayes_meta.json`. */
+  def saveGate(dir: String, bm: BayesianModelPairWise,
+               cal: Pipelines.GateCalibration): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("format_version", FormatVersion)
+    root.put("input_feature_dim", bm.featureDim)
+    root.put("threshold", cal.threshold)
+    root.put("calibration_pairs", cal.nPairs)
+    root.put("calibration_routed", cal.nRouted)
+    root.put("calibration_net_gain_ms", cal.netGainMs)
+    root.put("calibration_ungated_gain_ms", cal.gainAllMs)
+    Files.write(Paths.get(dir, GateMetaFile),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(Paths.get(dir, GateWeightsFile).toFile)))
+    try {
+      (bm.net.paramGrads ++ bm.head.paramGrads).foreach { case (param, _) =>
+        out.writeInt(param.length)
+        var i = 0
+        while (i < param.length) { out.writeDouble(param(i)); i += 1 }
+      }
+    } finally out.close()
+  }
+
+  /** Load the margin gate if the artifact carries one; None for
+    * pre-gate artifacts (the strategy then routes ungated, the pre-r18
+    * behavior). */
+  def loadGate(dir: String): Option[(BayesianModelPairWise, Double)] = {
+    val meta = Paths.get(dir, GateMetaFile)
+    val weights = Paths.get(dir, GateWeightsFile)
+    if (!Files.exists(meta) || !Files.exists(weights)) return None
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(Files.readAllBytes(meta)).asInstanceOf[ObjectNode]
+    val version = root.get("format_version").asInt()
+    require(version == FormatVersion,
+      s"unsupported gate format version $version (expected $FormatVersion)")
+    val dim = root.get("input_feature_dim").asInt()
+    val thr = root.get("threshold").asDouble()
+    val bm = new BayesianModelPairWise(dim)
+    val in = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(weights.toFile)))
+    try {
+      (bm.net.paramGrads ++ bm.head.paramGrads).foreach { case (param, _) =>
+        val n = in.readInt()
+        require(n == param.length,
+          s"gate weight block length $n != expected ${param.length} " +
+            "(architecture/dim mismatch)")
+        var i = 0
+        while (i < n) { param(i) = in.readDouble(); i += 1 }
+      }
+      require(in.read() == -1, s"trailing bytes in $GateWeightsFile")
+    } finally in.close()
+    Some((bm, thr))
   }
 
   def load(dir: String): (LeroModelPairWise, FeatureGenerator) = {

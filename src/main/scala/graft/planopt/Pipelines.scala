@@ -76,6 +76,19 @@ object Pipelines {
       .orElse(sys.env.get("SPARK_GRAFT_LABEL_REPEATS"))
       .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(1)
 
+  /** Adaptive-escalation ceiling (r17 verdict #1 — push the same-pass
+    * floor toward ≤0.15): candidates in an ambiguous pair (relative
+    * gap inside Candidates.DefaultGapLo/Hi) are re-sampled up to this
+    * many runs per label vector. Defaults to LabelRepeats (escalation
+    * off); SPARK_GRAFT_LABEL_ADAPTIVE_MAX=k or
+    * -Dgraft.label.adaptiveMax=k engages it. Process-wide like
+    * LabelRepeats, and for the same reason: every pass of every
+    * noise-floor protocol must label under the protocol it measures. */
+  def LabelAdaptiveMax: Int =
+    sys.props.get("graft.label.adaptiveMax")
+      .orElse(sys.env.get("SPARK_GRAFT_LABEL_ADAPTIVE_MAX"))
+      .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(LabelRepeats)
+
   def labelWorkload(spark: SparkSession,
                     queries: Seq[(String, SparkSession => DataFrame)],
                     log: Logger): Seq[LabeledQuery] =
@@ -88,7 +101,7 @@ object Pipelines {
       val cands = Candidates.capCandidates(
         Candidates.enumerateOrdered(spark, build), MaxLabeledPerQuery)
       val labeled = Candidates.labelCandidatesOrdered(spark, build, cands,
-        repeats = LabelRepeats)
+        repeats = LabelRepeats, adaptiveMaxRepeats = LabelAdaptiveMax)
       log.info(s"$qid: ${cands.length} candidates " +
         s"(${cands.map(_.variantIdx).distinct.length} order variant(s)), " +
         s"latencies=${labeled.map(l => f"${l._2}%.1f").mkString(",")}ms")
@@ -108,7 +121,7 @@ object Pipelines {
       val cands = Candidates.capCandidates(
         Candidates.enumerateOrdered(spark, build), MaxLabeledPerQuery)
       val (l1, l2) = Candidates.labelCandidatesDual(spark, build, cands,
-        repeats = LabelRepeats)
+        repeats = LabelRepeats, adaptiveMaxRepeats = LabelAdaptiveMax)
       log.info(s"$qid: ${cands.length} candidates " +
         s"(${cands.map(_.variantIdx).distinct.length} order variant(s)), " +
         s"latencies=${l1.map(l => f"${l._2}%.1f").mkString(",")}ms " +
@@ -254,6 +267,75 @@ object Pipelines {
     model.fit(allPlans.map(fg.transform).toIndexedSeq,
       allScores.map(fg.normLabel).toIndexedSeq, epochs = epochs)
     (fg, model)
+  }
+
+  // ---- Bayesian margin gate (r17 verdict #2: the stock-conf E2E arm
+  // paid a ~10.8% routing tax because the chooser deviates from the
+  // session-native plan even when its predicted gain is inside its own
+  // uncertainty) ----
+
+  /** Calibration record for the route/decline gate. `threshold` is on
+    * the z-score (P(native slower) − 0.5)/σ from the Bayesian head
+    * (M15, `model.py:400-412` — the reference's uncertainty output,
+    * dead code there, live here); the rest is the train-split evidence
+    * the threshold was chosen on. */
+  final case class GateCalibration(threshold: Double, nPairs: Int,
+                                   nRouted: Int, netGainMs: Double,
+                                   gainAllMs: Double)
+
+  /** Pick the gate threshold maximizing the REALIZED net routing gain
+    * on the train split: pairs is (z, gainMs) per query where the main
+    * comparator proposes a non-default plan; threshold t routes
+    * exactly the pairs with z > t. Ties prefer the LARGER t (route
+    * less — the no-lose direction); t is clamped ≥ 0 so the gate never
+    * routes on a sub-coin-flip prediction. Pure; unit-tested. */
+  private[graft] def calibrateThreshold(pairs: Seq[(Double, Double)])
+      : (Double, Double) = {
+    if (pairs.isEmpty) return (0.0, 0.0)
+    val cands = (0.0 +: pairs.map(_._1).filter(_ > 0)).distinct
+    cands.map { t =>
+      (t, pairs.collect { case (z, g) if z > t => g }.sum)
+    }.maxBy { case (t, net) => (net, t) }
+  }
+
+  /** Train the uncertainty-aware pairwise comparator (M15) on the same
+    * labeled corpus as the main model and calibrate the margin gate's
+    * threshold against the main model's own routing proposals: for
+    * each train query where the main comparator's argmin is NOT the
+    * default plan, score the (default, proposed) pair with the
+    * Bayesian head, form z = (P(default slower) − 0.5)/σ, and choose
+    * the threshold that maximizes realized net gain. Deployed via
+    * [[ModelIO.saveGate]] → `plans.PlanChoice`: the in-engine strategy
+    * routes only when z clears the threshold, otherwise it declines
+    * and the session plans natively — the no-lose guarantee at stock
+    * conf that the r17 E2E(A) arm lacked. */
+  def trainBayesGate(labeled: Seq[LabeledQuery], fg: FeatureGenerator,
+                     mainModel: LeroModelPairWise, epochs: Int = 60,
+                     seed: Long = 23L, log: Logger = new Logger(None))
+      : (BayesianModelPairWise, GateCalibration) = {
+    val trainable = labeled.filter(_.plans.length >= 2)
+    require(trainable.nonEmpty, "no query has >=2 candidates")
+    val (x1, x2, y1, y2) = trainingTensors(trainable, fg)
+    val bm = new BayesianModelPairWise(fg.featureDim, seed)
+    bm.fit(x1, x2, y1, y2, epochs = epochs)
+    val pairs = trainable.flatMap { q =>
+      val trees = q.plans.map(fg.transform)
+      val scores = mainModel.predict(trees)
+      val best = scores.indices.minBy(scores)
+      if (best == 0) None
+      else {
+        val (p, v) = bm.predictPair(trees(0), trees(best))
+        val z = (p - 0.5) / math.sqrt(math.max(v, 1e-12))
+        Some((z, q.latenciesMs(0) - q.latenciesMs(best)))
+      }
+    }
+    val (thr, net) = calibrateThreshold(pairs)
+    val cal = GateCalibration(thr, pairs.size,
+      pairs.count(_._1 > thr), net, pairs.map(_._2).sum)
+    log.info(f"bayes gate calibration: threshold=${cal.threshold}%.4f " +
+      f"routes ${cal.nRouted}/${cal.nPairs} proposed deviations on train " +
+      f"(net gain ${cal.netGainMs}%.1fms gated vs ${cal.gainAllMs}%.1fms ungated)")
+    (bm, cal)
   }
 
   /** Evaluation result (`lero_test.py:82-155`). */

@@ -141,6 +141,21 @@ object StableMain {
       f"run-1 labels; NOT the model's floor): " +
       f"${floor.getOrElse(Double.NaN)}%.4f over ${floorPairs.size} queries")
 
+    // Bayesian margin gate (r17 verdict #2): trained on the SAME train
+    // labels and calibrated against the main model's own routing
+    // proposals. Pure driver-side CPU like the CV folds, so it runs
+    // CONCURRENTLY with them (the folds pool is bounded; one more
+    // CPU-bound task costs nothing timed) — a failure is rethrown
+    // after the folds so it can't be silently swallowed.
+    val gateBox = new java.util.concurrent.atomic.AtomicReference[
+      Either[Throwable, (BayesianModelPairWise, Pipelines.GateCalibration)]]()
+    val gateThread = new Thread(() =>
+      gateBox.set(
+        try Right(Pipelines.trainBayesGate(art.trainLabeled, art.fg,
+          art.model, epochs = epochs, seed = 23L, log = log))
+        catch { case e: Throwable => Left(e) }), "graft-bayes-gate")
+    gateThread.start()
+
     // split-independent ranking loss: 5-fold CV over the full labeled
     // corpus (labels already paid for above; folds only retrain)
     val foldLosses = Pipelines.cvRankingLosses(
@@ -152,6 +167,12 @@ object StableMain {
     log.info(f"5-fold CV ranking loss: mean=$cvMean%.4f sd=$cvSd%.4f " +
       s"over ${art.trainLabeled.size + art.testLabeled.size} labeled queries")
 
+    gateThread.join()
+    val (gateModel, gateCal) = gateBox.get() match {
+      case Right(g) => g
+      case Left(e) => throw e
+    }
+
     // ---- persist the trained artifact (the reference commits
     // saved_models/stats/stable_model/ — weights + feature_generator +
     // input_feature_dim; ModelIO is the Spark-native format) and
@@ -159,7 +180,9 @@ object StableMain {
     // fresh JVM that never trained anything.
     val modelDir = s"$outDir/stable_model"
     ModelIO.save(modelDir, art.model, art.fg)
-    log.info(s"saved model artifact to $modelDir")
+    ModelIO.saveGate(modelDir, gateModel, gateCal)
+    log.info(s"saved model artifact (+ margin gate, threshold=" +
+      f"${gateCal.threshold}%.4f) to $modelDir")
     E2EPhases.run(spark, sfDir, cpus, testQ, modelDir, log)
     log.close()
     spark.stop()
@@ -201,6 +224,13 @@ private[planopt] object E2EPhases {
           testQ: Seq[(String, SparkSession => DataFrame)],
           modelDir: String, log: Pipelines.Logger): Unit = {
     graft.plans.PlanChoice.installFrom(modelDir)
+    log.info(graft.plans.PlanChoice.gate match {
+      case Some((_, thr)) =>
+        f"margin gate ACTIVE (threshold=$thr%.4f): routing deviates from " +
+          "the session-native plan only when predicted gain clears the " +
+          "Bayesian head's uncertainty"
+      case None => "no margin gate in artifact (pre-r18 ungated routing)"
+    })
 
     // ---- run the SAME held-out queries through a session wired with
     // GraftExtensions — the planner's LearnedPlanStrategy picks the
@@ -226,6 +256,7 @@ private[planopt] object E2EPhases {
       var total = 0.0
       var routed = 0
       val bypassBefore = graft.plans.PlanChoice.bypassCount.get()
+      val declBefore = graft.plans.PlanChoice.gateDeclineCount.get()
       testQ.foreach { case (name, build) =>
         graft.plans.PlanChoice.lastChoice.set(None)
         val t0 = System.nanoTime()
@@ -240,10 +271,11 @@ private[planopt] object E2EPhases {
         log.info(f"$label $name: $ms%.1fms ($chosen)")
       }
       val bypassed = graft.plans.PlanChoice.bypassCount.get() - bypassBefore
-      // bypass counts strategy INVOCATIONS (a declined root re-offers
-      // join-bearing fragments), not queries
+      val declined = graft.plans.PlanChoice.gateDeclineCount.get() - declBefore
+      // bypass/decline count strategy INVOCATIONS (a declined root
+      // re-offers join-bearing fragments), not queries
       log.info(s"$label: routed=$routed of ${testQ.size} queries; " +
-        s"bypass invocations=$bypassed")
+        s"bypass invocations=$bypassed; gate declines=$declined")
       total
     }
     // Two passes each: the first pass on a fresh session pays one-time

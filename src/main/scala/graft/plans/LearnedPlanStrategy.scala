@@ -65,6 +65,16 @@ object PlanChoice {
     * last install — observability for the E2E logs and specs. */
   val bypassCount = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Margin-gate kill switch (session conf): with a gate installed and
+    * this not "false", the strategy routes a non-native plan only when
+    * the Bayesian head's z-score clears the calibrated threshold. */
+  val GateEnabledKey = "spark.graft.planChoice.gate.enabled"
+
+  /** Strategy invocations the margin gate DECLINED (fresh sweeps and
+    * cached declines both count) — the complement of `routed` in the
+    * E2E logs. */
+  val gateDeclineCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** What the strategy decided for the last matching query —
     * observability for specs and the E2E logs. On a choice-cache hit
     * `nCandidates` is 1 and `canonical`/`scores` are empty (computing
@@ -78,6 +88,7 @@ object PlanChoice {
                           nOrders: Int = 1)
 
   @volatile private var installed: Option[(LeroModelPairWise, PlanFeatures.FeatureGenerator)] = None
+  @volatile private var gateInstalled: Option[(graft.planopt.BayesianModelPairWise, Double)] = None
   val lastChoice = new AtomicReference[Option[Choice]](None)
 
   /** Remembered (join-order variant, knobs) choice per canonical
@@ -86,8 +97,14 @@ object PlanChoice {
     * |grid| plannings to one for the steady-state (repeated-template)
     * workload. The variant index reconstructs deterministically via
     * [[graft.planopt.JoinOrders.variants]]. Bounded LRU; cleared on
-    * (un)install since choices are model-specific. */
-  final case class Remembered(variantIdx: Int, knobs: Candidates.Knobs)
+    * (un)install since choices are model-specific.
+    *
+    * `knobs` None = the session-native plan (no conf overrides);
+    * `variantIdx` == [[Remembered.Declined]] = the margin gate
+    * declined this query — repeats return Nil immediately and the
+    * built-in strategies plan natively at zero routing cost. */
+  final case class Remembered(variantIdx: Int, knobs: Option[Candidates.Knobs])
+  object Remembered { val Declined: Int = -1 }
   private val MaxChoiceCache = 1024
   private[plans] val choiceCache =
     java.util.Collections.synchronizedMap(
@@ -108,8 +125,21 @@ object PlanChoice {
     * routing matching queries through it immediately. */
   def install(model: LeroModelPairWise, gen: PlanFeatures.FeatureGenerator): Unit = {
     installed = Some((model, gen))
+    gateInstalled = None
     lastChoice.set(None)
     bypassCount.set(0)
+    gateDeclineCount.set(0)
+    choiceCache.clear()
+  }
+
+  /** Install the calibrated Bayesian margin gate (r17 verdict #2): a
+    * routing deviation from the session-native plan fires only when
+    * the gate's z-score (P(native slower) − 0.5)/σ exceeds
+    * `threshold`. Choices are gate-specific, so the cache clears. */
+  def installGate(bm: graft.planopt.BayesianModelPairWise,
+                  threshold: Double): Unit = {
+    gateInstalled = Some((bm, threshold))
+    gateDeclineCount.set(0)
     choiceCache.clear()
   }
 
@@ -117,15 +147,23 @@ object PlanChoice {
     * ([[graft.planopt.ModelIO]] — the deployment path: train once,
     * save, and any later JVM loads the artifact instead of
     * retraining; mirrors the reference's committed
-    * `saved_models/stats/stable_model/`). */
+    * `saved_models/stats/stable_model/`). Loads the margin gate too
+    * when the artifact carries one (`bayes_meta.json`). */
   def installFrom(dir: String): Unit = {
     val (model, gen) = graft.planopt.ModelIO.load(dir)
     install(model, gen)
+    graft.planopt.ModelIO.loadGate(dir).foreach { case (bm, thr) =>
+      installGate(bm, thr)
+    }
   }
 
-  def uninstall(): Unit = { installed = None; choiceCache.clear() }
+  def uninstall(): Unit = {
+    installed = None; gateInstalled = None; choiceCache.clear()
+  }
 
   def current: Option[(LeroModelPairWise, PlanFeatures.FeatureGenerator)] = installed
+
+  def gate: Option[(graft.planopt.BayesianModelPairWise, Double)] = gateInstalled
 }
 
 case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
@@ -186,9 +224,23 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       // steady-state fast path: a repeat query re-plans ONCE under the
       // remembered knobs instead of sweeping the grid (and skips the
       // prepared-plan canonicalization — planning only)
+      val gateOn =
+        session.conf.get(PlanChoice.GateEnabledKey, "true") != "false"
       val remembered = PlanChoice.choiceCache.get(cacheKey)
+      if (remembered != null &&
+          remembered.variantIdx == PlanChoice.Remembered.Declined) {
+        // the margin gate declined this query — native planning,
+        // zero routing cost on repeats. A cached decline is a GATE
+        // decision, so the gate kill-switch bypasses it (fall through
+        // to a fresh, ungated sweep that overwrites the entry).
+        if (gateOn) {
+          PlanChoice.gateDeclineCount.incrementAndGet()
+          return Nil
+        }
+      }
       if (remembered != null && remembered.variantIdx == 0) {
-        return Candidates.withConfs(session, remembered.knobs.physicalConfs) {
+        return Candidates.withConfs(session,
+          remembered.knobs.map(_.physicalConfs).getOrElse(Nil)) {
           // `query` is already optimized (strategies see the optimized
           // plan) and the remembered knobs are physical-planning-time
           // only, so skip the nested QueryExecution's re-analysis +
@@ -199,11 +251,12 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
           val planned = classic.sessionState.planner
             .plan(ReturnAnswer(query)).next()
           PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
-            remembered.knobs.label, 1, "", Nil)))
+            remembered.knobs.map(_.label).getOrElse("session-default"),
+            1, "", Nil)))
           Seq(planned)
         }
       }
-      if (remembered != null) {
+      if (remembered != null && remembered.knobs.isDefined) {
         // remembered JOIN-ORDER variant: reconstruct it by index and
         // re-plan through a nested QueryExecution with the reorder
         // rules pinned off, so the executed plan is the one that was
@@ -212,11 +265,11 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
         val vs = JoinOrders.variants(query)
         if (remembered.variantIdx < vs.size) {
           return Candidates.withConfs(session,
-            remembered.knobs.physicalConfs ++ JoinOrders.pinOrderConfs) {
+            remembered.knobs.get.physicalConfs ++ JoinOrders.pinOrderConfs) {
             val qe = new QueryExecution(classic, vs(remembered.variantIdx),
               new QueryPlanningTracker, CommandExecutionMode.SKIP)
             PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
-              remembered.knobs.label, 1, "", Nil)))
+              remembered.knobs.get.label, 1, "", Nil)))
             Seq(qe.sparkPlan)
           }
         }
@@ -240,7 +293,20 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       // the broadcast-threshold axis only, keeping the total planning
       // cost bounded.
       val variantPlans = JoinOrders.variants(query)
-      val seen = scala.collection.mutable.LinkedHashMap[String, (SparkPlan, PlanFeatures.PlanNode, Candidates.Knobs, Int)]()
+      val seen = scala.collection.mutable.LinkedHashMap[String, (SparkPlan, PlanFeatures.PlanNode, Option[Candidates.Knobs], Int)]()
+      // SESSION-NATIVE plan FIRST (knobs = None): the plan the session
+      // would run without this strategy — the margin gate's baseline
+      // and its no-lose fallback. Under stock confs it dedupes into
+      // the grid's default point; under a defensive deployment (e.g.
+      // autoBroadcastJoinThreshold=-1) it is the plan that conf
+      // produces, NOT the stock-knob plan — so a gate decline always
+      // means "what the user configured", never "Spark's defaults".
+      locally {
+        val qe = new QueryExecution(classic, query,
+          new QueryPlanningTracker, CommandExecutionMode.SKIP)
+        seen(Candidates.canonicalKey(qe.executedPlan)) = (qe.sparkPlan,
+          PlanFeatures.fromSparkPlan(qe.executedPlan), None, 0)
+      }
       variantPlans.zipWithIndex.foreach { case (vq, vIdx) =>
         val grid =
           if (vIdx == 0) Candidates.knobGrid.filter(_.joinReorder)
@@ -254,7 +320,7 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
             val canonical = Candidates.canonicalKey(qe.executedPlan)
             if (!seen.contains(canonical)) {
               seen(canonical) = (qe.sparkPlan,
-                PlanFeatures.fromSparkPlan(qe.executedPlan), knobs, vIdx)
+                PlanFeatures.fromSparkPlan(qe.executedPlan), Some(knobs), vIdx)
             }
           }
         }
@@ -264,12 +330,37 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
       else {
         val scores = model.predict(cands.map(c => gen.transform(c._2)))
         val bestIdx = scores.indices.minBy(scores)
-        val (bestPlan, _, knobs, vIdx) = cands(bestIdx)
-        PlanChoice.choiceCache.put(cacheKey, PlanChoice.Remembered(vIdx, knobs))
-        PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
-          knobs.label, cands.size, seen.keys.toSeq(bestIdx), scores.toSeq,
-          nOrders = cands.map(_._4).distinct.size)))
-        Seq(bestPlan)
+        val (bestPlan, bestNode, knobsOpt, vIdx) = cands(bestIdx)
+        // MARGIN GATE (r17 verdict #2): with a calibrated gate
+        // installed, deviate from the session-native plan only when
+        // the Bayesian head's predicted gain clears its own
+        // uncertainty — z = (P(native slower) − 0.5)/σ > threshold.
+        // Otherwise DECLINE: cache the decision and return Nil so the
+        // built-in strategies plan natively (repeats cost one cache
+        // lookup). A best pick that IS the native plan declines too —
+        // routing to it would only re-plan what the session already
+        // produces.
+        val declined = gateOn && PlanChoice.gate.exists { case (bm, thr) =>
+          bestIdx == 0 || {
+            val (p, v) = bm.predictPair(
+              gen.transform(cands.head._2), gen.transform(bestNode))
+            val z = (p - 0.5) / math.sqrt(math.max(v, 1e-12))
+            z <= thr
+          }
+        }
+        if (declined) {
+          PlanChoice.choiceCache.put(cacheKey,
+            PlanChoice.Remembered(PlanChoice.Remembered.Declined, None))
+          PlanChoice.gateDeclineCount.incrementAndGet()
+          Nil
+        } else {
+          PlanChoice.choiceCache.put(cacheKey, PlanChoice.Remembered(vIdx, knobsOpt))
+          PlanChoice.lastChoice.set(Some(PlanChoice.Choice(
+            knobsOpt.map(_.label).getOrElse("session-default"),
+            cands.size, seen.keys.toSeq(bestIdx), scores.toSeq,
+            nOrders = cands.map(_._4).distinct.size)))
+          Seq(bestPlan)
+        }
       }
     } finally PlanChoice.replanning.set(false)
   }

