@@ -96,13 +96,29 @@ object DynamicMain {
     val labeled = labeledBoth.map(_._1)
     // Per-batch SAME-PASS noise floor: a batch ranking loss above its
     // floor is a model statement, at-or-under is measurement noise.
+    // The resolution-qualified twin (r18: measured ties within
+    // Ranking.TieSnapEps snapped to equality) rides alongside — the
+    // floor on RESOLVABLE order.
+    val snappedBoth = labeledBoth.map { case (l1, l2) =>
+      Pipelines.snapResolution(l1, l2)
+    }
     val floors = labeledBoth.zipWithIndex.map { case ((l1, l2), i) =>
       val floor = graft.planopt.Ranking.rankingLoss(
         l2.map(_.latenciesMs), l1.map(_.latenciesMs))
+      val (s1, s2) = snappedBoth(i)
+      val snapFloor = graft.planopt.Ranking.rankingLoss(
+        s2.map(_.latenciesMs), s1.map(_.latenciesMs))
       log.info(f"batch $i noise floor (same-pass interleaved " +
         f"run1-vs-run2): ${floor.getOrElse(Double.NaN)}%.4f " +
-        s"over ${l1.size} queries")
+        s"over ${l1.size} queries (resolution-qualified " +
+        f"eps=${graft.planopt.Ranking.TieSnapEps}: " +
+        f"${snapFloor.getOrElse(Double.NaN)}%.4f)")
       floor.getOrElse(Double.NaN)
+    }
+    val snapFloors = snappedBoth.map { case (s1, s2) =>
+      graft.planopt.Ranking.rankingLoss(
+        s2.map(_.latenciesMs), s1.map(_.latenciesMs))
+        .getOrElse(Double.NaN)
     }
 
     // bootstrap = the reference's model_0 entry (dynamic.py:28-38):
@@ -110,13 +126,14 @@ object DynamicMain {
     // one entry PER BATCH like lero_dynamic_latency_list. Both
     // protocol variants share the labels paid above.
     val modes = Seq(
-      "scratch" -> Pipelines.deploymentLoopResults(labeled, epochs,
+      "scratch" -> Pipelines.deploymentLoopResultsFull(labeled, epochs,
         seed = 17L, log = log, bootstrap = true),
-      "accum" -> Pipelines.deploymentLoopResults(labeled, epochs,
+      "accum" -> Pipelines.deploymentLoopResultsFull(labeled, epochs,
         seed = 17L, log = log, bootstrap = true, accumulate = true))
 
-    modes.foreach { case (mode, results) =>
-      results.zipWithIndex.foreach { case (r, i) =>
+    modes.foreach { case (mode, full) =>
+      val results = full.map(_._1)
+      full.zipWithIndex.foreach { case ((r, fg, model), i) =>
         // result index i evaluates on batch i (bootstrap evals batch 0)
         val floor = floors.lift(i).getOrElse(Double.NaN)
         val loss = r.rankingLoss.getOrElse(Double.NaN)
@@ -124,9 +141,19 @@ object DynamicMain {
           if (loss.isNaN || floor.isNaN) "n/a"
           else if (loss <= floor) "at-or-under floor (noise)"
           else "ABOVE floor (model statement)"
+        // resolution-qualified twin: the SAME trained model re-scored
+        // against the batch's tie-snapped labels, judged against the
+        // tie-snapped floor — resolvable order only
+        val sLoss = Pipelines.evaluate(fg, model, snappedBoth(i)._1)
+          .rankingLoss.getOrElse(Double.NaN)
+        val sFloor = snapFloors.lift(i).getOrElse(Double.NaN)
+        val sVerdict =
+          if (sLoss.isNaN || sFloor.isNaN) "n/a"
+          else if (sLoss <= sFloor) "at-or-under" else "ABOVE"
         log.info(f"[$mode] batch eval $i: loss=$loss%.4f floor=$floor%.4f " +
           f"[$verdict] selected=${r.selectedTotalSec}%.3fs " +
-          f"default=${r.defaultTotalSec}%.3fs")
+          f"default=${r.defaultTotalSec}%.3fs " +
+          f"(resolution-qualified: loss=$sLoss%.4f floor=$sFloor%.4f [$sVerdict])")
       }
       val latencyList = results.map(r => f"${r.selectedTotalSec}%.6f")
         .mkString("[", ", ", "]")
@@ -143,7 +170,11 @@ object DynamicMain {
                // Spearman) must serialize as JSON null — a bare NaN
                // token makes the whole artifact unparseable
                if (f.isNaN) "null" else f"$f%.6f")
-             .mkString("[", ", ", "]")}}
+             .mkString("[", ", ", "]")},
+           | "batch_noise_floors_snapped": ${snapFloors.map(f =>
+               if (f.isNaN) "null" else f"$f%.6f")
+             .mkString("[", ", ", "]")},
+           | "tie_snap_eps": ${graft.planopt.Ranking.TieSnapEps}}
            |""".stripMargin)
       log.info(f"[$mode] totals: selected=${results.map(_.selectedTotalSec).sum}%.3fs " +
         f"default=${results.map(_.defaultTotalSec).sum}%.3fs " +

@@ -53,6 +53,14 @@ object FloorProbeMain {
       f"${floor.getOrElse(Double.NaN)}%.4f (cross-phase relabel drift " +
       "on the full split measured 0.2397 in results/r17_stable_1000 — " +
       "the delta is JVM-phase drift, not label noise)")
+    val (s1, s2) = Pipelines.snapResolution(l1, l2)
+    val snapFloor = Ranking.rankingLoss(
+      s2.map(_.latenciesMs), s1.map(_.latenciesMs))
+    log.info(f"resolution-qualified floor (measured ties within " +
+      f"eps=${Ranking.TieSnapEps} snapped to equality): " +
+      f"${snapFloor.getOrElse(Double.NaN)}%.4f — the floor on " +
+      "RESOLVABLE order; the raw number above additionally counts " +
+      "tie-order flips no sf0.1 sample count resolves")
     log.close()
     spark.stop()
   }

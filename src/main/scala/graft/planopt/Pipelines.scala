@@ -269,6 +269,25 @@ object Pipelines {
     (fg, model)
   }
 
+  /** [[Ranking.snapResolutionTies]] over positionally-paired dual
+    * label sets (same queries, same candidate lists): returns both
+    * sets with sub-resolution ties snapped to equality per query. The
+    * SELECTED/DEFAULT latency totals must always be computed from the
+    * RAW labels — snapping is an ordering-resolution statement, not a
+    * latency correction. */
+  def snapResolution(l1: Seq[LabeledQuery], l2: Seq[LabeledQuery],
+                     eps: Double = Ranking.TieSnapEps)
+      : (Seq[LabeledQuery], Seq[LabeledQuery]) = {
+    require(l1.length == l2.length)
+    val snapped = l1.zip(l2).map { case (a, b) =>
+      require(a.qid == b.qid && a.latenciesMs.length == b.latenciesMs.length,
+        s"dual label sets misaligned at ${a.qid}/${b.qid}")
+      val (s1, s2) = Ranking.snapResolutionTies(a.latenciesMs, b.latenciesMs, eps)
+      (a.copy(latenciesMs = s1), b.copy(latenciesMs = s2))
+    }
+    (snapped.map(_._1), snapped.map(_._2))
+  }
+
   // ---- Bayesian margin gate (r17 verdict #2: the stock-conf E2E arm
   // paid a ~10.8% routing tax because the chooser deviates from the
   // session-native plan even when its predicted gain is inside its own
@@ -501,13 +520,26 @@ object Pipelines {
                             epochs: Int = 100, seed: Long = 17L,
                             log: Logger = new Logger(None),
                             bootstrap: Boolean = false,
-                            accumulate: Boolean = false): Seq[EvalResult] = {
+                            accumulate: Boolean = false): Seq[EvalResult] =
+    deploymentLoopResultsFull(batches, epochs, seed, log, bootstrap,
+      accumulate).map(_._1)
+
+  /** [[deploymentLoopResults]] additionally returning each batch's
+    * trained artifacts, so a driver can re-score the batch under a
+    * different evaluation metric (the r18 resolution-qualified loss)
+    * without retraining. */
+  def deploymentLoopResultsFull(batches: Seq[Seq[LabeledQuery]],
+                                epochs: Int = 100, seed: Long = 17L,
+                                log: Logger = new Logger(None),
+                                bootstrap: Boolean = false,
+                                accumulate: Boolean = false)
+      : Seq[(EvalResult, FeatureGenerator, LeroModelPairWise)] = {
     val boot = if (bootstrap && batches.nonEmpty && batches.head.nonEmpty) {
       val (fg0, model0) = train(batches.head.take(1), epochs, seed)
       val res0 = evaluate(fg0, model0, batches.head)
       log.info(f"bootstrap model_0 (1-query train) eval on batch 0: " +
         f"loss=${res0.rankingLoss} sum=${res0.selectedTotalSec}%.3fs")
-      Seq(res0)
+      Seq((res0, fg0, model0))
     } else Nil
     boot ++ batches.indices.drop(1).map { i =>
       val trainSet =
@@ -517,7 +549,7 @@ object Pipelines {
       log.info(f"batch eval (train=${trainSet.size} queries" +
         (if (accumulate) s", batches 0..${i - 1} accumulated" else "") +
         f"): loss=${res.rankingLoss} sum=${res.selectedTotalSec}%.3fs")
-      res
+      (res, fg, model)
     }
   }
 }

@@ -64,6 +64,59 @@ object Ranking {
     else cov / math.sqrt(va * vb)
   }
 
+  /** Measurement resolution of the sf0.1 labeling protocol, as a
+    * relative latency gap (r18). Measured basis: per-execution
+    * wall-clock jitter on the 100–700 ms candidate plans is 2–5%
+    * (r18 floorprobe flip histogram: the adaptive min-of-4 escalation
+    * eliminated every flipped pair with gap > 20% and nearly all in
+    * 10–20%, while flips under 4% were UNCHANGED — they are genuine
+    * measured ties no sf0.1 sample count resolves). Pairs inside this
+    * band are labeled EQUAL by [[snapResolutionTies]]; the reference
+    * makes the same concession in training, down-weighting pairs with
+    * |y1−y2| < 0.1 to α = 0.2 (`model.py:415,449`). */
+  val TieSnapEps = 0.03
+
+  /** Snap measured ties to equality across TWO label vectors of the
+    * same candidate list (r18): tie groups are the transitive closure
+    * of pairs whose best-estimate latencies (per-candidate min over
+    * both vectors) differ by ≤ eps relative gap; each group's members
+    * are set to the group mean WITHIN each vector. Ordering inside a
+    * snapped group is below the protocol's measurement resolution —
+    * after snapping, the tie-averaged Spearman treats either order
+    * identically, so floors and losses measure only RESOLVABLE order.
+    * Raw (unsnapped) numbers stay reported alongside; the snap is an
+    * evaluation-resolution statement, never a training transform. */
+  def snapResolutionTies(v1: Seq[Double], v2: Seq[Double],
+                         eps: Double = TieSnapEps): (Seq[Double], Seq[Double]) = {
+    require(v1.length == v2.length)
+    val n = v1.length
+    val best = v1.indices.map(i => math.min(v1(i), v2(i)))
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val gap = math.abs(best(i) - best(j)) /
+        math.max(math.max(best(i), best(j)), 1e-9)
+      if (gap <= eps) parent(find(i)) = find(j)
+    }
+    val groups = (0 until n).groupBy(find)
+    val o1 = v1.toArray
+    val o2 = v2.toArray
+    groups.values.foreach { g =>
+      if (g.length > 1) {
+        val a1 = g.map(v1).sum / g.length
+        val a2 = g.map(v2).sum / g.length
+        g.foreach { i => o1(i) = a1; o2(i) = a2 }
+      }
+    }
+    (o1.toSeq, o2.toSeq)
+  }
+
   /** `compute_ranking_loss` (`lero_test.py:115-155`): 1 − mean
     * Spearman ρ between predicted and true latency orders per query;
     * NaN queries (constant inputs) are skipped; None when nothing

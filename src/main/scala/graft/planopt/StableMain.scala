@@ -109,6 +109,27 @@ object StableMain {
       s"over ${art.testLabeled.size} queries; model ranking_loss above " +
       "is judged RELATIVE to this floor")
 
+    // RESOLUTION-QUALIFIED metric (r18): the raw Spearman floor
+    // penalizes ordering of pairs that are measured TIES at the
+    // protocol's resolution (the r18 floorprobe showed adaptive
+    // escalation eliminated every >20%-gap flip while sub-4% flips —
+    // genuine ties — were unchanged). Snap sub-resolution ties
+    // (Ranking.TieSnapEps, protocol constant) and report BOTH the
+    // floor and the model loss on the snapped labels: these measure
+    // RESOLVABLE order only, and the model is judged on the same
+    // metric as its floor. Raw numbers above stay the
+    // round-over-round comparable series.
+    val (testSnap, floorSnap) = Pipelines.snapResolution(
+      art.testLabeled, art.testFloorLabels)
+    val snapFloor = Ranking.rankingLoss(
+      floorSnap.map(_.latenciesMs), testSnap.map(_.latenciesMs))
+    val snapLoss = Pipelines.evaluate(art.fg, art.model, testSnap).rankingLoss
+    log.info(f"resolution-qualified (eps=${Ranking.TieSnapEps}) metrics: " +
+      f"model loss ${snapLoss.getOrElse(Double.NaN)}%.4f vs same-pass " +
+      f"floor ${snapFloor.getOrElse(Double.NaN)}%.4f " +
+      f"(resolvable gap ${snapLoss.getOrElse(Double.NaN) - snapFloor.getOrElse(Double.NaN)}%.4f; " +
+      "raw-metric numbers above are the cross-round series)")
+
     // CROSS-PHASE drift diagnostic (the pre-r17 floor protocol, kept
     // because its r17 failure mode is instructive): relabel the test
     // split AFTER training and score run-1 labels against it. This
@@ -118,28 +139,37 @@ object StableMain {
     // labels' own tie structure predicts ~0.05 — so it is NOT the
     // bound model quality is judged against; it documents how much
     // the deployment-time latency ORDERING drifts across JVM phases.
-    val relabeled = Pipelines.labelWorkload(spark, testQ,
-      new Pipelines.Logger(None)) // second pass: no per-query log spam
-    val byQid = relabeled.map(r => r.qid -> r.latenciesMs).toMap
-    // Positional pairing: drop (and log) any qid whose re-enumeration
-    // yielded a different candidate count — a diagnostic must never
-    // kill the run (r9 advice).
-    val floorPairs = art.testLabeled.filter { q =>
-      byQid.get(q.qid) match {
-        case Some(l2) if l2.length == q.latenciesMs.length => true
-        case Some(l2) =>
-          log.info(s"noise-floor: dropping qid=${q.qid} — relabel " +
-            s"yielded ${l2.length} candidates vs ${q.latenciesMs.length} " +
-            "on the first pass (positional pairing impossible)")
-          false
-        case None => false
+    // SPARK_GRAFT_SKIP_DRIFT_DIAG=1 skips it (a ~17-minute timed pass
+    // whose r17 measurement stands; the SAME-PASS floor above is the
+    // one the model is judged against and is never skippable).
+    if (sys.env.get("SPARK_GRAFT_SKIP_DRIFT_DIAG").exists(_ == "1")) {
+      log.info("cross-phase relabel drift diagnostic SKIPPED " +
+        "(SPARK_GRAFT_SKIP_DRIFT_DIAG=1; r17 measured it at 0.2397 — " +
+        "JVM-phase drift, not label noise)")
+    } else {
+      val relabeled = Pipelines.labelWorkload(spark, testQ,
+        new Pipelines.Logger(None)) // second pass: no per-query log spam
+      val byQid = relabeled.map(r => r.qid -> r.latenciesMs).toMap
+      // Positional pairing: drop (and log) any qid whose re-enumeration
+      // yielded a different candidate count — a diagnostic must never
+      // kill the run (r9 advice).
+      val floorPairs = art.testLabeled.filter { q =>
+        byQid.get(q.qid) match {
+          case Some(l2) if l2.length == q.latenciesMs.length => true
+          case Some(l2) =>
+            log.info(s"noise-floor: dropping qid=${q.qid} — relabel " +
+              s"yielded ${l2.length} candidates vs ${q.latenciesMs.length} " +
+              "on the first pass (positional pairing impossible)")
+            false
+          case None => false
+        }
       }
+      val floor = Ranking.rankingLoss(
+        floorPairs.map(q => byQid(q.qid)), floorPairs.map(_.latenciesMs))
+      log.info(f"cross-phase relabel drift (post-training re-label vs " +
+        f"run-1 labels; NOT the model's floor): " +
+        f"${floor.getOrElse(Double.NaN)}%.4f over ${floorPairs.size} queries")
     }
-    val floor = Ranking.rankingLoss(
-      floorPairs.map(q => byQid(q.qid)), floorPairs.map(_.latenciesMs))
-    log.info(f"cross-phase relabel drift (post-training re-label vs " +
-      f"run-1 labels; NOT the model's floor): " +
-      f"${floor.getOrElse(Double.NaN)}%.4f over ${floorPairs.size} queries")
 
     // Bayesian margin gate (r17 verdict #2): trained on the SAME train
     // labels and calibrated against the main model's own routing

@@ -47,6 +47,29 @@ class MarginGateSpec extends AnyFunSuite {
     assert(t3 >= 0.0 && net3 == 0.0)
   }
 
+  test("snapResolutionTies merges sub-resolution groups, keeps resolved order") {
+    // (100, 102) within 3% -> tie group; 150 stays apart; transitive
+    // closure chains 100-102-104 into one group
+    val (a, b) = Ranking.snapResolutionTies(
+      Seq(100.0, 102.0, 150.0), Seq(101.0, 99.0, 160.0), eps = 0.03)
+    assert(a(0) == a(1) && b(0) == b(1), "tie group not snapped")
+    assert(a(2) == 150.0 && b(2) == 160.0, "resolved candidate touched")
+    // snapped group value is the per-vector mean
+    assert(a(0) == 101.0 && b(0) == 100.0)
+    val (c, d) = Ranking.snapResolutionTies(
+      Seq(100.0, 102.0, 104.0), Seq(100.0, 102.0, 104.0), eps = 0.03)
+    assert(c.distinct.size == 1 && d.distinct.size == 1,
+      "transitive closure not applied")
+    // a snapped tie removes the flip penalty from the floor metric
+    val rawFloor = Ranking.rankingLoss(
+      Seq(Seq(100.0, 102.0)), Seq(Seq(101.0, 99.0))).get
+    val (s1, s2) = Ranking.snapResolutionTies(Seq(100.0, 102.0), Seq(101.0, 99.0))
+    val snapFloor = Ranking.rankingLoss(Seq(s2), Seq(s1))
+    assert(rawFloor == 2.0, "a flipped 2-candidate query costs full loss")
+    assert(snapFloor.isEmpty || snapFloor.get == 0.0,
+      "snapped tie still penalized")
+  }
+
   // ---- gate persistence ----
 
   test("ModelIO gate roundtrip is bit-exact and optional") {
