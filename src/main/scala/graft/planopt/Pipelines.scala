@@ -305,15 +305,23 @@ object Pipelines {
   /** Pick the gate threshold maximizing the REALIZED net routing gain
     * on the train split: pairs is (z, gainMs) per query where the main
     * comparator proposes a non-default plan; threshold t routes
-    * exactly the pairs with z > t. Ties prefer the LARGER t (route
-    * less — the no-lose direction); t is clamped ≥ 0 so the gate never
-    * routes on a sub-coin-flip prediction. Pure; unit-tested. */
-  private[graft] def calibrateThreshold(pairs: Seq[(Double, Double)])
+    * exactly the pairs with z > t. `overheadMs` is charged per routed
+    * query — the engine-side cost of routing itself (replan under the
+    * remembered choice on every repeat; the r18 E2E(A) measured it at
+    * ~40 ms/routed query at sf0.1) — so a pick whose predicted gain
+    * does not clear BOTH the model's uncertainty and the routing cost
+    * declines; without it the r17/r18 stock-conf arm routed hundreds
+    * of ~20 ms-gain queries and paid ~40 ms each (the "routing tax").
+    * Ties prefer the LARGER t (route less — the no-lose direction);
+    * t is clamped ≥ 0 so the gate never routes on a sub-coin-flip
+    * prediction. Pure; unit-tested. */
+  private[graft] def calibrateThreshold(pairs: Seq[(Double, Double)],
+                                        overheadMs: Double = 0.0)
       : (Double, Double) = {
     if (pairs.isEmpty) return (0.0, 0.0)
     val cands = (0.0 +: pairs.map(_._1).filter(_ > 0)).distinct
     cands.map { t =>
-      (t, pairs.collect { case (z, g) if z > t => g }.sum)
+      (t, pairs.collect { case (z, g) if z > t => g - overheadMs }.sum)
     }.maxBy { case (t, net) => (net, t) }
   }
 
@@ -328,16 +336,25 @@ object Pipelines {
     * routes only when z clears the threshold, otherwise it declines
     * and the session plans natively — the no-lose guarantee at stock
     * conf that the r17 E2E(A) arm lacked. */
-  def trainBayesGate(labeled: Seq[LabeledQuery], fg: FeatureGenerator,
-                     mainModel: LeroModelPairWise, epochs: Int = 60,
-                     seed: Long = 23L, log: Logger = new Logger(None))
-      : (BayesianModelPairWise, GateCalibration) = {
-    val trainable = labeled.filter(_.plans.length >= 2)
-    require(trainable.nonEmpty, "no query has >=2 candidates")
-    val (x1, x2, y1, y2) = trainingTensors(trainable, fg)
-    val bm = new BayesianModelPairWise(fg.featureDim, seed)
-    bm.fit(x1, x2, y1, y2, epochs = epochs)
-    val pairs = trainable.flatMap { q =>
+  /** Per-routed-query overhead charged during gate calibration
+    * (SPARK_GRAFT_GATE_OVERHEAD_MS / -Dgraft.gate.overheadMs). The
+    * r18 E2E(A) measured ~40 ms of replanning per routed repeat at
+    * sf0.1; at production input sizes the same 40 ms is noise against
+    * seconds-scale queries, so the constant is a per-deployment knob,
+    * not a universal truth. */
+  def GateOverheadMs: Double =
+    sys.props.get("graft.gate.overheadMs")
+      .orElse(sys.env.get("SPARK_GRAFT_GATE_OVERHEAD_MS"))
+      .flatMap(_.trim.toDoubleOption).filter(_ >= 0).getOrElse(0.0)
+
+  /** The (z, gainMs) calibration pairs for the gate: for each labeled
+    * query where `mainModel`'s argmin is NOT the default plan, the
+    * Bayesian z-score of (default, proposed) and the realized label
+    * gain of routing. */
+  def gatePairs(labeled: Seq[LabeledQuery], fg: FeatureGenerator,
+                mainModel: LeroModelPairWise, bm: BayesianModelPairWise)
+      : Seq[(Double, Double)] =
+    labeled.filter(_.plans.length >= 2).flatMap { q =>
       val trees = q.plans.map(fg.transform)
       val scores = mainModel.predict(trees)
       val best = scores.indices.minBy(scores)
@@ -348,11 +365,24 @@ object Pipelines {
         Some((z, q.latenciesMs(0) - q.latenciesMs(best)))
       }
     }
-    val (thr, net) = calibrateThreshold(pairs)
+
+  def trainBayesGate(labeled: Seq[LabeledQuery], fg: FeatureGenerator,
+                     mainModel: LeroModelPairWise, epochs: Int = 60,
+                     seed: Long = 23L, log: Logger = new Logger(None))
+      : (BayesianModelPairWise, GateCalibration) = {
+    val trainable = labeled.filter(_.plans.length >= 2)
+    require(trainable.nonEmpty, "no query has >=2 candidates")
+    val (x1, x2, y1, y2) = trainingTensors(trainable, fg)
+    val bm = new BayesianModelPairWise(fg.featureDim, seed)
+    bm.fit(x1, x2, y1, y2, epochs = epochs)
+    val pairs = gatePairs(trainable, fg, mainModel, bm)
+    val overhead = GateOverheadMs
+    val (thr, net) = calibrateThreshold(pairs, overhead)
     val cal = GateCalibration(thr, pairs.size,
       pairs.count(_._1 > thr), net, pairs.map(_._2).sum)
     log.info(f"bayes gate calibration: threshold=${cal.threshold}%.4f " +
-      f"routes ${cal.nRouted}/${cal.nPairs} proposed deviations on train " +
+      f"(overhead charge ${overhead}%.1fms/routed) routes " +
+      f"${cal.nRouted}/${cal.nPairs} proposed deviations on train " +
       f"(net gain ${cal.netGainMs}%.1fms gated vs ${cal.gainAllMs}%.1fms ungated)")
     (bm, cal)
   }
