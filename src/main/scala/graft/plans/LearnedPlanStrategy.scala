@@ -105,7 +105,15 @@ object PlanChoice {
     * built-in strategies plan natively at zero routing cost. */
   final case class Remembered(variantIdx: Int, knobs: Option[Candidates.Knobs])
   object Remembered { val Declined: Int = -1 }
-  private val MaxChoiceCache = 1024
+  // Sized for DECLINE entries too (r18): a gate-declined ROOT returns
+  // Nil, so the planner re-offers its join-bearing fragments and each
+  // caches its own Declined entry — a 300-query workload with ~150
+  // declines floods well past the old 1024 LRU bound, evicting the
+  // ROUTED entries and forcing a full re-sweep of every routed query
+  // on every repeat (measured: the r18 E2E replay's injected arm ran
+  // 2x default purely from this thrash). Entries are a small case
+  // class keyed by canonical plan strings; 16k of them is a few MB.
+  private val MaxChoiceCache = 16384
   private[plans] val choiceCache =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, Remembered](64, 0.75f, true) {
