@@ -42,7 +42,7 @@ object GateRecalMain {
 
     val modelDir = s"$artDir/stable_model"
     val (model, fg) = ModelIO.load(modelDir)
-    val (bm, oldThr) = ModelIO.loadGate(modelDir)
+    val (bm, oldThr, oldGapThr) = ModelIO.loadGate(modelDir)
       .getOrElse(sys.error(s"no gate artifact in $modelDir"))
 
     val (trainQ, _) = StableMain.assembleWorkload(sfDir,
@@ -55,16 +55,20 @@ object GateRecalMain {
       s"adaptive_max=${Pipelines.LabelAdaptiveMax})")
     val labeled = Pipelines.labelWorkload(spark, calib, log)
     val pairs = Pipelines.gatePairs(labeled, fg, model, bm)
-    val (thr, net) = Pipelines.calibrateThreshold(pairs, overheadMs)
+    val (thr, gapThr, net) = Pipelines.calibrateThreshold2(pairs, overheadMs)
     val cal = Pipelines.GateCalibration(thr, pairs.size,
-      pairs.count(_._1 > thr), net, pairs.map(_._2).sum)
-    // evidence either way: what the OLD threshold would net under the
+      pairs.count(t => t._1 > thr && t._2 > gapThr), net,
+      pairs.map(_._3).sum, gapThr)
+    // evidence either way: what the OLD thresholds would net under the
     // same overhead charge, on the same fresh pairs
-    val oldNet = pairs.collect { case (z, g) if z > oldThr => g - overheadMs }.sum
-    log.info(f"recalibrated: threshold=${cal.threshold}%.4f routes " +
+    val oldNet = pairs.collect {
+      case (z, g, gain) if z > oldThr && g > oldGapThr => gain - overheadMs
+    }.sum
+    log.info(f"recalibrated: z threshold=${cal.threshold}%.4f, score-gap " +
+      f"threshold=${cal.scoreGapThreshold}%.5f routes " +
       f"${cal.nRouted}/${cal.nPairs} proposed deviations " +
       f"(overhead-charged net ${cal.netGainMs}%.1fms vs " +
-      f"${oldNet}%.1fms at the old threshold $oldThr%.4f; " +
+      f"${oldNet}%.1fms at the old thresholds ($oldThr%.4f, $oldGapThr%.5f); " +
       f"ungated label gain ${cal.gainAllMs}%.1fms)")
     ModelIO.saveGate(modelDir, bm, cal)
     log.info(s"rewrote $modelDir/bayes_meta.json; replay E2E with " +

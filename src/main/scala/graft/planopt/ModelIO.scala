@@ -79,6 +79,7 @@ object ModelIO {
     root.put("format_version", FormatVersion)
     root.put("input_feature_dim", bm.featureDim)
     root.put("threshold", cal.threshold)
+    root.put("score_gap_threshold", cal.scoreGapThreshold)
     root.put("calibration_pairs", cal.nPairs)
     root.put("calibration_routed", cal.nRouted)
     root.put("calibration_net_gain_ms", cal.netGainMs)
@@ -98,8 +99,10 @@ object ModelIO {
 
   /** Load the margin gate if the artifact carries one; None for
     * pre-gate artifacts (the strategy then routes ungated, the pre-r18
-    * behavior). */
-  def loadGate(dir: String): Option[(BayesianModelPairWise, Double)] = {
+    * behavior). Returns (model, zThreshold, scoreGapThreshold); a
+    * z-only artifact (no gap field) loads with gap threshold 0 —
+    * every proposed gap clears it, the one-axis behavior. */
+  def loadGate(dir: String): Option[(BayesianModelPairWise, Double, Double)] = {
     val meta = Paths.get(dir, GateMetaFile)
     val weights = Paths.get(dir, GateWeightsFile)
     if (!Files.exists(meta) || !Files.exists(weights)) return None
@@ -110,6 +113,8 @@ object ModelIO {
       s"unsupported gate format version $version (expected $FormatVersion)")
     val dim = root.get("input_feature_dim").asInt()
     val thr = root.get("threshold").asDouble()
+    val gapThr = Option(root.get("score_gap_threshold"))
+      .map(_.asDouble()).getOrElse(0.0)
     val bm = new BayesianModelPairWise(dim)
     val in = new DataInputStream(new BufferedInputStream(
       new FileInputStream(weights.toFile)))
@@ -124,7 +129,7 @@ object ModelIO {
       }
       require(in.read() == -1, s"trailing bytes in $GateWeightsFile")
     } finally in.close()
-    Some((bm, thr))
+    Some((bm, thr, gapThr))
   }
 
   def load(dir: String): (LeroModelPairWise, FeatureGenerator) = {

@@ -296,11 +296,20 @@ object Pipelines {
   /** Calibration record for the route/decline gate. `threshold` is on
     * the z-score (P(native slower) − 0.5)/σ from the Bayesian head
     * (M15, `model.py:400-412` — the reference's uncertainty output,
-    * dead code there, live here); the rest is the train-split evidence
-    * the threshold was chosen on. */
+    * dead code there, live here); `scoreGapThreshold` is on the main
+    * comparator's score delta score(native) − score(best) — its
+    * predicted GAIN MAGNITUDE in normalized-label units. Both must
+    * clear for a route: z alone transfers badly across deployment
+    * confs (r18 measured: an overhead-charged z-only threshold that
+    * fixed the stock-conf tax also declined half the defensive-conf
+    * broadcast wins, whose gains are 15× larger but whose z is
+    * moderate); the gain axis is conf-invariant because the score
+    * units are the model's own. The rest is the train-split evidence
+    * the thresholds were chosen on. */
   final case class GateCalibration(threshold: Double, nPairs: Int,
                                    nRouted: Int, netGainMs: Double,
-                                   gainAllMs: Double)
+                                   gainAllMs: Double,
+                                   scoreGapThreshold: Double = 0.0)
 
   /** Pick the gate threshold maximizing the REALIZED net routing gain
     * on the train split: pairs is (z, gainMs) per query where the main
@@ -325,6 +334,28 @@ object Pipelines {
     }.maxBy { case (t, net) => (net, t) }
   }
 
+  /** Two-axis gate calibration over (z, scoreGap, gainMs) triples:
+    * jointly pick the (zThr, gapThr) maximizing the overhead-charged
+    * net gain of routing exactly the pairs clearing BOTH. Candidate
+    * thresholds are 0 plus the observed values on each axis; ties
+    * prefer the more conservative (larger) pair. The gap axis is what
+    * transfers across deployment confs — see [[GateCalibration]].
+    * Pure; unit-tested. */
+  private[graft] def calibrateThreshold2(
+      triples: Seq[(Double, Double, Double)], overheadMs: Double = 0.0)
+      : (Double, Double, Double) = {
+    if (triples.isEmpty) return (0.0, 0.0, 0.0)
+    val zCands = (0.0 +: triples.map(_._1).filter(_ > 0)).distinct
+    val gCands = (0.0 +: triples.map(_._2).filter(_ > 0)).distinct
+    val best = (for (zt <- zCands; gt <- gCands) yield {
+      val net = triples.collect {
+        case (z, g, gain) if z > zt && g > gt => gain - overheadMs
+      }.sum
+      (zt, gt, net)
+    }).maxBy { case (zt, gt, net) => (net, zt + gt) }
+    best
+  }
+
   /** Train the uncertainty-aware pairwise comparator (M15) on the same
     * labeled corpus as the main model and calibrate the margin gate's
     * threshold against the main model's own routing proposals: for
@@ -347,13 +378,14 @@ object Pipelines {
       .orElse(sys.env.get("SPARK_GRAFT_GATE_OVERHEAD_MS"))
       .flatMap(_.trim.toDoubleOption).filter(_ >= 0).getOrElse(0.0)
 
-  /** The (z, gainMs) calibration pairs for the gate: for each labeled
-    * query where `mainModel`'s argmin is NOT the default plan, the
-    * Bayesian z-score of (default, proposed) and the realized label
-    * gain of routing. */
+  /** The (z, scoreGap, gainMs) calibration triples for the gate: for
+    * each labeled query where `mainModel`'s argmin is NOT the default
+    * plan, the Bayesian z-score of (default, proposed), the main
+    * model's predicted-gain score delta, and the realized label gain
+    * of routing. */
   def gatePairs(labeled: Seq[LabeledQuery], fg: FeatureGenerator,
                 mainModel: LeroModelPairWise, bm: BayesianModelPairWise)
-      : Seq[(Double, Double)] =
+      : Seq[(Double, Double, Double)] =
     labeled.filter(_.plans.length >= 2).flatMap { q =>
       val trees = q.plans.map(fg.transform)
       val scores = mainModel.predict(trees)
@@ -362,7 +394,8 @@ object Pipelines {
       else {
         val (p, v) = bm.predictPair(trees(0), trees(best))
         val z = (p - 0.5) / math.sqrt(math.max(v, 1e-12))
-        Some((z, q.latenciesMs(0) - q.latenciesMs(best)))
+        Some((z, scores(0) - scores(best),
+          q.latenciesMs(0) - q.latenciesMs(best)))
       }
     }
 
@@ -377,10 +410,12 @@ object Pipelines {
     bm.fit(x1, x2, y1, y2, epochs = epochs)
     val pairs = gatePairs(trainable, fg, mainModel, bm)
     val overhead = GateOverheadMs
-    val (thr, net) = calibrateThreshold(pairs, overhead)
+    val (thr, gapThr, net) = calibrateThreshold2(pairs, overhead)
     val cal = GateCalibration(thr, pairs.size,
-      pairs.count(_._1 > thr), net, pairs.map(_._2).sum)
-    log.info(f"bayes gate calibration: threshold=${cal.threshold}%.4f " +
+      pairs.count(t => t._1 > thr && t._2 > gapThr), net,
+      pairs.map(_._3).sum, gapThr)
+    log.info(f"bayes gate calibration: z threshold=${cal.threshold}%.4f, " +
+      f"score-gap threshold=${cal.scoreGapThreshold}%.5f " +
       f"(overhead charge ${overhead}%.1fms/routed) routes " +
       f"${cal.nRouted}/${cal.nPairs} proposed deviations on train " +
       f"(net gain ${cal.netGainMs}%.1fms gated vs ${cal.gainAllMs}%.1fms ungated)")

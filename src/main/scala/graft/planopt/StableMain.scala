@@ -255,10 +255,12 @@ private[planopt] object E2EPhases {
           modelDir: String, log: Pipelines.Logger): Unit = {
     graft.plans.PlanChoice.installFrom(modelDir)
     log.info(graft.plans.PlanChoice.gate match {
-      case Some((_, thr)) =>
-        f"margin gate ACTIVE (threshold=$thr%.4f): routing deviates from " +
-          "the session-native plan only when predicted gain clears the " +
-          "Bayesian head's uncertainty"
+      case Some((_, thr, gapThr)) =>
+        f"margin gate ACTIVE (z threshold=$thr%.4f, score-gap " +
+          f"threshold=$gapThr%.5f): routing deviates from the " +
+          "session-native plan only when predicted gain clears the " +
+          "Bayesian head's uncertainty AND the comparator's own " +
+          "predicted-gain margin"
       case None => "no margin gate in artifact (pre-r18 ungated routing)"
     })
 

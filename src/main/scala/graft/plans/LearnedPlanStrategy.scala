@@ -88,7 +88,7 @@ object PlanChoice {
                           nOrders: Int = 1)
 
   @volatile private var installed: Option[(LeroModelPairWise, PlanFeatures.FeatureGenerator)] = None
-  @volatile private var gateInstalled: Option[(graft.planopt.BayesianModelPairWise, Double)] = None
+  @volatile private var gateInstalled: Option[(graft.planopt.BayesianModelPairWise, Double, Double)] = None
   val lastChoice = new AtomicReference[Option[Choice]](None)
 
   /** Remembered (join-order variant, knobs) choice per canonical
@@ -143,10 +143,14 @@ object PlanChoice {
   /** Install the calibrated Bayesian margin gate (r17 verdict #2): a
     * routing deviation from the session-native plan fires only when
     * the gate's z-score (P(native slower) − 0.5)/σ exceeds
-    * `threshold`. Choices are gate-specific, so the cache clears. */
+    * `threshold` AND the main comparator's predicted-gain score delta
+    * exceeds `scoreGapThreshold` (the conf-invariant gain axis — see
+    * Pipelines.GateCalibration). Choices are gate-specific, so the
+    * cache clears. */
   def installGate(bm: graft.planopt.BayesianModelPairWise,
-                  threshold: Double): Unit = {
-    gateInstalled = Some((bm, threshold))
+                  threshold: Double,
+                  scoreGapThreshold: Double = 0.0): Unit = {
+    gateInstalled = Some((bm, threshold, scoreGapThreshold))
     gateDeclineCount.set(0)
     choiceCache.clear()
   }
@@ -160,8 +164,8 @@ object PlanChoice {
   def installFrom(dir: String): Unit = {
     val (model, gen) = graft.planopt.ModelIO.load(dir)
     install(model, gen)
-    graft.planopt.ModelIO.loadGate(dir).foreach { case (bm, thr) =>
-      installGate(bm, thr)
+    graft.planopt.ModelIO.loadGate(dir).foreach { case (bm, thr, gapThr) =>
+      installGate(bm, thr, gapThr)
     }
   }
 
@@ -171,7 +175,7 @@ object PlanChoice {
 
   def current: Option[(LeroModelPairWise, PlanFeatures.FeatureGenerator)] = installed
 
-  def gate: Option[(graft.planopt.BayesianModelPairWise, Double)] = gateInstalled
+  def gate: Option[(graft.planopt.BayesianModelPairWise, Double, Double)] = gateInstalled
 }
 
 case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
@@ -348,8 +352,8 @@ case class LearnedPlanStrategy(session: SparkSession) extends SparkStrategy {
         // lookup). A best pick that IS the native plan declines too —
         // routing to it would only re-plan what the session already
         // produces.
-        val declined = gateOn && PlanChoice.gate.exists { case (bm, thr) =>
-          bestIdx == 0 || {
+        val declined = gateOn && PlanChoice.gate.exists { case (bm, thr, gapThr) =>
+          bestIdx == 0 || scores(0) - scores(bestIdx) <= gapThr || {
             val (p, v) = bm.predictPair(
               gen.transform(cands.head._2), gen.transform(bestNode))
             val z = (p - 0.5) / math.sqrt(math.max(v, 1e-12))

@@ -47,6 +47,24 @@ class MarginGateSpec extends AnyFunSuite {
     assert(t3 >= 0.0 && net3 == 0.0)
   }
 
+  test("calibrateThreshold2 separates gain axis from uncertainty axis") {
+    // stock-conf shape: small-gap small-gain pairs lose once overhead
+    // is charged; one defensive-conf-shaped pair (moderate z, BIG
+    // predicted gap, big gain) must survive — a z-only threshold
+    // can't express that
+    val triples = Seq(
+      (2.0, 0.005, 20.0), (2.5, 0.004, 15.0), (1.8, 0.006, 25.0), // small wins
+      (0.6, 0.090, 400.0))                                        // broadcast win
+    val (zt, gt, net) = Pipelines.calibrateThreshold2(triples, overheadMs = 40.0)
+    // routing only the big-gap pair nets 360; routing everything nets
+    // 300; routing none nets 0
+    assert(net == 360.0, s"net=$net (zt=$zt gt=$gt)")
+    assert(zt < 0.6 && gt >= 0.006 && gt < 0.09,
+      s"thresholds (zt=$zt gt=$gt) should route only the big-gap pair")
+    // empty: conservative default
+    assert(Pipelines.calibrateThreshold2(Nil) == (0.0, 0.0, 0.0))
+  }
+
   test("snapResolutionTies merges sub-resolution groups, keeps resolved order") {
     // (100, 102) within 3% -> tie group; 150 stays apart; transitive
     // closure chains 100-102-104 into one group
@@ -82,9 +100,9 @@ class MarginGateSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
     assert(ModelIO.loadGate(dir).isEmpty, "missing gate files must load as None")
     ModelIO.saveGate(dir, bm,
-      Pipelines.GateCalibration(1.25, 10, 4, 123.0, 100.0))
-    val (bm2, thr) = ModelIO.loadGate(dir).get
-    assert(thr == 1.25)
+      Pipelines.GateCalibration(1.25, 10, 4, 123.0, 100.0, 0.017))
+    val (bm2, thr, gapThr) = ModelIO.loadGate(dir).get
+    assert(thr == 1.25 && gapThr == 0.017)
     val (p1, v1) = bm.predictPair(t1, t2)
     val (p2, v2) = bm2.predictPair(t1, t2)
     assert(p1 == p2 && v1 == v2, "persisted gate must score bit-identically")
