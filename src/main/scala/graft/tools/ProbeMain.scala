@@ -22,48 +22,69 @@ object ProbeMain {
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.Tables.registerAll(spark, sfDir)
 
-    // er2 stage decomposition on the dense-id corpus
-    val cust = graft.engine.Tables.load(spark, sfDir, "customer")
-    def bump(inner: String, off: String): String =
-      s"concat(substr($inner, 1, cast(9 + ($off) as int)), " +
-        s"cast((cast(substr($inner, cast(10 + ($off) as int), 1) as int) + 1) % 10 as string), " +
-        s"substr($inner, cast(11 + ($off) as int)))"
-    val p1 = "c_custkey % 9"
-    val p2 = s"(c_custkey % 9 + 1 + c_custkey % 8) % 9"
-    val dirty = cust
-      .filter(substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 1)
-        .isin("0", "1", "2", "3"))
-      .select((col("c_custkey") + 2000000L).as("dirty_id"),
-        expr(bump(bump("c_name", p1), p2)).as("dirty_name"))
-    val custNames = cust.select(col("c_custkey"), col("c_name"))
-    val len = 18
-    def wildPairs(nameCol: String) =
-      s"""flatten(transform(sequence(1, ${len - 1}), i ->
-         |  transform(sequence(i + 1, $len), j ->
-         |    concat(substr($nameCol, 1, i - 1), '*',
-         |           substr($nameCol, i + 1, j - i - 1), '*',
-         |           substr($nameCol, j + 1)))))""".stripMargin
-    def del1(nameCol: String) =
-      s"""array_distinct(transform(sequence(1, $len), i ->
-         |  concat(substr($nameCol, 1, i - 1), substr($nameCol, i + 1))))""".stripMargin
-    def keys(df: DataFrame, nameCol: String, pfx: String, gen: String => String) =
-      df.select(col(df.columns.head).as(s"${pfx}_id"),
-        explode(expr(gen(nameCol))).as(s"${pfx}_key"))
-    def arm(gen: String => String) =
-      keys(dirty, "dirty_name", "d", gen)
-        .join(keys(custNames, "c_name", "c", gen), col("d_key") === col("c_key"))
-        .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"))
-
-    (1 to 2).foreach { pass =>
-      println(s"--- pass $pass ---")
-      t("dirty count")(println("dirty=" + dirty.count()))
-      t("armA keygen d")(println("dkeysA=" + keys(dirty, "dirty_name", "d", wildPairs).count()))
-      t("armA keygen c")(println("ckeysA=" + keys(custNames, "c_name", "c", wildPairs).count()))
-      t("armA join")(println("armA=" + arm(wildPairs).count()))
-      t("armB join")(println("armB=" + arm(del1).count()))
-      t("union distinct")(println("cand=" + arm(wildPairs).union(arm(del1)).distinct().count()))
-      t("full er2")(graft.SparkEntry.queries("er2_entity_resolution_d2")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save())
+    
+    // pr2 phase decomposition (NEW build) with bcast vs shj rounds
+    val Scale = 1000000000000L
+    val ConvDamp = 50L
+    val orders = graft.engine.Tables.load(spark, sfDir, "orders")
+    val lineitem = graft.engine.Tables.load(spark, sfDir, "lineitem")
+    for (pass <- 1 to 2; mode <- Seq("bcast", "shj")) {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val e0 = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_partkey") * 2 + 1).cast("long").as("dst"))
+        .distinct()
+      val edges = {
+        val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        sym.repartition(spark.sparkContext.defaultParallelism, col("dst")).persist()
+      }
+      val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .select(col("src").as("node"), col("outdeg")).persist()
+      val n = t(s"p$pass $mode nodes count")(nodes.count())
+      println(s"edges parts=${edges.rdd.getNumPartitions} nodes parts=${nodes.rdd.getNumPartitions}")
+      val base = ((100L - ConvDamp) * Scale) / (100L * n)
+      var ranks = t(s"p$pass $mode ranks0")(nodes.select(col("node"), col("outdeg"),
+        lit(Scale / n).as("rank")).localCheckpoint(true))
+      // one-round decomposition
+      locally {
+        val perSrc = ranks.select(col("node"), expr("rank div outdeg").as("c"))
+        val shipped = if (mode == "bcast") broadcast(perSrc) else perSrc.hint("shuffle_hash")
+        t(s"p$pass $mode D edges-count")(edges.agg(count(lit(1))).head())
+        t(s"p$pass $mode D edges-scan-noop")(edges.write.format("noop").mode("overwrite").save())
+        val joined = edges.join(shipped, col("src") === col("node"))
+        t(s"p$pass $mode D join-noop")(joined.write.format("noop").mode("overwrite").save())
+        val contribs = joined.groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+        t(s"p$pass $mode D contribs-noop")(contribs.write.format("noop").mode("overwrite").save())
+        val nxt = ranks.join(contribs, col("node") === col("dst"), "left")
+          .select(col("node"), col("outdeg"),
+            (lit(base) + expr(s"$ConvDamp * coalesce(contrib, 0L) div 100")).cast("long").as("nrank"),
+            col("rank").as("prank"))
+        t(s"p$pass $mode D next-noop")(nxt.write.format("noop").mode("overwrite").save())
+        t(s"p$pass $mode D next-ckpt")(nxt.localCheckpoint(true))
+      }
+      var rounds = 0L
+      var delta = Scale
+      while (1000L * delta > Scale && rounds < 24) {
+        val perSrc = ranks.select(col("node"), expr("rank div outdeg").as("c"))
+        val shipped = if (mode == "bcast") broadcast(perSrc) else perSrc.hint("shuffle_hash")
+        val contribs = edges.join(shipped, col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+        val next = t(s"p$pass $mode r$rounds ckpt")(ranks
+          .join(contribs, col("node") === col("dst"), "left")
+          .select(col("node"), col("outdeg"),
+            (lit(base) + expr(s"$ConvDamp * coalesce(contrib, 0L) div 100"))
+              .cast("long").as("nrank"),
+            col("rank").as("prank"))
+          .localCheckpoint(true))
+        delta = t(s"p$pass $mode r$rounds delta")(next
+          .agg(sum(abs(col("nrank") - col("prank"))).as("d"))
+          .head().getLong(0))
+        graft.engine.CheckpointBlocks.free(ranks)
+        ranks = next.select(col("node"), col("outdeg"), col("nrank").as("rank"))
+        rounds += 1
+      }
+      println(s"pass $pass mode $mode rounds=$rounds")
     }
     spark.stop()
   }
