@@ -342,20 +342,55 @@ object EntityResolution {
     * not edit distance. */
   private[graft] def equalLenD2Verified(dirty: DataFrame, cust: DataFrame,
                                         len: Int): DataFrame = {
-    // C(L,2) two-position wildcardings
-    def wildPairs(nameCol: String) =
-      s"""flatten(transform(sequence(1, ${len - 1}), i ->
-         |  transform(sequence(i + 1, $len), j ->
-         |    concat(substr($nameCol, 1, i - 1), '*',
-         |           substr($nameCol, i + 1, j - i - 1), '*',
-         |           substr($nameCol, j + 1)))))""".stripMargin
+    // r18 (guide §2.3 — shuffle fewer bytes by emitting fewer keys):
+    // a position where EVERY string of BOTH sides carries the same
+    // character can never host a mismatch, so every Hamming-≤2 pair's
+    // mismatch set lies inside the VARYING positions and arm A only
+    // needs the C(V,2) wildcard pairs over them — on the TPC-H name
+    // shape (9-char constant prefix + 9 dense digits) that is 36 keys
+    // per record instead of C(18,2) = 153, a 4.3× cut of the dominant
+    // emission. The m-decode constants shift with it by the SAME
+    // matching argument: Hamming-0 pairs match all C(V,2) prunned
+    // wildcardings, Hamming-1 (mismatch q ∈ V) the V−1 containing q,
+    // Hamming-2 (mismatches ⊆ V) exactly one. V ≥ 3 keeps the classes
+    // distinct; below that (near-degenerate corpora) the full 1..L set
+    // is used, preserving the router's L ≥ 3 guarantee. The probe is
+    // one bounded (position × char-range) aggregate over both sides —
+    // the dd10/clu1/passJoinSegSpecs adaptive-parameter discipline.
+    // Arm B (del1) is NOT prunable this way: a one-char block shift
+    // moves characters THROUGH constant positions, so its deletion
+    // neighborhood must stay complete — it is the cheap arm (L keys).
+    val varyingProbe = dirty.select(col("dirty_name").as("s"))
+      .union(cust.select(col("c_name").as("s")))
+      .select(posexplode(expr("split(s, '')")).as(Seq("p", "ch")))
+      .groupBy(col("p")).agg(min(col("ch")).as("lo"), max(col("ch")).as("hi"))
+      .collect()
+    val varying0 = varyingProbe
+      .filter(r => r.getString(1) != r.getString(2))
+      .map(_.getInt(0) + 1).sorted.toSeq
+    val varying = if (varying0.length >= 3) varying0 else (1 to len)
+    // wildcard pairs over the varying set, emitted as one literal
+    // array (C(V,2) codegen'd concat/substr terms — no interpreted
+    // HOF closure on the hot path)
+    def wildPairs(nameCol: String) = {
+      val pats = for {
+        a <- varying.indices
+        b <- a + 1 until varying.length
+      } yield {
+        val i = varying(a); val j = varying(b)
+        s"concat(substr($nameCol, 1, ${i - 1}), '*', " +
+          s"substr($nameCol, ${i + 1}, ${j - i - 1}), '*', " +
+          s"substr($nameCol, ${j + 1}))"
+      }
+      pats.mkString("array(", ",\n", ")")
+    }
     // depth-1 deletions; array_distinct collapses equal-char runs
     // (deleting any zero of a zero run is one variant) map-side
     def del1(nameCol: String) =
       s"""array_distinct(transform(sequence(1, $len), i ->
          |  concat(substr($nameCol, 1, i - 1), substr($nameCol, i + 1))))""".stripMargin
     // the dirty side is the smaller fan-out — shuffle_hash builds on
-    // it instead of sort-merge sorting the 153×|cust| pattern stream
+    // it instead of sort-merge sorting the C(V,2)×|cust| pattern stream
     def keys(df: DataFrame, nameCol: String, pfx: String, gen: String => String) =
       df.select(col(df.columns.head).as(s"${pfx}_id"),
         explode(expr(gen(nameCol))).as(s"${pfx}_key"))
@@ -364,12 +399,13 @@ object EntityResolution {
         .join(keys(cust, "c_name", "c", gen), col("d_key") === col("c_key"))
         .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"),
           lit(inA.toLong).as("in_a"))
+    val v = varying.length
     arm(wildPairs, 1).union(arm(del1, 0))
       .groupBy(col("dirty_id"), col("c_custkey"))
       .agg(sum(col("in_a")).as("m"))
       .select(col("dirty_id"), col("c_custkey"),
-        when(col("m") === lit(len.toLong * (len - 1) / 2), 0L)
-          .when(col("m") === lit((len - 1).toLong), 1L)
+        when(col("m") === lit(v.toLong * (v - 1) / 2), 0L)
+          .when(col("m") === lit((v - 1).toLong), 1L)
           .otherwise(2L).as("dist"))
   }
 

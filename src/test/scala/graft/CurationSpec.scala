@@ -642,6 +642,44 @@ class CurationSpec extends AnyFunSuite {
     assert(EntityResolution.d2Verified(noDirty, cust).count() == 0L)
   }
 
+  test("er2 equal-length fast path: constant-position pruning is exact " +
+    "(r18 — arm A emits C(V,2) wildcard pairs over the varying set)") {
+    import graft.pipeline.EntityResolution
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // long shared constant prefix (the pruning's target shape): only
+    // the last 4 positions vary — V = 4 of L = 12
+    val cust = (1 to 200).map(k => (k.toLong, f"PREFIX##$k%04d"))
+    val probes = Seq(
+      (901L, "PREFIX##0042"),  // exact (Hamming 0 → m = C(V,2))
+      (902L, "PREFIX##9043"),  // 2 subs (Hamming 2 → m = 1)
+      (903L, "PREFIX##0153"),  // vs 0015: shift-ish / subs mix
+      (904L, "PREFIX##0510"))  // shift of 0051 (1 del + 1 ins, arm B)
+    val exhaustive = (for {
+      (did, dn) <- probes; (ck, cn) <- cust
+      d = lev(dn, cn) if d <= 2
+    } yield (did, ck, d.toLong)).toSet
+    val got = EntityResolution.equalLenD2Verified(
+      probes.toDF("dirty_id", "dirty_name"),
+      cust.toDF("c_custkey", "c_name"), 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exhaustive)
+    // degenerate corpus (V < 3): falls back to the full 1..L pair set
+    // and stays exact
+    val tiny = Seq((1L, "AAAB"), (2L, "AAAC"), (3L, "AAAB")).toDF("c_custkey", "c_name")
+    val tinyDirty = Seq((11L, "AAAB")).toDF("dirty_id", "dirty_name")
+    val tinyGot = EntityResolution.equalLenD2Verified(tinyDirty, tiny, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tinyGot == Set((11L, 1L, 0L), (11L, 2L, 1L), (11L, 3L, 0L)))
+  }
+
   test("er1 plan: deletion-neighborhood blocking, no nested-loop verify") {
     Seq("er1_entity_resolution", "er2_entity_resolution_d2").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
