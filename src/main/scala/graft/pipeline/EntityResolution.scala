@@ -369,20 +369,21 @@ object EntityResolution {
       .filter(r => r.getString(1) != r.getString(2))
       .map(_.getInt(0) + 1).sorted.toSeq
     val varying = if (varying0.length >= 3) varying0 else (1 to len)
-    // wildcard pairs over the varying set, emitted as one literal
-    // array (C(V,2) codegen'd concat/substr terms — no interpreted
-    // HOF closure on the hot path)
+    // wildcard pairs over the varying set: a HOF transform over the
+    // LITERAL (i, j) pair array — measured faster than both the full
+    // 1..L nested-sequence form (fewer pairs) and a flat literal array
+    // of C(V,2) concat terms (giant array constructors codegen worse
+    // than the tight HOF loop: 0.42 s vs 0.55 s warm at V=9, sf0.1)
     def wildPairs(nameCol: String) = {
-      val pats = for {
+      val pairsLit = (for {
         a <- varying.indices
         b <- a + 1 until varying.length
-      } yield {
-        val i = varying(a); val j = varying(b)
-        s"concat(substr($nameCol, 1, ${i - 1}), '*', " +
-          s"substr($nameCol, ${i + 1}, ${j - i - 1}), '*', " +
-          s"substr($nameCol, ${j + 1}))"
-      }
-      pats.mkString("array(", ",\n", ")")
+      } yield s"struct(${varying(a)} as i, ${varying(b)} as j)")
+        .mkString("array(", ",", ")")
+      s"""transform($pairsLit, p ->
+         |  concat(substr($nameCol, 1, p.i - 1), '*',
+         |         substr($nameCol, p.i + 1, p.j - p.i - 1), '*',
+         |         substr($nameCol, p.j + 1)))""".stripMargin
     }
     // depth-1 deletions; array_distinct collapses equal-char runs
     // (deleting any zero of a zero run is one variant) map-side

@@ -11,6 +11,8 @@ object ProbeMain {
     println(f"TIMER $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
     r
   }
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -22,69 +24,32 @@ object ProbeMain {
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.Tables.registerAll(spark, sfDir)
 
-    
-    // pr2 phase decomposition (NEW build) with bcast vs shj rounds
-    val Scale = 1000000000000L
-    val ConvDamp = 50L
-    val orders = graft.engine.Tables.load(spark, sfDir, "orders")
-    val lineitem = graft.engine.Tables.load(spark, sfDir, "lineitem")
-    for (pass <- 1 to 2; mode <- Seq("bcast", "shj")) {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      val e0 = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).cast("long").as("src"),
-          (col("l_partkey") * 2 + 1).cast("long").as("dst"))
-        .distinct()
-      val edges = {
-        val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        sym.repartition(spark.sparkContext.defaultParallelism, col("dst")).persist()
-      }
-      val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .select(col("src").as("node"), col("outdeg")).persist()
-      val n = t(s"p$pass $mode nodes count")(nodes.count())
-      println(s"edges parts=${edges.rdd.getNumPartitions} nodes parts=${nodes.rdd.getNumPartitions}")
-      val base = ((100L - ConvDamp) * Scale) / (100L * n)
-      var ranks = t(s"p$pass $mode ranks0")(nodes.select(col("node"), col("outdeg"),
-        lit(Scale / n).as("rank")).localCheckpoint(true))
-      // one-round decomposition
-      locally {
-        val perSrc = ranks.select(col("node"), expr("rank div outdeg").as("c"))
-        val shipped = if (mode == "bcast") broadcast(perSrc) else perSrc.hint("shuffle_hash")
-        t(s"p$pass $mode D edges-count")(edges.agg(count(lit(1))).head())
-        t(s"p$pass $mode D edges-scan-noop")(edges.write.format("noop").mode("overwrite").save())
-        val joined = edges.join(shipped, col("src") === col("node"))
-        t(s"p$pass $mode D join-noop")(joined.write.format("noop").mode("overwrite").save())
-        val contribs = joined.groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-        t(s"p$pass $mode D contribs-noop")(contribs.write.format("noop").mode("overwrite").save())
-        val nxt = ranks.join(contribs, col("node") === col("dst"), "left")
-          .select(col("node"), col("outdeg"),
-            (lit(base) + expr(s"$ConvDamp * coalesce(contrib, 0L) div 100")).cast("long").as("nrank"),
-            col("rank").as("prank"))
-        t(s"p$pass $mode D next-noop")(nxt.write.format("noop").mode("overwrite").save())
-        t(s"p$pass $mode D next-ckpt")(nxt.localCheckpoint(true))
-      }
-      var rounds = 0L
-      var delta = Scale
-      while (1000L * delta > Scale && rounds < 24) {
-        val perSrc = ranks.select(col("node"), expr("rank div outdeg").as("c"))
-        val shipped = if (mode == "bcast") broadcast(perSrc) else perSrc.hint("shuffle_hash")
-        val contribs = edges.join(shipped, col("src") === col("node"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-        val next = t(s"p$pass $mode r$rounds ckpt")(ranks
-          .join(contribs, col("node") === col("dst"), "left")
-          .select(col("node"), col("outdeg"),
-            (lit(base) + expr(s"$ConvDamp * coalesce(contrib, 0L) div 100"))
-              .cast("long").as("nrank"),
-            col("rank").as("prank"))
-          .localCheckpoint(true))
-        delta = t(s"p$pass $mode r$rounds delta")(next
-          .agg(sum(abs(col("nrank") - col("prank"))).as("d"))
-          .head().getLong(0))
-        graft.engine.CheckpointBlocks.free(ranks)
-        ranks = next.select(col("node"), col("outdeg"), col("nrank").as("rank"))
-        rounds += 1
-      }
-      println(s"pass $pass mode $mode rounds=$rounds")
+    val cust = graft.engine.Tables.load(spark, sfDir, "customer")
+    val base = cust.select(col("c_custkey"), col("c_name").as("n"))
+    val varying = (10 to 18).toSeq
+
+    def litPairs(n: String): String = {
+      val pats = for { a <- varying.indices; b <- a + 1 until varying.length }
+        yield {
+          val i = varying(a); val j = varying(b)
+          s"concat(substr($n, 1, ${i - 1}), '*', substr($n, ${i + 1}, ${j - i - 1}), '*', substr($n, ${j + 1}))"
+        }
+      pats.mkString("array(", ",\n", ")")
+    }
+    def hofPairs(n: String): String = {
+      val pairsLit = (for { a <- varying.indices; b <- a + 1 until varying.length }
+        yield s"struct(${varying(a)} as i, ${varying(b)} as j)").mkString("array(", ",", ")")
+      s"""transform($pairsLit, p ->
+         |  concat(substr($n, 1, p.i - 1), '*',
+         |         substr($n, p.i + 1, p.j - p.i - 1), '*',
+         |         substr($n, p.j + 1)))""".stripMargin
+    }
+    val a = base.limit(50).select(explode(expr(litPairs("n"))).as("k")).collect().map(_.getString(0)).sorted.toSeq
+    val b = base.limit(50).select(explode(expr(hofPairs("n"))).as("k")).collect().map(_.getString(0)).sorted.toSeq
+    println(s"values equal: ${a == b} (n=${a.length})")
+    for (pass <- 1 to 2) {
+      t(s"p$pass LIT36 emit")(noop(base.select(col("c_custkey"), explode(expr(litPairs("n"))).as("k"))))
+      t(s"p$pass HOF36 emit")(noop(base.select(col("c_custkey"), explode(expr(hofPairs("n"))).as("k"))))
     }
     spark.stop()
   }
