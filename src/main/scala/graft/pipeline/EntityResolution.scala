@@ -596,9 +596,20 @@ object EntityResolution {
         .limit(0)
         .withColumn("c_custkey", lit(0L))
         .withColumn("dist", lit(0L))
+    // r18 (guide §2.3): the arm joins run on xxhash64 of the pattern
+    // strings — the corpus-sized key exchange carries 8-byte longs
+    // instead of ~L-char strings. Safe HERE (unlike er2's decode
+    // path) because this route levenshtein-verifies every candidate:
+    // a hash collision can only ADD a pair, and the exact cover
+    // already emits every true lev-≤2 pair under its true key, so a
+    // colliding lev-≤2 pair is a duplicate (collapsed by the
+    // distinct) and a colliding lev->2 pair is removed by the verify.
     val cand = arms
       .map { case (dk, ck) =>
-        dk.hint("shuffle_hash").join(ck, col("d_key") === col("c_key"))
+        dk.select(col("d_id"), xxhash64(col("d_key")).as("d_key"))
+          .hint("shuffle_hash")
+          .join(ck.select(col("c_id"), xxhash64(col("c_key")).as("c_key")),
+            col("d_key") === col("c_key"))
           .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"))
       }
       .reduce(_ union _)
@@ -654,11 +665,17 @@ object EntityResolution {
     // length profiles: one metadata-scale aggregate per side (the
     // dd10/clu1 adaptive-parameter discipline — distinct lengths are
     // bounded by the key format, not the corpus)
-    def lensOf(df: DataFrame, nameCol: String): Set[Int] =
-      df.select(collect_set(length(col(nameCol))).as("ls"))
-        .head().getSeq[Int](0).toSet
-    val dLens = lensOf(dirty, "dirty_name")
-    val cLens = lensOf(cust, "c_name")
+    // ONE probe action for both sides (r18 — the suite is
+    // action-latency-bound at bench scale; two separate collects paid
+    // two plan+dispatch rounds for two bounded sets)
+    val Seq(dLens, cLens) = {
+      val rows = dirty.select(lit(0).as("side"), length(col("dirty_name")).as("l"))
+        .union(cust.select(lit(1), length(col("c_name"))))
+        .groupBy(col("side")).agg(collect_set(col("l")).as("ls"))
+        .collect()
+      Seq(0, 1).map(s => rows.find(_.getInt(0) == s)
+        .map(_.getSeq[Int](1).toSet).getOrElse(Set.empty[Int]))
+    }
     def keys(df: DataFrame, nameCol: String, pfx: String,
              gen: String => String, okLens: Set[Int]): DataFrame =
       df.filter(length(col(nameCol)).isin(okLens.toSeq.map(Int.box): _*))

@@ -688,7 +688,11 @@ object TextAnalysis {
         .agg(count(lit(1)).as("tf"))
         .persist() // feeds dl, df, and the probe join
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val Array(totT, totD) = dl.agg(sum(col("dl")), count(lit(1)))
+      // totals straight off the cached tf (r18): sum(tf) == sum(dl) and
+      // countDistinct(doc_id) == |dl| by construction, so the collect
+      // skips dl's doc_id exchange — one flat agg action over the cache
+      val Array(totT, totD) = tf
+        .agg(sum(col("tf")), countDistinct(col("doc_id")))
         .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       // bounded vocabulary head → driver metadata (txt10's LM-collect

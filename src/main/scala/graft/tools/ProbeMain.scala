@@ -24,32 +24,28 @@ object ProbeMain {
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.Tables.registerAll(spark, sfDir)
 
-    val cust = graft.engine.Tables.load(spark, sfDir, "customer")
-    val base = cust.select(col("c_custkey"), col("c_name").as("n"))
-    val varying = (10 to 18).toSeq
-
-    def litPairs(n: String): String = {
-      val pats = for { a <- varying.indices; b <- a + 1 until varying.length }
-        yield {
-          val i = varying(a); val j = varying(b)
-          s"concat(substr($n, 1, ${i - 1}), '*', substr($n, ${i + 1}, ${j - i - 1}), '*', substr($n, ${j + 1}))"
-        }
-      pats.mkString("array(", ",\n", ")")
-    }
-    def hofPairs(n: String): String = {
-      val pairsLit = (for { a <- varying.indices; b <- a + 1 until varying.length }
-        yield s"struct(${varying(a)} as i, ${varying(b)} as j)").mkString("array(", ",", ")")
-      s"""transform($pairsLit, p ->
-         |  concat(substr($n, 1, p.i - 1), '*',
-         |         substr($n, p.i + 1, p.j - p.i - 1), '*',
-         |         substr($n, p.j + 1)))""".stripMargin
-    }
-    val a = base.limit(50).select(explode(expr(litPairs("n"))).as("k")).collect().map(_.getString(0)).sorted.toSeq
-    val b = base.limit(50).select(explode(expr(hofPairs("n"))).as("k")).collect().map(_.getString(0)).sorted.toSeq
-    println(s"values equal: ${a == b} (n=${a.length})")
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+    println("docs=" + docs.count())
     for (pass <- 1 to 2) {
-      t(s"p$pass LIT36 emit")(noop(base.select(col("c_custkey"), explode(expr(litPairs("n"))).as("k"))))
-      t(s"p$pass HOF36 emit")(noop(base.select(col("c_custkey"), explode(expr(hofPairs("n"))).as("k"))))
+      spark.catalog.clearCache()
+      val tf = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) >= 3)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist()
+      val nTf = t(s"p$pass tf materialize")(tf.count())
+      println(s"p$pass tf rows=$nTf")
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      t(s"p$pass dl agg")(noop(dl))
+      t(s"p$pass totals")(dl.agg(sum(col("dl")), count(lit(1))).collect())
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      t(s"p$pass dfreq agg")(noop(dfreq))
+      t(s"p$pass qterms")(dfreq.orderBy(col("df").desc, col("term")).limit(20).collect())
+      // raw explode cost without agg
+      t(s"p$pass raw explode")(noop(docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) >= 3)))
     }
     spark.stop()
   }
