@@ -24,7 +24,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Shuffle scratch on the fastest local storage available (r18,
+    // guide §2.1: local disk bandwidth for shuffle files is often the
+    // binding limit — measured here, a tiny one-exchange action went
+    // 0.385 s → 0.234 s median moving scratch off the VM's disk).
+    // Parameterized via SPARK_GRAFT_LOCAL_DIR; defaults to a
+    // RAM-backed dir when one exists (bench-scale shuffles are MBs),
+    // stock otherwise. On a real cluster this is the NVMe-local-disk
+    // placement decision; scratch placement changes where temp bytes
+    // live, never what is computed.
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .filter(_.nonEmpty) match {
+      case Some("stock") => None // explicit opt-out: Spark's default dir
+      case Some(d) => Some(d)
+      case None =>
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-shuffle")
+        else None
+    }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -40,6 +58,8 @@ object Bench {
       // late queries (dd2/dd3) paid for it (r4: 28.9s in-suite vs 5.5s
       // isolated). Blocking cleanup bounds that backlog at one query.
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+    val spark = localDir
+      .fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val diag = new BenchDiag

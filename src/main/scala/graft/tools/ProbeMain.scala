@@ -11,9 +11,6 @@ object ProbeMain {
     println(f"TIMER $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
     r
   }
-  def noop(df: DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
-
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,29 +20,15 @@ object ProbeMain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.Tables.registerAll(spark, sfDir)
-
-    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
-    println("docs=" + docs.count())
-    for (pass <- 1 to 2) {
+    import graft.pipeline.Dedup
+    for (pass <- 1 to 3) {
       spark.catalog.clearCache()
-      val tf = docs
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
-        .filter(length(col("term")) >= 3)
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .persist()
-      val nTf = t(s"p$pass tf materialize")(tf.count())
-      println(s"p$pass tf rows=$nTf")
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      t(s"p$pass dl agg")(noop(dl))
-      t(s"p$pass totals")(dl.agg(sum(col("dl")), count(lit(1))).collect())
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      t(s"p$pass dfreq agg")(noop(dfreq))
-      t(s"p$pass qterms")(dfreq.orderBy(col("df").desc, col("term")).limit(20).collect())
-      // raw explode cost without agg
-      t(s"p$pass raw explode")(noop(docs
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
-        .filter(length(col("term")) >= 3)))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      val pairs = Dedup.verifiedPairs(Dedup.shingleSets(spark, sfDir),
+        Dedup.bandedCandidates(Dedup.shingles(spark, sfDir)), 0.8)
+        .select(col("a_id"), col("b_id"))
+      val labels = t(s"p$pass full CC")(Dedup.connectedComponents(pairs))
+      println(s"p$pass labels=" + labels.count())
     }
     spark.stop()
   }
