@@ -100,6 +100,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got.view.mapValues(_._1).toMap == ranks)
   }
 
+  test("pr1/pr2: the shuffled-hash fallback arm (nodes above the " +
+    "broadcast threshold) computes identical ranks and round count") {
+    // r18: the per-round rank shipping is adaptive — broadcast below
+    // spark.graft.pagerank.broadcastMaxNodes, shuffled-hash above.
+    // Force the fallback and pin it to the broadcast arm's output.
+    def run(): (Map[Long, Long], Map[Long, (Long, Long)]) = (
+      SparkEntry.queries("pr1_pagerank")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap,
+      SparkEntry.queries("pr2_pagerank_converged")(spark, sf)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap)
+    val (bc1, bc2) = run()
+    spark.conf.set("spark.graft.pagerank.broadcastMaxNodes", "1")
+    try {
+      val (shj1, shj2) = run()
+      assert(shj1 == bc1, "pr1 arm divergence")
+      assert(shj2 == bc2, "pr2 arm divergence")
+    } finally spark.conf.unset("spark.graft.pagerank.broadcastMaxNodes")
+  }
+
   test("pr1 plan: no cartesian, edge/node tables cached for the rounds") {
     val df = SparkEntry.queries("pr1_pagerank")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
