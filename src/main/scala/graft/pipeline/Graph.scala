@@ -28,18 +28,19 @@ import graft.engine.Tables
   * `div` and DuckDB's `//`).
   *
   * Scale shape — the canonical bulk-synchronous iterative workload,
-  * same discipline as dd6's connected-components loop:
-  * the edge list and the degree table are built ONCE and persisted
-  * (edge build = one distinct over the orders⋈lineitem join, degree
-  * = one hash-agg); each iteration is exactly one shuffle — the
-  * contribution hash-agg keyed by dst — plus a broadcast-or-SMJ of
-  * the rank vector back onto the node table. Iteration count is a
-  * constant (3), NOT data-dependent, so the plan is 3 unrolled
-  * rounds; at 100 TB the edge list partitions by src once and every
-  * round reuses that partitioning, and ranks are localCheckpoint'ed
-  * to keep lineage flat (here 3 rounds are shallow enough that the
-  * checkpoint is unnecessary). Rank mass is conserved up to the
-  * deterministic floor losses, so no normalization pass is needed.
+  * same discipline as dd6's connected-components loop: the bare
+  * (src, dst) edge list and the degree-bearing node table are built
+  * ONCE and persisted (edge build = one distinct over the
+  * orders⋈lineitem join + one layout repartition; degree = one
+  * hash-agg); each iteration ships the NODE-sized `rank div outdeg`
+  * vector to the stationary edge cache (broadcast below the
+  * [[BroadcastMaxNodesKey]] threshold, shuffled-hash co-partitioning
+  * above it) and runs the dst-keyed contribution hash-agg — the edge
+  * list itself is never exchanged after the build. Iteration count
+  * is a constant (3), NOT data-dependent, so the plan is 3 unrolled
+  * rounds (pr2's data-dependent loop localCheckpoints per round
+  * instead). Rank mass is conserved up to the deterministic floor
+  * losses, so no normalization pass is needed.
   */
 object Graph {
 
