@@ -11,6 +11,9 @@ object ProbeMain {
     println(f"TIMER $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
     r
   }
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,14 +24,21 @@ object ProbeMain {
     spark.sparkContext.setLogLevel("ERROR")
     graft.engine.Tables.registerAll(spark, sfDir)
     import graft.pipeline.Dedup
-    for (pass <- 1 to 3) {
+    for (pass <- 1 to 2) {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      val pairs = Dedup.verifiedPairs(Dedup.shingleSets(spark, sfDir),
-        Dedup.bandedCandidates(Dedup.shingles(spark, sfDir)), 0.8)
-        .select(col("a_id"), col("b_id"))
-      val labels = t(s"p$pass full CC")(Dedup.connectedComponents(pairs))
-      println(s"p$pass labels=" + labels.count())
+      val sets = Dedup.shingleSets(spark, sfDir)
+      t(s"p$pass shingleSets materialize")(sets.count())
+      val ex = Dedup.shingles(spark, sfDir)
+      t(s"p$pass shingles explode scan")(noop(ex))
+      val sigs = Dedup.minhashSignatures(ex)
+      t(s"p$pass minhash signatures")(noop(sigs))
+      val banded = Dedup.bandedSignatures(ex)
+      t(s"p$pass banded persist")(banded.count())
+      val cand = Dedup.bandedCandidates(ex)
+      t(s"p$pass banded candidates")(noop(cand))
+      val ver = Dedup.verifiedPairs(sets, cand, 0.8)
+      t(s"p$pass verified pairs")(noop(ver))
     }
     spark.stop()
   }
