@@ -82,21 +82,30 @@ object Graph {
       : (DataFrame, DataFrame, Long, Boolean) = {
     val orders = Tables.load(spark, sfDir, "orders")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
+    // The rank-shipping arm is decided from a cheap UPPER BOUND on the
+    // node count — every node is 2·custkey or 2·partkey+1, so
+    // n ≤ |customer| + |part| (two parquet-metadata-speed counts) —
+    // instead of materializing the graph twice (r18: the former
+    // nodes.count-then-edges.count build paid one extra corpus pass
+    // just to learn n before choosing the layout). The bound only
+    // errs toward the shuffled-hash arm, i.e. conservatively.
+    val nUpper = Tables.load(spark, sfDir, "customer").count() +
+      Tables.load(spark, sfDir, "part").count()
+    val bcast = broadcastRanksFor(spark, nUpper)
     // the distinct is the only corpus-sized shuffle of the build
-    // phase; e0 is a build-time scaffold cache (both the degree agg
-    // and the edge layout read it once), dropped once edges exist
+    // phase; e0 is a build-time scaffold cache (the edge layout and,
+    // through it, the degree agg read it once), dropped once edges
+    // exist
     val e0 = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).cast("long").as("src"),
         (col("l_partkey") * 2 + 1).cast("long").as("dst"))
       .distinct().persist()
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    val nodes = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .select(col("src").as("node"), col("outdeg")).persist()
-    val n = nodes.count()
-    val bcast = broadcastRanksFor(spark, n)
     val edges = sym.repartition(spark.sparkContext.defaultParallelism,
       col(if (bcast) "dst" else "src")).persist()
-    edges.count() // materialize the layout before dropping the scaffold
+    val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("node"), col("outdeg")).persist()
+    val n = nodes.count() // ONE action materializes edges then nodes
     e0.unpersist()
     (edges, nodes, n, bcast)
   }
