@@ -38,9 +38,24 @@ object Bench {
       case Some("stock") => None // explicit opt-out: Spark's default dir
       case Some(d) => Some(d)
       case None =>
+        // r18 advice #1: only default to tmpfs when it has real
+        // headroom (bench-scale shuffles are MBs; 8 GiB of slack keeps
+        // an unexpectedly large spill from ENOSPC-ing mid-suite), and
+        // clear a stale graft-shuffle left by a crashed run so dead
+        // shuffle files don't occupy RAM across sessions.
         val shm = new java.io.File("/dev/shm")
-        if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-shuffle")
-        else None
+        if (shm.isDirectory && shm.canWrite &&
+            shm.getUsableSpace > 8L * 1024 * 1024 * 1024) {
+          val dir = new java.io.File(shm, "graft-shuffle")
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles()
+            if (kids != null) kids.foreach(rm)
+            f.delete(); ()
+          }
+          try if (dir.exists) rm(dir)
+          catch { case scala.util.control.NonFatal(_) => () }
+          Some(dir.getPath)
+        } else None
     }
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,6 +76,11 @@ object Bench {
     val spark = localDir
       .fold(builder0)(d => builder0.config("spark.local.dir", d))
       .getOrCreate()
+    // Provenance stamp (r18 verdict #2): WHICH scratch mode produced
+    // these numbers rides in the output JSON, so cross-round
+    // comparisons can see when the measurement environment — not the
+    // engine — moved. "stock" = Spark's default local dir.
+    val localDirStamp = localDir.getOrElse("stock")
     spark.sparkContext.setLogLevel("ERROR")
     val diag = new BenchDiag
     spark.sparkContext.addSparkListener(diag)
@@ -251,6 +271,7 @@ object Bench {
         "\"queries_warm\":" + toJson(warm) + "," +
         "\"errors\":" + errJson + "," +
         "\"env\":" + envVerdict + "," +
+        "\"local_dir\":\"" + localDirStamp + "\"," +
         "\"sf\":\"" + sfDir + "\"}"
     // The driver captures only a bounded TAIL of stdout (~2000 chars);
     // a 106-query map blows through it and every round's BENCH_r*.json
@@ -277,6 +298,7 @@ object Bench {
         "\"warm_total_raw\":" + num3(rawWarmTotal) + "," +
         "\"errors\":" + errJson + "," +
         "\"env_contention\":\"" + BenchEnv.verdictFull(preSamples)._1 + "\"," +
+        "\"local_dir\":\"" + localDirStamp + "\"," +
         "\"full\":\"bench_out.json\"," +
         "\"sf\":\"" + sfDir + "\"}"
     println(stdoutJson)

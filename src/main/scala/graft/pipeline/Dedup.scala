@@ -390,18 +390,10 @@ object Dedup {
     * flaky executors, swap for reliable `checkpoint()` to a
     * checkpoint dir — same plan shape, durable blocks.
     */
-  /** Rounds between convergence-sum actions once past the early
-    * rounds: the sum is a full extra job per round, and labels are
-    * MONOTONE (each node's label only decreases), so an unchanged sum
-    * across k rounds proves no node changed in ANY of them — spot
-    * checks are exact, not approximate. The first [[CcCheckEvery]]
-    * rounds are still checked individually: near-dup cluster graphs
-    * are usually SHALLOW (cliques converge in 1-2 rounds), and a
-    * skipped check there costs a full overshoot propagation round
-    * (two edge-set joins + checkpoint) to save one scalar sum — a
-    * bad trade that measurably slowed dd8. Deep graphs (long paths)
-    * amortize the spot-checking automatically. */
-  private val CcCheckEvery = 3
+  // (r19) The former CcCheckEvery spot-check cadence is gone: with
+  // LAZY round snapshots the convergence sum doubles as the round's
+  // materializing action, so a per-round check costs nothing extra
+  // and detects the fixpoint at the earliest possible round.
 
   /** dd9: segment width (words) and the corpus document-frequency at
     * which a segment counts as boilerplate. Mirrors the C4 cleanup
@@ -496,7 +488,13 @@ object Dedup {
     if (df.sparkSession.conf
           .getOption("spark.graft.cc.reliableCheckpoint").exists(_.toBoolean))
       df.checkpoint(true)
-    else df.localCheckpoint(true)
+    // LAZY (r19): the checkpoint truncates the Dataset plan
+    // immediately; its blocks materialize inside the convergence-sum
+    // action below — one driver action per round instead of two
+    // (eager materialize + sum). Safe because EVERY round's snapshot
+    // gets a direct labelSum action (which also RDD-truncates it via
+    // doCheckpoint); the loop never frees blocks by lineage walk.
+    else df.localCheckpoint(false)
 
   private[graft] def connectedComponents(pairs: DataFrame,
                                          maxIters: Int = MaxCcIters): DataFrame = {
@@ -547,12 +545,15 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val next = step(labels)
       iter += 1
-      if (iter <= CcCheckEvery || iter % CcCheckEvery == 0 ||
-          iter == maxIters) {
-        val nextSum = labelSum(next)
-        converged = nextSum == prevSum
-        prevSum = nextSum
-      }
+      // the sum IS the round's materializing action (lazy snapshot),
+      // so checking every round is free — it replaces the former
+      // dedicated eager-checkpoint job rather than adding one, and
+      // the loop now stops at the FIRST no-change round instead of up
+      // to CcCheckEvery-1 overshoot rounds later. Labels are monotone,
+      // so the stop round's labels equal the fixpoint either way.
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
     }
     if (!converged) {

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -82,13 +81,16 @@ object EntityResolution {
         .select(col("dirty_id"), col("c_custkey"),
           levenshtein(col("dirty_name"), col("c_name")).cast("long").as("dist"))
         .filter(col("dist") <= 1)
-      val w = Window.partitionBy(col("dirty_id"))
-      ver
-        .withColumn("rn", row_number().over(w.orderBy(col("dist"), col("c_custkey"))))
-        .withColumn("n_cands", count(lit(1)).over(w))
-        .filter(col("rn") === 1)
-        .select(col("dirty_id"), col("c_custkey").as("resolved_custkey"),
-          col("dist"), col("n_cands").cast("long").as("n_cands"))
+      // r19: the shared packed-min hash-agg resolve (see
+      // [[resolveBest]]) replaces the former per-dirty_id window,
+      // which sorted the whole verified set through a corpus-wide
+      // exchange just to take rank 1. min((dist << 61) | custkey) is
+      // the same (dist, custkey) lexicographic rank the window's
+      // row_number()=1 picked, and n_cands the same count — identical
+      // rows, with a map-side partial agg instead of the sort
+      // (er2/er3/er4 have run this resolve against the same ranked
+      // oracle shape since r15).
+      resolveBest(ver)
     }),
     // er2: the edit-budget-2 GENERALIZATION, with a LENGTH-UNIFORMITY
     // ROUTER over two exact blocking schemes (r13 verdict #1 — the

@@ -184,6 +184,13 @@ object Graph {
     "pr2_pagerank_converged" -> ((spark, sfDir) => {
       val (edges, nodes, n, bcast) = purchaseGraph(spark, sfDir)
       val base = ((100L - ConvDamp) * Scale) / (100L * n)
+      // The SEED stays an EAGER checkpoint: it never gets a direct
+      // action of its own (rounds act on `next`), and RDD-level
+      // lineage truncation only happens for the first checkpoint-
+      // marked node an action's doCheckpoint walk reaches — a lazy
+      // seed would stay untruncated and round 1's
+      // CheckpointBlocks.free(ranks) would walk through it into the
+      // nodes/edges caches and unpersist them mid-loop.
       var ranks = nodes.select(col("node"), col("outdeg"),
         lit(Scale / n).as("rank")).localCheckpoint(true)
       var rounds = 0L
@@ -203,7 +210,9 @@ object Graph {
             (lit(base) + expr(s"$ConvDamp * coalesce(contrib, 0L) div 100"))
               .cast("long").as("nrank"),
             col("rank").as("prank"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
+        // the delta agg IS the materializing action for this round's
+        // checkpoint blocks (and, in round 1, for the seed vector's)
         delta = next
           .agg(sum(abs(col("nrank") - col("prank"))).as("d"))
           .head().getLong(0)
