@@ -591,37 +591,50 @@ object EntityResolution {
     * independent FastSS-shape oracle. */
   private[graft] def delWildcardD2Verified(dirty: DataFrame,
                                            cust: DataFrame): DataFrame = {
-    val arms = delWildcardArms(dirty, cust)
-    if (arms.isEmpty)
+    val (cover, markers) = delWildcardAllArms(dirty, cust)
+    if (cover.isEmpty)
       // no length pair within τ — provably no lev-≤2 pair exists
+      // (every marker arm's shifts coincide with a cover arm's, so
+      // markers are empty too)
       return dirty.select(col(dirty.columns.head).as("dirty_id"))
         .limit(0)
         .withColumn("c_custkey", lit(0L))
         .withColumn("dist", lit(0L))
-    // r18 (guide §2.3): the arm joins run on xxhash64 of the pattern
-    // strings — the corpus-sized key exchange carries 8-byte longs
-    // instead of ~L-char strings. Safe HERE (unlike er2's decode
-    // path) because this route levenshtein-verifies every candidate:
-    // a hash collision can only ADD a pair, and the exact cover
-    // already emits every true lev-≤2 pair under its true key, so a
-    // colliding lev-≤2 pair is a duplicate (collapsed by the
-    // distinct) and a colliding lev->2 pair is removed by the verify.
-    val cand = arms
-      .map { case (dk, ck) =>
-        dk.select(col("d_id"), xxhash64(col("d_key")).as("d_key"))
-          .hint("shuffle_hash")
-          .join(ck.select(col("c_id"), xxhash64(col("c_key")).as("c_key")),
-            col("d_key") === col("c_key"))
-          .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"))
+    // r19 MARKER-JOIN dist decode (the r18 "dist-decode" residual,
+    // guide §2.4 — remove whole passes): with literal pattern-string
+    // keys, EVERY arm match is a true lev-≤2 pair by construction
+    // (each arm's key equality exhibits an edit script of cost ≤ 2),
+    // so no levenshtein verify is needed — and the former r18
+    // xxhash64 key compression is dropped WITH the verify (suite A/B
+    // medians 2.371 hashed vs 2.354 string: a wash at bench scale;
+    // exactness now REQUIRES collision-free keys). The remaining
+    // question per pair is only the VALUE of dist, and that is
+    // decoded from membership in three cheap MARKER arms:
+    //   dist 0 ⟺ the strings are equal        → (self, self) arm
+    //   dist 1 ⟺ one substitution (δ=0 — both sides wildcarded at
+    //            the same position match)      → (wc1, wc1) arm
+    //         or one pure indel (δ=1 — the longer side's del1 set
+    //            contains the shorter string)  → (self, del1) arms
+    //   dist 2 ⟺ any cover-arm match not in a marker.
+    //   (No false positives: an eq match IS dist 0; a wc1∕wc1 match
+    //   forces equality outside one position, and unequal strings of
+    //   equal length have dist ≥ 1; a self∕del1 match exhibits one
+    //   deletion and unequal lengths force dist ≥ 1.)
+    // dist = min over matched arms' bounds, one pair-keyed aggregate
+    // — the groupBy replaces the old distinct (same exchange), and
+    // the two corpus-sized name re-attach joins plus the levenshtein
+    // pass over 735k candidates (sf0.1) are gone. Same discipline as
+    // er2's m-decode, generalized to the mixed-length route.
+    (cover.map { case (dk, ck) => (dk, ck, 2L) } ++ markers)
+      .map { case (dk, ck, ub) =>
+        dk.hint("shuffle_hash")
+          .join(ck, col("d_key") === col("c_key"))
+          .select(col("d_id").as("dirty_id"), col("c_id").as("c_custkey"),
+            lit(ub).as("ub"))
       }
       .reduce(_ union _)
-      .distinct()
-    cand
-      .join(dirty, "dirty_id")
-      .join(cust, "c_custkey")
-      .select(col("dirty_id"), col("c_custkey"),
-        levenshtein(col("dirty_name"), col("c_name")).cast("long").as("dist"))
-      .filter(col("dist") <= Tau)
+      .groupBy(col("dirty_id"), col("c_custkey"))
+      .agg(min(col("ub")).as("dist"))
   }
 
   /** The VIABLE (dirty-keys, cust-keys) arm frames behind
@@ -636,34 +649,52 @@ object EntityResolution {
     * equality implies length equality, so dropped emissions can
     * never have matched and the result is provably unchanged. */
   private[graft] def delWildcardArms(dirty: DataFrame, cust: DataFrame)
-      : Seq[(DataFrame, DataFrame)] = {
-    val L = (n: String) => s"length($n)"
-    def self(n: String) = s"array($n)"
-    def wc1(n: String) =
-      s"""transform(sequence(1, ${L(n)}), i ->
-         |  concat(substr($n, 1, i - 1), '*', substr($n, i + 1)))""".stripMargin
-    def wc2(n: String) =
-      s"""flatten(transform(sequence(1, ${L(n)} - 1), i ->
-         |  transform(sequence(i + 1, ${L(n)}), j ->
-         |    concat(substr($n, 1, i - 1), '*',
-         |           substr($n, i + 1, j - i - 1), '*',
-         |           substr($n, j + 1)))))""".stripMargin
-    def del1(n: String) =
-      s"""array_distinct(transform(sequence(1, ${L(n)}), i ->
-         |  concat(substr($n, 1, i - 1), substr($n, i + 1))))""".stripMargin
-    // depth-1 deletion then one wildcard: the δ=1 longer-side arm.
-    // Built by wildcarding each del1 variant at every position;
-    // array_distinct collapses the (deleted run, wildcard) overlaps.
-    def del1wc1(n: String) =
-      s"""array_distinct(flatten(transform(${del1(n)}, v ->
-         |  transform(sequence(1, length(v)), q ->
-         |    concat(substr(v, 1, q - 1), '*', substr(v, q + 1))))))""".stripMargin
-    def del2(n: String) =
-      s"""array_distinct(flatten(transform(sequence(1, ${L(n)} - 1), i ->
-         |  transform(sequence(i + 1, ${L(n)}), j ->
-         |    concat(substr($n, 1, i - 1),
-         |           substr($n, i + 1, j - i - 1),
-         |           substr($n, j + 1))))))""".stripMargin
+      : Seq[(DataFrame, DataFrame)] =
+    delWildcardAllArms(dirty, cust)._1
+
+  // The pattern generators behind the del+wildcard arms (pure SQL
+  // fragment builders over a name column).
+  private val dwL = (n: String) => s"length($n)"
+  private def dwSelf(n: String) = s"array($n)"
+  private def dwWc1(n: String) =
+    s"""transform(sequence(1, ${dwL(n)}), i ->
+       |  concat(substr($n, 1, i - 1), '*', substr($n, i + 1)))""".stripMargin
+  private def dwWc2(n: String) =
+    s"""flatten(transform(sequence(1, ${dwL(n)} - 1), i ->
+       |  transform(sequence(i + 1, ${dwL(n)}), j ->
+       |    concat(substr($n, 1, i - 1), '*',
+       |           substr($n, i + 1, j - i - 1), '*',
+       |           substr($n, j + 1)))))""".stripMargin
+  private def dwDel1(n: String) =
+    s"""array_distinct(transform(sequence(1, ${dwL(n)}), i ->
+       |  concat(substr($n, 1, i - 1), substr($n, i + 1))))""".stripMargin
+  // depth-1 deletion then one wildcard: the δ=1 longer-side arm.
+  // Built by wildcarding each del1 variant at every position;
+  // array_distinct collapses the (deleted run, wildcard) overlaps.
+  private def dwDel1wc1(n: String) =
+    s"""array_distinct(flatten(transform(${dwDel1(n)}, v ->
+       |  transform(sequence(1, length(v)), q ->
+       |    concat(substr(v, 1, q - 1), '*', substr(v, q + 1))))))""".stripMargin
+  private def dwDel2(n: String) =
+    s"""array_distinct(flatten(transform(sequence(1, ${dwL(n)} - 1), i ->
+       |  transform(sequence(i + 1, ${dwL(n)}), j ->
+       |    concat(substr($n, 1, i - 1),
+       |           substr($n, i + 1, j - i - 1),
+       |           substr($n, j + 1))))))""".stripMargin
+
+  /** COVER arms plus MARKER arms (r19), sharing one length-profile
+    * probe. Cover arms are the exact lev-≤2 candidate cover (see
+    * [[delWildcardD2Verified]]); marker arms are the strict-subset
+    * joins whose membership decodes each pair's exact distance
+    * (dist bound rides in the third tuple slot):
+    *   (self, self)  → 0 (string equality)
+    *   (wc1,  wc1)   → 1 (δ=0 single substitution)
+    *   (self, del1) / (del1, self) → 1 (δ=1 pure indel)
+    * Each marker's length shifts coincide with a cover arm's, so the
+    * same viability pruning applies and markers never emit where no
+    * cover arm does. */
+  private[graft] def delWildcardAllArms(dirty: DataFrame, cust: DataFrame)
+      : (Seq[(DataFrame, DataFrame)], Seq[(DataFrame, DataFrame, Long)]) = {
     // length profiles: one metadata-scale aggregate per side (the
     // dd10/clu1 adaptive-parameter discipline — distinct lengths are
     // bounded by the key format, not the corpus)
@@ -683,21 +714,32 @@ object EntityResolution {
       df.filter(length(col(nameCol)).isin(okLens.toSeq.map(Int.box): _*))
         .select(col(df.columns.head).as(s"${pfx}_id"),
           explode(expr(gen(nameCol))).as(s"${pfx}_key"))
+    def viable(specs: Seq[(String => String, Int, String => String, Int)])
+        : Seq[(DataFrame, DataFrame)] =
+      specs.flatMap { case (dGen, dShift, cGen, cShift) =>
+        val shared = dLens.map(_ - dShift) intersect cLens.map(_ - cShift)
+        if (shared.isEmpty) None
+        else Some((
+          keys(dirty, "dirty_name", "d", dGen, shared.map(_ + dShift)),
+          keys(cust, "c_name", "c", cGen, shared.map(_ + cShift))))
+      }
     // (dirty generator, its length shift, cust generator, its shift)
-    val armSpecs: Seq[(String => String, Int, String => String, Int)] = Seq(
-      (wc2, 0, wc2, 0),         // δ=0: Hamming ≤ 2
-      (del1, 1, del1, 1),       // δ=0: one-char block shift
-      (del1wc1, 1, wc1, 0),     // δ=1: dirty longer, 1 del + ≤1 sub
-      (wc1, 0, del1wc1, 1),     // δ=1: cust longer
-      (del2, 2, self, 0),       // δ=2: dirty longer
-      (self, 0, del2, 2))       // δ=2: cust longer
-    armSpecs.flatMap { case (dGen, dShift, cGen, cShift) =>
-      val shared = dLens.map(_ - dShift) intersect cLens.map(_ - cShift)
-      if (shared.isEmpty) None
-      else Some((
-        keys(dirty, "dirty_name", "d", dGen, shared.map(_ + dShift)),
-        keys(cust, "c_name", "c", cGen, shared.map(_ + cShift))))
+    val cover = viable(Seq(
+      (dwWc2, 0, dwWc2, 0),         // δ=0: Hamming ≤ 2
+      (dwDel1, 1, dwDel1, 1),       // δ=0: one-char block shift
+      (dwDel1wc1, 1, dwWc1, 0),     // δ=1: dirty longer, 1 del + ≤1 sub
+      (dwWc1, 0, dwDel1wc1, 1),     // δ=1: cust longer
+      (dwDel2, 2, dwSelf, 0),       // δ=2: dirty longer
+      (dwSelf, 0, dwDel2, 2)))      // δ=2: cust longer
+    val markerSpecs: Seq[((String => String, Int, String => String, Int), Long)] = Seq(
+      ((dwSelf, 0, dwSelf, 0), 0L),  // equality → dist 0
+      ((dwWc1, 0, dwWc1, 0), 1L),    // δ=0 one substitution
+      ((dwSelf, 0, dwDel1, 1), 1L),  // δ=1 cust longer, pure deletion
+      ((dwDel1, 1, dwSelf, 0), 1L))  // δ=1 dirty longer
+    val markers = markerSpecs.flatMap { case (spec, ub) =>
+      viable(Seq(spec)).map { case (dk, ck) => (dk, ck, ub) }
     }
+    (cover, markers)
   }
 
   /** Variable-length / exotic-alphabet fallback: FastSS candidates +

@@ -235,13 +235,29 @@ object Extended {
   // Both sketches are deterministic for fixed input (no RNG in
   // HLL++ registers or percentile summaries), so the gate cannot
   // flake.
+  // r19 (guide §2.3/§2.4): the former single-level
+  // `count(DISTINCT) + approx_count_distinct` form planned the HLL++
+  // partial KEYED BY (flag, partkey) — Spark's distinct-agg rewrite
+  // evaluates non-distinct aggregates in the first aggregate at
+  // distinct-key granularity, so every distinct pair carried a
+  // 410-word HLL buffer through the first exchange and the per-pair
+  // buffer construction dominated the query (measured 1.66 s median).
+  // Pre-distincting moves the HLL to 3-groups granularity: identical
+  // values because HLL registers are max-based (duplicate inserts
+  // cannot change any register, so the sketch of the distinct set IS
+  // the sketch of the multiset) and count(l_partkey) over the
+  // distinct pairs is exactly count(DISTINCT l_partkey). Measured
+  // 0.58 s median, same rows. The distinct itself partial-aggregates
+  // map-side, so the one corpus-sized exchange carries narrow
+  // (flag, partkey) pairs — the 100 TB shape.
   private val x18Sql =
     """SELECT l_returnflag,
-      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_cnt,
+      |  CAST(count(l_partkey) AS BIGINT) AS exact_cnt,
       |  CAST(abs(approx_count_distinct(l_partkey, 0.02) -
-      |           count(DISTINCT l_partkey))
-      |       <= 0.05 * count(DISTINCT l_partkey) AS BIGINT) AS approx_ok
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      |           count(l_partkey))
+      |       <= 0.05 * count(l_partkey) AS BIGINT) AS approx_ok
+      |FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   private val x19Sql =
     """SELECT l_returnflag,
