@@ -595,8 +595,8 @@ object Similarity {
   private[graft] def knnFromSignatures(e: DataFrame, sig: DataFrame,
       k: Int, bucketCap: Int, capOrder: Column): DataFrame = {
     // Vectors + norms ride ON the signature frame: one bounded vec_id
-    // join (N·bands signature rows against N vectors, persisted for
-    // the self-join's two sides), so every candidate pair is scored
+    // join per self-join side (N·bands signature rows against N
+    // vectors), so every candidate pair is scored
     // WHERE IT IS BORN — inside the band join's partition — and the
     // duplicated candidate stream is never exchanged again. The r12
     // sf1 measurement that forced this shape: a pair in the clustered
@@ -610,19 +610,38 @@ object Similarity {
     // exchange. No distinct anywhere: graft_topk_pairs dedupes BY ID
     // inside its bounded buffer, so band duplicates cannot occupy
     // duplicate ranks.
-    val withVec = sig.join(
-        e.select(col("vec_id"), col("v"),
-          expr("sqrt(graft_dot(v, v))").as("nrm")), "vec_id")
-      .persist()
-    val partnerSide = if (bucketCap > 0)
-      withVec.withColumn("bkr", row_number().over(
+    // r19 (guide §5 — the r18-verdict sf10 spill item): the CAP
+    // window runs over the NARROW signature frame, not the
+    // vector-carrying one. The former shape joined vectors in first
+    // and then row_number'd the 500+B-wide rows — a full wide sort
+    // per (band, sig), which at sf10 (200k vectors × 64 bands ×
+    // ~530 B) is a multi-GiB spill; the cap's decision only reads
+    // (band, sig, capOrder, vec_id), all present on the 24 B narrow
+    // row. Vectors+norms then attach per SIDE (one bounded vec_id
+    // join each), so scoring still happens where candidates are born
+    // and the persisted footprint drops from N·bands·(vec+norm) to
+    // the N·bands narrow signatures. Kept-partner set and scores are
+    // value-identical: same window keys and order over the same
+    // rows, same dot/(nrm·nrm) doubles.
+    val sigN = sig.persist() // shared by the probe side, the cap
+                             // window, and (capped) the partner side
+    // persisted too: the corpus derivation (clusteredVecs' broadcast
+    // join + zip_with) would otherwise run once per attach side; the
+    // cache is N narrow vector rows, bounded like the signatures
+    val vecsN = e.select(col("vec_id"), col("v"),
+      expr("sqrt(graft_dot(v, v))").as("nrm")).persist()
+    val partnerKeys = if (bucketCap > 0)
+      sigN.withColumn("bkr", row_number().over(
           Window.partitionBy(col("band"), col("sig"))
             .orderBy(capOrder, col("vec_id"))))
         .filter(col("bkr") <= bucketCap).drop("bkr")
-    else withVec
+    else sigN
+    val xSide = sigN.join(vecsN, "vec_id")
+    val ySide = if (bucketCap > 0) partnerKeys.join(vecsN, "vec_id")
+                else xSide
     // BOTH directions (a,b) and (b,a) survive — top-k is per-row and
     // directional.
-    val scored = withVec.as("x").join(partnerSide.as("y"),
+    val scored = xSide.as("x").join(ySide.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
@@ -828,34 +847,42 @@ object Similarity {
     * re-score of candidates only. */
   private def blockedNearDupOn(e: DataFrame, tau: Double): DataFrame = {
     val (bits, bands) = HyperplaneBands.params(tau, 1e-4)
-    // spread: signature generation AND the broadcast band self-join +
+    // spread: signature generation AND the band self-join +
     // per-candidate scoring below all run on this frame's partitioning
     // (broadcast joins preserve it), and the fixture is one split
     val sig = spread(e).select(col("vec_id"),
       posexplode(expr(s"graft_hyperplane_bands(v, $bits, $bands, 42)"))
         .as(Seq("band", "sig")))
-      .persist() // both self-join sides share one signature materialization
+    // r19 (guide §5/§8 — the r18-verdict sf10 spill item): vectors +
+    // norms ride ON the signature frame (the knnFromSignatures
+    // score-where-born shape, r12-proven on the kNN paths), so every
+    // candidate pair is scored INSIDE the band join's partition and
+    // only the tau-survivors ever reach another exchange. The former
+    // attach-after shape (bare-pair band join, then cand⋈va⋈vb name
+    // lookups) broadcast fine at test scale but re-exchanged the FULL
+    // candidate stream twice once the vector side outgrew the
+    // broadcast threshold — at sf10 (200k vectors, tau09's (12,55)
+    // plan, ~2.6e8 raw candidates) that was a 30+ GiB shuffle-spill
+    // kill. Persisted cost is bounded: N·bands rows × (vec + norm).
+    // Identical values: same candidate pairs (same band equi-join,
+    // a<b), same dot/(na·nb) expression over the same doubles, same
+    // tau filter, round, and post-filter distinct.
     // NOTE deliberately no distinct() on raw candidates: a pair
     // colliding in k bands is scored k times (the kernel is one
     // fused 64-dim loop — cheap), and dedupe happens AFTER the
     // threshold filter when only the few true pairs survive. A
     // pre-score distinct would shuffle the full candidate stream,
     // which at a permissive threshold is the bulk of all pairs.
-    val cand = sig.as("x").join(sig.as("y"),
+    val withVec = sig.join(
+        e.select(col("vec_id"), col("v"),
+          expr("sqrt(graft_dot(v, v))").as("nrm")), "vec_id")
+      .persist() // both self-join sides share one signature+vector pass
+    withVec.as("x").join(withVec.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-    // norms once per ROW, dot once per candidate PAIR — a third of
-    // graft_cosine's per-pair flops at the permissive-tau candidate
-    // volumes, bit-identical value (the decomposition is spec-pinned
-    // in FunctionsPropertySpec)
-    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
-      expr("sqrt(graft_dot(v, v))").as("na"))
-    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
-      expr("sqrt(graft_dot(v, v))").as("nb"))
-    cand.join(va, "a_id").join(vb, "b_id") // small side auto-broadcasts at test SF; shuffles at corpus scale
-      .select(col("a_id"), col("b_id"),
-        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        (expr("graft_dot(x.v, y.v)") /
+          (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"))
       .distinct()
@@ -894,14 +921,25 @@ object Similarity {
     * same corpus fails the gate, not just one that scores pairs
     * differently. */
   private[graft] def adaptiveNearDup(spark: SparkSession, e: DataFrame): DataFrame = {
-    val (cand, _, bits, bands) = adaptiveCandidates(spark, e)
-    val va = e.select(col("vec_id").as("a_id"), col("v").as("va"),
-      expr("sqrt(graft_dot(v, v))").as("na"))
-    val vb = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
-      expr("sqrt(graft_dot(v, v))").as("nb"))
-    cand.join(va, "a_id").join(vb, "b_id")
-      .select(col("a_id"), col("b_id"),
-        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cos_sim"))
+    // r19: score-where-born (see blockedNearDupOn — the same
+    // attach-after shape re-exchanged the candidate stream at scale).
+    // adaptiveCandidates stays as the bare-pair probe/spec surface;
+    // the gate path carries vectors+norms on the signature frame and
+    // scores candidates inside the band join's partition. Identical
+    // values: same (bits, bands) plan, same candidate pairs, same
+    // dot/(na·nb) doubles, same tau filter / round / distinct.
+    val n = e.count() // 100 TB: a metastore stats lookup, not a scan
+    val (bits, bands) = adaptiveBandPlan(n)
+    val withVec = srpSignatures(spark, e, bands, bits).join(
+        e.select(col("vec_id"), col("v"),
+          expr("sqrt(graft_dot(v, v))").as("nrm")), "vec_id")
+      .persist() // both self-join sides share one signature+vector pass
+    withVec.as("x").join(withVec.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        (expr("graft_dot(x.v, y.v)") /
+          (col("x.nrm") * col("y.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= AdaptiveTau)
       .select(col("a_id"), col("b_id"), round(col("cos_sim"), 4).as("cos_sim"),
         lit(bits.toLong).as("bits"), lit(bands.toLong).as("bands"))
